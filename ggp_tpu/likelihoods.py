@@ -1,0 +1,162 @@
+"""Observation likelihoods.
+
+The reference's declared scope is four likelihoods — Gaussian,
+Bernoulli-probit, Softmax, Log-Cox Poisson (reference README.md:5-11; the
+synthetic generators at utils/load_data.py:89-105 implement the same four
+observation models). GPyTorch supplies them in the reference; here each is a
+small functional object exposing:
+
+* ``log_prob(params, f, y)`` — elementwise log p(y|f),
+* ``variational_expectation(params, mu, var, y)`` — E_{N(f|mu,var)}[log p(y|f)]
+  (closed form where it exists, Gauss-Hermite otherwise) for SVGP ELBOs,
+* ``predictive(params, mu, var)`` — moments / probabilities of y at a test
+  point given q(f)=N(mu, var).
+
+All are elementwise and vmap/pjit friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Likelihood",
+    "GaussianLikelihood",
+    "BernoulliProbit",
+    "Softmax",
+    "PoissonLogCox",
+    "gauss_hermite",
+]
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def gauss_hermite(n: int = 20):
+    """Normalized Gauss-Hermite nodes/weights for E_{N(0,1)}[g(eps)]."""
+    x, w = np.polynomial.hermite_e.hermegauss(n)
+    w = w / np.sum(w)
+    return jnp.asarray(x), jnp.asarray(w)
+
+
+@dataclasses.dataclass(frozen=True)
+class Likelihood:
+    def init_params(self) -> dict:
+        return {}
+
+    def log_prob(self, params, f, y):
+        raise NotImplementedError
+
+    def variational_expectation(self, params, mu, var, y):
+        """E_{N(f|mu,var)}[log p(y|f)] — default: Gauss-Hermite quadrature."""
+        x, w = gauss_hermite()
+        f = mu[..., None] + jnp.sqrt(jnp.maximum(var, 1e-12))[..., None] * x
+        lp = self.log_prob(params, f, y[..., None])
+        return jnp.sum(lp * w, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianLikelihood(Likelihood):
+    """y = f + eps, eps ~ N(0, sigma_n^2). Noise stored as log(sigma_n^2)
+    (reference: GaussianLikelihood with raw_noise, models/sgpr.py passim)."""
+
+    def init_params(self) -> dict:
+        return {"log_noise": jnp.zeros(())}
+
+    def noise(self, params):
+        return jnp.exp(params["log_noise"])
+
+    def log_prob(self, params, f, y):
+        s2 = self.noise(params)
+        return -0.5 * (jnp.log(2.0 * jnp.pi * s2) + (y - f) ** 2 / s2)
+
+    def variational_expectation(self, params, mu, var, y):
+        # closed form: -0.5 log(2 pi s2) - ((y-mu)^2 + var) / (2 s2)
+        s2 = self.noise(params)
+        return -0.5 * (jnp.log(2.0 * jnp.pi * s2) + ((y - mu) ** 2 + var) / s2)
+
+    def predictive(self, params, mu, var):
+        return mu, var + self.noise(params)
+
+
+def _log_ndtr(z):
+    return jax.scipy.special.log_ndtr(z)
+
+
+@dataclasses.dataclass(frozen=True)
+class BernoulliProbit(Likelihood):
+    """p(y=1|f) = Phi(f), y in {0,1} (reference: BernoulliLikelihood with
+    probit link, scratch_pymc3.py:56-92; synthetic generator
+    utils/load_data.py:95-97)."""
+
+    def log_prob(self, params, f, y):
+        sign = 2.0 * y - 1.0
+        return _log_ndtr(sign * f)
+
+    def variational_expectation(self, params, mu, var, y):
+        x, w = gauss_hermite()
+        f = mu[..., None] + jnp.sqrt(jnp.maximum(var, 1e-12))[..., None] * x
+        sign = (2.0 * y - 1.0)[..., None]
+        return jnp.sum(_log_ndtr(sign * f) * w, axis=-1)
+
+    def predictive(self, params, mu, var):
+        """P(y=1) = Phi(mu / sqrt(1 + var)) — exact for probit."""
+        p = jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + var))
+        return p, p * (1.0 - p)
+
+
+@dataclasses.dataclass(frozen=True)
+class Softmax(Likelihood):
+    """Multi-class softmax over C latent functions; f has trailing dim C,
+    y is an integer class label (reference: multi-class branch of
+    utils/load_data.py:101-105 and the multitask SVGP wrapper,
+    models/svgp.py:40-46)."""
+
+    num_classes: int = 3
+    num_mc: int = 64
+
+    def log_prob(self, params, f, y):
+        # f: (..., C); y: (...) integer
+        logp = jax.nn.log_softmax(f, axis=-1)
+        return jnp.take_along_axis(logp, y[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+    def variational_expectation(self, params, mu, var, y, key=None):
+        # mu, var: (..., C). MC estimate with fixed antithetic draws.
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        eps = jax.random.normal(key, (self.num_mc // 2,) + mu.shape, mu.dtype)
+        eps = jnp.concatenate([eps, -eps], axis=0)
+        f = mu[None] + jnp.sqrt(jnp.maximum(var, 1e-12))[None] * eps
+        lp = self.log_prob(params, f, jnp.broadcast_to(y, f.shape[:-1]))
+        return jnp.mean(lp, axis=0)
+
+    def predictive(self, params, mu, var, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        eps = jax.random.normal(key, (self.num_mc,) + mu.shape, mu.dtype)
+        f = mu[None] + jnp.sqrt(jnp.maximum(var, 1e-12))[None] * eps
+        p = jnp.mean(jax.nn.softmax(f, axis=-1), axis=0)
+        return p, p * (1.0 - p)
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonLogCox(Likelihood):
+    """y ~ Poisson(exp(f)) — log-Gaussian Cox observation model
+    (reference: poisson branch, utils/load_data.py:98-100)."""
+
+    def log_prob(self, params, f, y):
+        return y * f - jnp.exp(f) - jax.scipy.special.gammaln(y + 1.0)
+
+    def variational_expectation(self, params, mu, var, y):
+        # E[y f - e^f - log y!] = y mu - exp(mu + var/2) - log y!  (closed form)
+        return (y * mu - jnp.exp(mu + 0.5 * var)
+                - jax.scipy.special.gammaln(y + 1.0))
+
+    def predictive(self, params, mu, var):
+        mean = jnp.exp(mu + 0.5 * var)
+        second = jnp.exp(2.0 * mu + 2.0 * var)
+        return mean, second - mean ** 2 + mean

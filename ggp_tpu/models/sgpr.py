@@ -1,0 +1,194 @@
+"""SGPR — Titsias (2009) collapsed variational sparse GP regression.
+
+Rebuild of the reference's ``SparseGPR`` (models/sgpr.py:22-160), which wraps
+gpytorch's ``InducingPointKernel`` and trains via an interpreted Python Adam
+loop (models/sgpr.py:110-144). Here the collapsed bound is written in closed
+form around one Cholesky factorisation pattern and the entire training loop is
+a single ``lax.scan`` under ``jit`` — no Python in the hot path, and the same
+``elbo`` function is reused as the HMC target for the Bayesian models
+(models/bayesian_sgpr_hmc.py uses the identical VFE marginal via pymc3).
+
+Math (all matmul-dominant for the MXU):
+  L  = chol(Kmm + jitter I)
+  A  = L^-1 Kmn / sigma                  (M x N)
+  B  = I + A A^T ;  LB = chol(B)
+  c  = LB^-1 A y / sigma
+  ELBO = -N/2 log(2 pi) - sum log diag LB - N/2 log sigma^2
+         - (y^T y / sigma^2 - c^T c)/2
+         - (sum k_diag - sigma^2 ||A||_F^2) / (2 sigma^2)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import default_jitter
+from ..kernels import Kernel, default_rbf
+from ..likelihoods import GaussianLikelihood
+from ..ops.linalg import logdet_from_chol, safe_cholesky, tri_solve
+
+__all__ = ["sgpr_elbo", "sgpr_predict", "sgpr_optimal_qu", "SparseGPR"]
+
+
+def _common(kernel: Kernel, params: dict, X: jnp.ndarray, y: jnp.ndarray,
+            jitter: Optional[float] = None):
+    """Shared factorisation for bound + predictions."""
+    Z = params["Z"]
+    kp = params["kernel"]
+    sigma2 = jnp.exp(params["log_noise"])
+    sigma = jnp.sqrt(sigma2)
+
+    Kmm = kernel.gram(kp, Z, Z)
+    Kmn = kernel.gram(kp, Z, X)
+    L = safe_cholesky(Kmm, jitter)
+    A = tri_solve(L, Kmn) / sigma                       # (M, N)
+    B = A @ A.T + jnp.eye(Z.shape[0], dtype=X.dtype)
+    LB = safe_cholesky(B, 0.0)
+    Ay = A @ y
+    c = tri_solve(LB, Ay) / sigma                       # (M,)
+    return dict(Z=Z, kp=kp, sigma2=sigma2, sigma=sigma, L=L, A=A, LB=LB, c=c)
+
+
+def sgpr_elbo(kernel: Kernel, params: dict, X: jnp.ndarray, y: jnp.ndarray,
+              jitter: Optional[float] = None) -> jnp.ndarray:
+    """Collapsed VFE bound (total over N, matching the reference's
+    ``-mll(output, y).sum()`` convention at models/sgpr.py:125)."""
+    n = X.shape[0]
+    f = _common(kernel, params, X, y, jitter)
+    sigma2, A, LB, c = f["sigma2"], f["A"], f["LB"], f["c"]
+    kdiag_sum = jnp.sum(kernel.diag(f["kp"], X))
+    qdiag_sum = sigma2 * jnp.sum(A * A)                 # tr(Qnn)
+
+    bound = -0.5 * n * jnp.log(2.0 * jnp.pi * sigma2)
+    bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
+    bound -= 0.5 * (jnp.sum(y * y) / sigma2 - jnp.sum(c * c))
+    bound -= 0.5 * (kdiag_sum - qdiag_sum) / sigma2     # Titsias trace term
+    return bound
+
+
+def sgpr_predict(kernel: Kernel, params: dict, X: jnp.ndarray, y: jnp.ndarray,
+                 X_test: jnp.ndarray, jitter: Optional[float] = None,
+                 full_cov: bool = False, include_noise: bool = True):
+    """Posterior predictive q(f*) (optionally + observation noise).
+
+    Mirrors ``SparseGPR.posterior_predictive`` (models/sgpr.py:150-160) which
+    returns the y-predictive (noise included).
+    """
+    f = _common(kernel, params, X, y, jitter)
+    Kts = kernel.gram(f["kp"], f["Z"], X_test)          # (M, Nt)
+    tmp1 = tri_solve(f["L"], Kts)                       # L^-1 Km*
+    tmp2 = tri_solve(f["LB"], tmp1)                     # LB^-1 L^-1 Km*
+    mean = tmp2.T @ f["c"]
+    if full_cov:
+        Ktt = kernel.gram(f["kp"], X_test, X_test)
+        cov = Ktt - tmp1.T @ tmp1 + tmp2.T @ tmp2
+        if include_noise:
+            cov = cov + f["sigma2"] * jnp.eye(X_test.shape[0], dtype=X.dtype)
+        return mean, cov
+    ktt = kernel.diag(f["kp"], X_test)
+    var = ktt - jnp.sum(tmp1 * tmp1, axis=0) + jnp.sum(tmp2 * tmp2, axis=0)
+    var = jnp.maximum(var, 1e-12)
+    if include_noise:
+        var = var + f["sigma2"]
+    return mean, var
+
+
+def sgpr_optimal_qu(kernel: Kernel, params: dict, X: jnp.ndarray, y: jnp.ndarray,
+                    jitter: Optional[float] = None):
+    """Optimal q*(u) = N(m_u, S_u) (reference: ``optimal_q_u``,
+    models/sgpr.py:147-148, and the hand-derivation kept in comments at
+    models/sgpr.py:256-289)."""
+    f = _common(kernel, params, X, y, jitter)
+    # m_u = L LB^-T c ; S_u = L B^-1 L^T
+    m_u = f["L"] @ tri_solve(f["LB"], f["c"], trans=True)
+    tmp = tri_solve(f["LB"], f["L"].T)                  # LB^-1 L^T
+    S_u = tmp.T @ tmp
+    return m_u, S_u
+
+
+class SparseGPR:
+    """Stateful convenience wrapper with the reference's public API
+    (ctor ``(train_x, train_y, likelihood, Z_init)``, ``train_model``,
+    ``posterior_predictive``, ``optimal_q_u`` — models/sgpr.py:22-160).
+
+    All heavy work delegates to the pure functions above; ``self.params`` is
+    the single source of mutable state.
+    """
+
+    def __init__(self, train_x, train_y, likelihood: GaussianLikelihood | None = None,
+                 Z_init=None, kernel: Kernel | None = None, jitter: float | None = None):
+        self.train_x = jnp.asarray(train_x)
+        self.train_y = jnp.asarray(train_y)
+        d = self.train_x.shape[-1]
+        self.kernel = kernel if kernel is not None else default_rbf(ard=True)
+        self.likelihood = likelihood if likelihood is not None else GaussianLikelihood()
+        self.jitter = default_jitter(self.train_x.dtype) if jitter is None else jitter
+        Z_init = jnp.asarray(Z_init) if Z_init is not None else self.train_x[:128]
+        self.params = {
+            "kernel": self.kernel.init_params(d),
+            "log_noise": jnp.zeros((), self.train_x.dtype),
+            "Z": Z_init.astype(self.train_x.dtype),
+        }
+
+    # -- training ------------------------------------------------------------
+    def loss_fn(self, params):
+        return -sgpr_elbo(self.kernel, params, self.train_x, self.train_y,
+                          self.jitter)
+
+    def train_model(self, optimizer=None, max_steps: int = 2000, lr: float = 0.01,
+                    log_interval: int = 1000, verbose: bool = True):
+        """Adam on (theta, Z) via one jitted lax.scan (reference loop:
+        models/sgpr.py:110-144). Returns the per-step loss trajectory."""
+        if optimizer is None:
+            optimizer = optax.adam(lr)
+        params, losses = _run_adam(self.kernel, self.train_x, self.train_y,
+                                   self.jitter, self.params, optimizer, max_steps)
+        self.params = params
+        if verbose and log_interval:
+            for j in range(0, max_steps, log_interval):
+                print(f"Iter {j}/{max_steps} - Loss: {float(losses[j]):.3f}")
+        return losses
+
+    # -- prediction ----------------------------------------------------------
+    def posterior_predictive(self, test_x, full_cov: bool = True,
+                             include_noise: bool = True):
+        return sgpr_predict(self.kernel, self.params, self.train_x,
+                            self.train_y, jnp.asarray(test_x), self.jitter,
+                            full_cov=full_cov, include_noise=include_noise)
+
+    def optimal_q_u(self):
+        return sgpr_optimal_qu(self.kernel, self.params, self.train_x,
+                               self.train_y, self.jitter)
+
+    @property
+    def Z(self):
+        return self.params["Z"]
+
+    @property
+    def noise(self):
+        return jnp.exp(self.params["log_noise"])
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps):
+    opt_state = optimizer.init(params)
+
+    def loss(p):
+        return -sgpr_elbo(kernel, p, X, y, jitter)
+
+    def step(carry, _):
+        p, s = carry
+        val, g = jax.value_and_grad(loss)(p)
+        updates, s = optimizer.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), val
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
+                                       length=max_steps)
+    return params, losses

@@ -1,0 +1,2 @@
+from .diagnostics import effective_sample_size, split_rhat, summary
+from .hmc import NUTSConfig, build_sampler, hmc_kernel, nuts_kernel, run_nuts

@@ -30,7 +30,8 @@ import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NUTSConfig", "run_nuts", "nuts_kernel", "hmc_kernel", "warmup_schedule"]
+__all__ = ["NUTSConfig", "run_nuts", "build_sampler", "nuts_kernel",
+           "hmc_kernel", "warmup_schedule"]
 
 _DIVERGENCE_THRESHOLD = 1000.0
 
@@ -431,32 +432,53 @@ def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
     return zs, stats
 
 
+def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
+                  num_chains: int = 1, jitter_init: float = 0.1):
+    """Compile-once sampler factory.
+
+    ``logprob_fn(params, data)`` — ``data`` is an arbitrary pytree traced as
+    an argument, so repeated calls with new data (e.g. updated inducing
+    locations in the alternating trainer, models/bayesian_sgpr_hmc.py:88-158)
+    reuse the same executable with zero recompilation.
+
+    Returns ``sample(init_params, key, data) -> (samples, stats)`` with
+    samples leading axes ``(num_chains, num_samples)``.
+    """
+    _, unravel = jax.flatten_util.ravel_pytree(example_params)
+    in_window, window_end = warmup_schedule(cfg.num_warmup)
+
+    @jax.jit
+    def _run(flat0, key, data):
+        def potential_vg(zvec):
+            return jax.value_and_grad(
+                lambda v: -logprob_fn(unravel(v), data))(zvec)
+
+        keys = jax.random.split(key, num_chains)
+        jkeys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
+        z0s = jnp.stack([
+            flat0 + jitter_init * jax.random.normal(k, flat0.shape, flat0.dtype)
+            for k in jkeys])
+        return jax.vmap(
+            lambda z0, k: _single_chain(potential_vg, z0, k, cfg, in_window,
+                                        window_end))(z0s, keys)
+
+    def sample(init_params, key, data=None):
+        flat0, _ = jax.flatten_util.ravel_pytree(init_params)
+        zs, stats = _run(flat0, key, data)      # (C, S, dim)
+        samples = jax.vmap(jax.vmap(unravel))(zs)
+        return samples, stats
+
+    return sample
+
+
 def run_nuts(logprob_fn: Callable, init_params, key, cfg: NUTSConfig = NUTSConfig(),
              num_chains: int = 1):
-    """Sample from ``logprob_fn`` over a pytree of parameters.
+    """One-shot convenience wrapper around :func:`build_sampler`.
 
     Returns ``(samples, stats)`` where samples is a pytree with leading axes
     ``(num_chains, num_samples)``. The whole of warmup + sampling is one jit
     per chain, vmapped over chains.
     """
-    flat0, unravel = jax.flatten_util.ravel_pytree(init_params)
-
-    def potential_vg(zvec):
-        val, grad = jax.value_and_grad(lambda v: -logprob_fn(unravel(v)))(zvec)
-        return val, grad
-
-    in_window, window_end = warmup_schedule(cfg.num_warmup)
-
-    keys = jax.random.split(key, num_chains)
-    # jitter chain inits slightly for dispersion
-    jit_keys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
-    z0s = jnp.stack([
-        flat0 + 0.1 * jax.random.normal(k, flat0.shape, flat0.dtype)
-        for k in jit_keys])
-
-    run = jax.jit(jax.vmap(
-        lambda z0, k: _single_chain(potential_vg, z0, k, cfg, in_window,
-                                    window_end)))
-    zs, stats = run(z0s, keys)                  # (C, S, dim)
-    samples = jax.vmap(jax.vmap(unravel))(zs)
-    return samples, stats
+    sampler = build_sampler(lambda p, _: logprob_fn(p), init_params, cfg,
+                            num_chains)
+    return sampler(init_params, key, None)

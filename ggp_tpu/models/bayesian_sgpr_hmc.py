@@ -1,0 +1,234 @@
+"""BayesianSGPR_HMC — the "doubly collapsed" headline model.
+
+Rebuild of ``BayesianSparseGPR_HMC`` (models/bayesian_sgpr_hmc.py:26-231):
+hyperparameters are sampled by NUTS from the collapsed VFE marginal
+p(y | theta, Z) (the same bound as pymc3's MarginalSparse approx="VFE",
+models/bayesian_sgpr_hmc.py:66-71), while inducing locations Z are optimised
+by Adam on the Monte-Carlo average of the collapsed ELBO over the current
+hyper trace (models/bayesian_sgpr_hmc.py:119-134).
+
+The reference implements this by round-tripping Z between GPyTorch and a
+rebuilt pymc3 model at every HMC round (the torch->numpy->theano boundary at
+models/bayesian_sgpr_hmc.py:139-154). Here both phases consume the *same*
+jitted ``sgpr_elbo``:
+
+* the NUTS sampler is compiled ONCE with Z as a traced argument
+  (``build_sampler``) — re-sampling at a new Z costs zero recompiles;
+* the Z-update phase vmaps the ELBO over all S trace samples (batched
+  M x M Cholesky on the MXU) instead of a Python loop over samples
+  (models/bayesian_sgpr_hmc.py:123-134), and runs ``steps_per_round`` Adam
+  steps in one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import default_jitter
+from ..inference.hmc import NUTSConfig, build_sampler
+from ..kernels import Kernel, default_rbf
+from ..likelihoods import GaussianLikelihood
+from ..priors import log_prior, prior_tree_rbf
+from .sgpr import sgpr_elbo, sgpr_predict
+
+__all__ = ["BayesianSparseGPR_HMC"]
+
+
+class BayesianSparseGPR_HMC:
+    """Reference API (models/bayesian_sgpr_hmc.py:26): ctor
+    ``(train_x, train_y, likelihood, Z_init)``, ``train_model(optimizer,
+    max_steps, hmc_scheduler)``, ``train_fixed_model``,
+    ``mixture_posterior_predictive``."""
+
+    def __init__(self, train_x, train_y, likelihood: GaussianLikelihood | None = None,
+                 Z_init=None, kernel: Kernel | None = None, prior_tree=None,
+                 jitter: float | None = None):
+        self.train_x = jnp.asarray(train_x)
+        self.train_y = jnp.asarray(train_y)
+        d = self.train_x.shape[-1]
+        self.kernel = kernel if kernel is not None else default_rbf(ard=True)
+        self.likelihood = likelihood if likelihood is not None else GaussianLikelihood()
+        self.jitter = default_jitter(self.train_x.dtype) if jitter is None else jitter
+        self.prior_tree = prior_tree if prior_tree is not None else prior_tree_rbf()
+        Z_init = jnp.asarray(Z_init) if Z_init is not None else self.train_x[:128]
+        self.Z = Z_init.astype(self.train_x.dtype)
+        self.hypers = {
+            "kernel": self.kernel.init_params(d),
+            "log_noise": jnp.zeros((), self.train_x.dtype),
+        }
+        self.trace = None           # dict pytree, leading axis = S samples
+        self._samplers = {}
+
+    # ------------------------------------------------------------------
+    # HMC over hyperparameters at fixed Z (reference:
+    # sample_optimal_variational_hyper_dist, models/bayesian_sgpr_hmc.py:58-78)
+    # ------------------------------------------------------------------
+    def _logpost(self, hypers, Z):
+        p = {**hypers, "Z": Z}
+        ll = sgpr_elbo(self.kernel, p, self.train_x, self.train_y, self.jitter)
+        return ll + log_prior(self.prior_tree, hypers)
+
+    def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8):
+        key = (num_warmup, num_samples, num_chains, max_depth)
+        if key not in self._samplers:
+            cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
+                             max_depth=max_depth)
+            self._samplers[key] = build_sampler(self._logpost, self.hypers,
+                                                cfg, num_chains)
+        return self._samplers[key]
+
+    def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None):
+        """Draw a fresh hyper trace at the current Z."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sampler = self._get_sampler(num_warmup, num_samples, num_chains)
+        samples, stats = sampler(self.hypers, key, self.Z)
+        trace = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), samples)
+        self.trace = trace
+        self.stats = stats
+        # keep point hypers at the posterior mean for warm restarts
+        self.hypers = jax.tree_util.tree_map(lambda a: a.mean(0), trace)
+        return trace
+
+    # ------------------------------------------------------------------
+    # Phase A: joint ML-II warm start (reference: models/bayesian_sgpr_hmc.py:104-115)
+    # ------------------------------------------------------------------
+    def warm_start(self, num_steps=500, lr=0.01):
+        params = {**self.hypers, "Z": self.Z}
+        optimizer = optax.adam(lr)
+        params, losses = _adam_all(self.kernel, self.train_x, self.train_y,
+                                   self.jitter, params, optimizer, num_steps)
+        self.Z = params.pop("Z")
+        self.hypers = params
+        return losses
+
+    # ------------------------------------------------------------------
+    # Phase B: Adam on Z under the MC-averaged ELBO (reference:
+    # models/bayesian_sgpr_hmc.py:119-134 with frozen hypers :51-55)
+    # ------------------------------------------------------------------
+    def optimize_Z(self, num_steps=200, lr=0.01):
+        assert self.trace is not None, "sample_hypers first"
+        optimizer = optax.adam(lr)
+        self.Z, losses = _adam_Z(self.kernel, self.train_x, self.train_y,
+                                 self.jitter, self.Z, self.trace, optimizer,
+                                 num_steps)
+        return losses
+
+    # ------------------------------------------------------------------
+    # Orchestration
+    # ------------------------------------------------------------------
+    def train_model(self, optimizer=None, max_steps: int = 2000,
+                    hmc_scheduler: Optional[Sequence[int]] = None,
+                    lr: float = 0.01, num_chains: int = 1,
+                    break_condition=None, key=None, verbose: bool = False):
+        """Alternating trainer (reference loop: models/bayesian_sgpr_hmc.py:88-158).
+
+        ``hmc_scheduler`` lists the iterations at which to (re)sample the
+        hyper posterior; before the first entry we run the ML-II warm start.
+        First/last rounds use (tune=100, n=20); intermediate rounds
+        (tune=25, n=10) — reference: models/bayesian_sgpr_hmc.py:144-152.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if hmc_scheduler is None:
+            hmc_scheduler = list(range(max_steps // 4, max_steps + 1,
+                                       max(max_steps // 4, 1)))
+        hmc_scheduler = list(hmc_scheduler)
+
+        losses = []
+        warm = self.warm_start(num_steps=hmc_scheduler[0], lr=lr)
+        losses.append(warm)
+        bounds = hmc_scheduler + [max_steps]
+        for i in range(len(hmc_scheduler)):
+            first_or_last = i == 0 or i == len(hmc_scheduler) - 1
+            tune, n = (100, 20) if first_or_last else (25, 10)
+            key, sub = jax.random.split(key)
+            self.sample_hypers(tune, n, num_chains, key=sub)
+            n_z_steps = bounds[i + 1] - bounds[i]
+            if n_z_steps > 0:
+                zl = self.optimize_Z(num_steps=n_z_steps, lr=lr)
+                losses.append(zl)
+            if verbose:
+                print(f"round {i}: iters {bounds[i]}-{bounds[i+1]}, "
+                      f"loss {float(losses[-1][-1]):.3f}")
+        return jnp.concatenate(losses)
+
+    def train_fixed_model(self, num_warmup: int = 500, num_samples: int = 500,
+                          num_chains: int = 1, key=None):
+        """One-shot NUTS at fixed Z (reference: train_fixed_model,
+        models/bayesian_sgpr_hmc.py:160-180)."""
+        return self.sample_hypers(num_warmup, num_samples, num_chains, key)
+
+    # ------------------------------------------------------------------
+    # Prediction (reference: mixture_posterior_predictive,
+    # models/bayesian_sgpr_hmc.py:198-231)
+    # ------------------------------------------------------------------
+    def mixture_posterior_predictive(self, test_x, include_noise: bool = True):
+        """Per-trace-sample SGPR predictives, vmapped. Non-finite components
+        (the reference's non-PSD skip at models/bayesian_sgpr_hmc.py:225-229)
+        are masked out."""
+        assert self.trace is not None, "train first"
+        test_x = jnp.asarray(test_x)
+
+        def one(hypers):
+            p = {**hypers, "Z": self.Z}
+            return sgpr_predict(self.kernel, p, self.train_x, self.train_y,
+                                test_x, self.jitter, full_cov=False,
+                                include_noise=include_noise)
+
+        means, vars_ = jax.jit(jax.vmap(one))(self.trace)
+        ok = jnp.all(jnp.isfinite(means), axis=-1) & \
+             jnp.all(jnp.isfinite(vars_), axis=-1) & \
+             jnp.all(vars_ > 0, axis=-1)
+        return means[ok], vars_[ok]
+
+    def posterior_predictive(self, test_x, include_noise: bool = True):
+        """Point-hyper predictive at the current posterior-mean hypers."""
+        p = {**self.hypers, "Z": self.Z}
+        return sgpr_predict(self.kernel, p, self.train_x, self.train_y,
+                            jnp.asarray(test_x), self.jitter, full_cov=False,
+                            include_noise=include_noise)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _adam_all(kernel, X, y, jitter, params, optimizer, num_steps):
+    opt_state = optimizer.init(params)
+
+    def loss(p):
+        return -sgpr_elbo(kernel, p, X, y, jitter)
+
+    def step(carry, _):
+        p, s = carry
+        val, g = jax.value_and_grad(loss)(p)
+        updates, s = optimizer.update(g, s, p)
+        return (optax.apply_updates(p, updates), s), val
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
+                                       length=num_steps)
+    return params, losses
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _adam_Z(kernel, X, y, jitter, Z, trace, optimizer, num_steps):
+    """Adam on Z only; loss = mean over trace hypers of -ELBO(theta_s, Z)."""
+    opt_state = optimizer.init(Z)
+
+    def loss(Z_):
+        def one(hypers):
+            return -sgpr_elbo(kernel, {**hypers, "Z": Z_}, X, y, jitter)
+        return jnp.mean(jax.vmap(one)(trace))
+
+    def step(carry, _):
+        Z_, s = carry
+        val, g = jax.value_and_grad(loss)(Z_)
+        updates, s = optimizer.update(g, s, Z_)
+        return (optax.apply_updates(Z_, updates), s), val
+
+    (Z, _), losses = jax.lax.scan(step, (Z, opt_state), None, length=num_steps)
+    return Z, losses

@@ -1,1 +1,1 @@
-from . import load_data, metrics
+from . import datasets, experiment_tools, load_data, metrics, posterior_predictive

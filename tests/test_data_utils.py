@@ -1,0 +1,95 @@
+"""Dataset framework, experiment tools, posterior-predictive utilities."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ggp_tpu.utils.datasets import (
+    Dataset, get_classification_data, get_regression_data, normalize,
+    regression_datasets,
+)
+from ggp_tpu.utils.experiment_tools import (
+    ExperimentName, dump_experiment_json, experiment_name, get_dataset_class,
+)
+from ggp_tpu.utils.posterior_predictive import (
+    get_posterior_predictive_means_stds,
+    get_posterior_predictive_uncertainty_intervals,
+    log_predictive_mixture_density,
+)
+
+
+def test_normalize():
+    A = np.array([[1.0, 10.0], [3.0, 30.0]])
+    An, m, s = normalize(A)
+    np.testing.assert_allclose(An.mean(0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(An.std(0), 1.0, rtol=1e-4)
+
+
+def test_registry_has_uci_names():
+    for name in ["boston", "concrete", "energy", "winered", "winewhite",
+                 "yacht", "kin8nm", "naval", "power", "protein", "elevators"]:
+        assert name in regression_datasets
+
+
+def test_missing_uci_file_raises_cleanly():
+    with pytest.raises(FileNotFoundError, match="no network egress"):
+        get_regression_data("boston")
+
+
+def test_synthetic_dataset_split_seeding():
+    """Same split index => identical split; different => different
+    (reference seeding BASE_SEED+split, utils/dataset.py:62-63)."""
+    a = get_regression_data("synthetic-small", split=3)
+    b = get_regression_data("synthetic-small", split=3)
+    c = get_regression_data("synthetic-small", split=4)
+    np.testing.assert_array_equal(a.X_train, b.X_train)
+    assert not np.array_equal(a.X_train, c.X_train)
+    assert a.X_train.shape[0] == int(0.8 * a.N)
+    # normalized
+    full = np.concatenate([a.X_train, a.X_test])
+    np.testing.assert_allclose(full.mean(0), 0.0, atol=1e-6)
+    assert a.Y_std > 0
+
+
+def test_banana_classification():
+    d = get_classification_data("synthetic-banana")
+    assert set(np.unique(d.Y_train)) == {0.0, 1.0}
+    assert d.X_train.shape[1] == 2
+
+
+def test_experiment_name_builder():
+    n = experiment_name("SGPR", "boston", split_index=2, M=100, max_iters=2000,
+                        seed=45)
+    assert n == "boston_model-SGPR_split-2_M-100_max_iters-2000_seed-45"
+    assert ExperimentName("x").add("a", 1).get() == "x_a-1"
+    assert get_dataset_class("boston").name == "boston"
+
+
+def test_dump_experiment_json(tmp_path, monkeypatch):
+    import ggp_tpu.utils.experiment_tools as et
+    monkeypatch.setattr(et, "LOG_DIR", str(tmp_path))
+    p = dump_experiment_json("run1", {"rmse": 0.5, "nlpd": jnp.asarray(1.25)})
+    import json
+    with open(p) as f:
+        d = json.load(f)
+    assert d["nlpd"] == 1.25
+
+
+def test_mixture_moments_and_intervals():
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.normal(size=(20, 15)))
+    vars_ = jnp.asarray(rng.uniform(0.1, 0.5, size=(20, 15)))
+    mix_mean, mix_std = get_posterior_predictive_means_stds(means, vars_)
+    np.testing.assert_allclose(np.asarray(mix_mean), np.asarray(means).mean(0),
+                               rtol=1e-6)
+    lo, hi = get_posterior_predictive_uncertainty_intervals(
+        means, vars_, are_vars=True, num_draws=4000)
+    assert np.all(np.asarray(lo) < np.asarray(hi))
+    # ~95% of fresh mixture draws should fall inside
+    comp = rng.integers(0, 20, size=(2000, 15))
+    draws = np.take_along_axis(np.asarray(means), comp, 0) + \
+        rng.normal(size=(2000, 15)) * np.sqrt(np.take_along_axis(np.asarray(vars_), comp, 0))
+    cover = ((draws > np.asarray(lo)) & (draws < np.asarray(hi))).mean()
+    assert 0.92 < cover < 0.97
+    lp = log_predictive_mixture_density(means, vars_, jnp.zeros(15))
+    assert lp.shape == (15,)

@@ -33,7 +33,51 @@ from ..kernels import Kernel, default_rbf
 from ..likelihoods import GaussianLikelihood
 from ..ops.linalg import logdet_from_chol, safe_cholesky, tri_solve
 
-__all__ = ["sgpr_elbo", "sgpr_predict", "sgpr_optimal_qu", "SparseGPR"]
+__all__ = ["sgpr_elbo", "sgpr_predict", "sgpr_optimal_qu", "SparseGPR",
+           "vfe_stats", "sgpr_elbo_from_stats"]
+
+
+def vfe_stats(kernel: Kernel, kp: dict, Z: jnp.ndarray, X: jnp.ndarray,
+              y: jnp.ndarray) -> dict:
+    """Sufficient statistics of the collapsed VFE bound over a row block.
+
+    All four are additive over N — the basis of the data-sharded /
+    streamed big-N path (SURVEY §5.7): each device computes its local block
+    and a ``psum`` over the data axis yields the global stats. Forms
+    S_kk = Kmn Knm on the MXU (one large matmul per block).
+    """
+    Kmn = kernel.gram(kp, Z, X)                      # (M, Nb)
+    return {
+        "S_kk": Kmn @ Kmn.T,                         # (M, M)
+        "S_ky": Kmn @ y,                             # (M,)
+        "s_kdiag": jnp.sum(kernel.diag(kp, X)),
+        "s_yy": jnp.sum(y * y),
+    }
+
+
+def sgpr_elbo_from_stats(kernel: Kernel, params: dict, stats: dict, n: int,
+                         jitter: Optional[float] = None) -> jnp.ndarray:
+    """Collapsed VFE bound from :func:`vfe_stats` (identical value to
+    :func:`sgpr_elbo` up to fp error; squares the Kmn condition number, so
+    prefer the direct path when N fits on one chip)."""
+    Z = params["Z"]
+    M = Z.shape[0]
+    sigma2 = jnp.exp(params["log_noise"])
+    Kmm = kernel.gram(params["kernel"], Z, Z)
+    L = safe_cholesky(Kmm, jitter)
+    # AA^T = L^-1 S_kk L^-T / sigma^2
+    T = tri_solve(L, stats["S_kk"])
+    AAt = tri_solve(L, T.T).T / sigma2               # (M, M), symmetric
+    B = AAt + jnp.eye(M, dtype=AAt.dtype)
+    LB = safe_cholesky(B, 0.0)
+    Ay = tri_solve(L, stats["S_ky"]) / jnp.sqrt(sigma2)
+    c = tri_solve(LB, Ay) / jnp.sqrt(sigma2)
+
+    bound = -0.5 * n * jnp.log(2.0 * jnp.pi * sigma2)
+    bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
+    bound -= 0.5 * (stats["s_yy"] / sigma2 - jnp.sum(c * c))
+    bound -= 0.5 * (stats["s_kdiag"] - sigma2 * jnp.trace(AAt)) / sigma2
+    return bound
 
 
 def _common(kernel: Kernel, params: dict, X: jnp.ndarray, y: jnp.ndarray,

@@ -1,0 +1,6 @@
+from .mesh import Mesh, NamedSharding, P, chain_sharding, data_sharding, make_mesh
+from .sharded import (
+    make_sharded_train_step,
+    make_sharded_value_and_grad,
+    sharded_elbo,
+)

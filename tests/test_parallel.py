@@ -1,0 +1,98 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY §4 implication 5).
+
+Checks the load-bearing property: sharded values AND gradients match the
+single-device reference implementation exactly.
+"""
+
+import numpy as np
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import pytest
+
+from ggp_tpu.kernels import default_rbf
+from ggp_tpu.models.sgpr import sgpr_elbo, sgpr_elbo_from_stats, vfe_stats
+from ggp_tpu.parallel import (
+    make_mesh, make_sharded_train_step, make_sharded_value_and_grad,
+    sharded_elbo,
+)
+from ggp_tpu.priors import log_prior, prior_tree_rbf
+from ggp_tpu.utils.load_data import DataConfig, load_1d_synthetic
+
+
+@pytest.fixture(scope="module")
+def setup():
+    X, y, _ = load_1d_synthetic(data_cfg=DataConfig(n=64, noise=0.2), seed=9)
+    kern = default_rbf(ard=True)
+    params = {"kernel": kern.init_params(1),
+              "log_noise": jnp.log(jnp.asarray(0.05)),
+              "Z": X[::8] + 0.01}
+    return kern, params, X, y
+
+
+def test_mesh_shapes():
+    m = make_mesh(8)
+    assert set(m.axis_names) == {"chains", "data"}
+    assert m.devices.size == 8
+    m2 = make_mesh(4)
+    assert m2.devices.size == 4
+
+
+def test_stats_elbo_equals_direct(setup):
+    kern, params, X, y = setup
+    direct = sgpr_elbo(kern, params, X, y, 1e-10)
+    stats = vfe_stats(kern, params["kernel"], params["Z"], X, y)
+    via_stats = sgpr_elbo_from_stats(kern, params, stats, X.shape[0], 1e-10)
+    np.testing.assert_allclose(float(direct), float(via_stats), rtol=1e-8)
+
+
+def test_sharded_elbo_matches(setup):
+    kern, params, X, y = setup
+    mesh = make_mesh(8)
+    val = sharded_elbo(kern, mesh, params, X, y, 1e-10)
+    direct = sgpr_elbo(kern, params, X, y, 1e-10)
+    np.testing.assert_allclose(float(val), float(direct), rtol=1e-8)
+
+
+def test_sharded_grad_matches(setup):
+    """The hand-decomposed sharded gradient (direct + psum'd stats path)
+    must equal jax.grad of the dense bound."""
+    kern, params, X, y = setup
+    mesh = make_mesh(8)
+    prior = prior_tree_rbf()
+    n = X.shape[0]
+    vg = make_sharded_value_and_grad(kern, prior, mesh, n, 1e-10)
+    val, g = jax.jit(vg)(params, X, y)
+
+    def ref(p):
+        lp = sgpr_elbo(kern, p, X, y, 1e-10)
+        lp += log_prior(prior, {k: p[k] for k in ("kernel", "log_noise")})
+        return -lp
+
+    rval, rg = jax.value_and_grad(ref)(params)
+    np.testing.assert_allclose(float(val), float(rval), rtol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(rg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-9)
+
+
+def test_sharded_train_step_runs_and_moves(setup):
+    kern, params, X, y = setup
+    mesh = make_mesh(8)
+    prior = prior_tree_rbf()
+    hypers = {k: params[k] for k in ("kernel", "log_noise")}
+    flat, unravel = jax.flatten_util.ravel_pytree(hypers)
+    n_chains = mesh.shape["chains"] * 2
+    zs = jnp.tile(flat[None], (n_chains, 1))
+    zs = zs + 0.01 * jax.random.normal(jax.random.PRNGKey(0), zs.shape)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
+    step = make_sharded_train_step(kern, prior, mesh, unravel, X.shape[0],
+                                   1e-10, step_size=0.01, num_leapfrog=4)
+    step = jax.jit(step)
+    zs2, Z2, accs = step(zs, keys, params["Z"], X, y)
+    zs3, Z3, accs2 = step(zs2, keys, Z2, X, y)
+    assert zs2.shape == zs.shape
+    assert np.isfinite(np.asarray(zs3)).all()
+    assert np.isfinite(np.asarray(accs)).all()
+    # Z actually updated
+    assert np.abs(np.asarray(Z3) - np.asarray(params["Z"])).max() > 0

@@ -16,6 +16,31 @@ import os
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: NUTS/while-loop programs are expensive to
+# compile, and the TPU link in some environments is flaky — caching makes a
+# process restart nearly free.
+def _enable_compile_cache():
+    # TPU-only: XLA:CPU AOT caching is machine-feature-sensitive (risk of
+    # SIGILL when cache entries cross heterogeneous hosts).
+    if os.environ.get("GGP_NO_COMPILE_CACHE"):
+        return
+    try:
+        # Inspect the configured platform list WITHOUT initialising a backend
+        # (backend init can block when the TPU link is down).
+        platforms = jax.config.jax_platforms or ""
+        if platforms and set(platforms.split(",")) <= {"cpu"}:
+            return
+        _cache_dir = os.environ.get(
+            "GGP_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
+_enable_compile_cache()
+
 # Reference parity constants -------------------------------------------------
 EPSILON = 1e-6           # reference: utils/config.py:13
 BASE_SEED = 173          # reference: utils/config.py:14 (train/test split shuffling)

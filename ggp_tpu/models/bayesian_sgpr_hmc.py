@@ -101,7 +101,9 @@ class BayesianSparseGPR_HMC:
     # ------------------------------------------------------------------
     def warm_start(self, num_steps=500, lr=0.01):
         params = {**self.hypers, "Z": self.Z}
-        optimizer = optax.adam(lr)
+        optimizer = optax.chain(optax.zero_nans(),
+                                optax.clip_by_global_norm(10.0),
+                                optax.adam(lr))
         params, losses = _adam_all(self.kernel, self.train_x, self.train_y,
                                    self.jitter, params, optimizer, num_steps)
         self.Z = params.pop("Z")
@@ -114,7 +116,7 @@ class BayesianSparseGPR_HMC:
     # ------------------------------------------------------------------
     def optimize_Z(self, num_steps=200, lr=0.01):
         assert self.trace is not None, "sample_hypers first"
-        optimizer = optax.adam(lr)
+        optimizer = optax.chain(optax.zero_nans(), optax.adam(lr))
         self.Z, losses = _adam_Z(self.kernel, self.train_x, self.train_y,
                                  self.jitter, self.Z, self.trace, optimizer,
                                  num_steps)
@@ -196,8 +198,9 @@ class BayesianSparseGPR_HMC:
                             include_noise=include_noise)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
-def _adam_all(kernel, X, y, jitter, params, optimizer, num_steps):
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _adam_all(kernel, X, y, jitter, params, optimizer, num_steps,
+              min_noise=1e-4):
     opt_state = optimizer.init(params)
 
     def loss(p):
@@ -207,7 +210,14 @@ def _adam_all(kernel, X, y, jitter, params, optimizer, num_steps):
         p, s = carry
         val, g = jax.value_and_grad(loss)(p)
         updates, s = optimizer.update(g, s, p)
-        return (optax.apply_updates(p, updates), s), val
+        p = optax.apply_updates(p, updates)
+        # box-project log params (see models/sgpr.py:_run_adam); Z passes
+        # through unharmed since |Z| < 15 for normalised inputs
+        p = jax.tree_util.tree_map(lambda a: jnp.clip(a, -15.0, 15.0), p)
+        if min_noise is not None:
+            p["log_noise"] = jnp.maximum(p["log_noise"],
+                                         jnp.log(jnp.asarray(min_noise)))
+        return (p, s), val
 
     (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
                                        length=num_steps)

@@ -40,7 +40,7 @@ __all__ = ["SGPMC", "train_sgp_hmc", "predict_sgpmc"]
 def _whitened_conditional(kernel, kp, Z, v, X, jitter):
     """q(f | u=Lv): mean = Ksm L^-T v, var = Kss_diag - ||L^-1 Kms||^2."""
     Kmm = kernel.gram(kp, Z, Z)
-    L = safe_cholesky(Kmm, jitter)
+    L = safe_cholesky(Kmm, jitter, relative=True)
     Kms = kernel.gram(kp, Z, X)
     A = tri_solve(L, Kms)                    # (M, N)
     mean = A.T @ v
@@ -103,7 +103,9 @@ class SGPMC:
         models/sgp_hmc.py:54-56)."""
         import optax
         params = {"state": self.state, "Z": self.Z}
-        optimizer = optax.adam(lr)
+        optimizer = optax.chain(optax.zero_nans(),
+                                optax.clip_by_global_norm(10.0),
+                                optax.adam(lr))
         opt_state = optimizer.init(params)
 
         @jax.jit

@@ -45,7 +45,20 @@ def vfe_stats(kernel: Kernel, kp: dict, Z: jnp.ndarray, X: jnp.ndarray,
     streamed big-N path (SURVEY §5.7): each device computes its local block
     and a ``psum`` over the data axis yields the global stats. Forms
     S_kk = Kmn Knm on the MXU (one large matmul per block).
+
+    When ``GGP_USE_PALLAS=1`` and the kernel is the default Scale(RBF), the
+    fused streaming Pallas kernel (``ggp_tpu.ops.pallas_vfe``) is used —
+    Knm never materialises in HBM.
     """
+    import os as _os
+
+    from ..kernels.base import RBF, Scale
+    if (_os.environ.get("GGP_USE_PALLAS")
+            and isinstance(kernel, Scale) and isinstance(kernel.base, RBF)
+            and jnp.asarray(X).dtype == jnp.float32):   # pallas path is f32
+        from ..ops.pallas_vfe import rbf_vfe_stats
+        return rbf_vfe_stats(X, y, Z, kp["base"]["log_lengthscale"],
+                             kp["log_outputscale"])
     Kmn = kernel.gram(kp, Z, X)                      # (M, Nb)
     return {
         "S_kk": Kmn @ Kmn.T,                         # (M, M)
@@ -64,7 +77,7 @@ def sgpr_elbo_from_stats(kernel: Kernel, params: dict, stats: dict, n: int,
     M = Z.shape[0]
     sigma2 = jnp.exp(params["log_noise"])
     Kmm = kernel.gram(params["kernel"], Z, Z)
-    L = safe_cholesky(Kmm, jitter)
+    L = safe_cholesky(Kmm, jitter, relative=True)
     # AA^T = L^-1 S_kk L^-T / sigma^2
     T = tri_solve(L, stats["S_kk"])
     AAt = tri_solve(L, T.T).T / sigma2               # (M, M), symmetric
@@ -90,7 +103,7 @@ def _common(kernel: Kernel, params: dict, X: jnp.ndarray, y: jnp.ndarray,
 
     Kmm = kernel.gram(kp, Z, Z)
     Kmn = kernel.gram(kp, Z, X)
-    L = safe_cholesky(Kmm, jitter)
+    L = safe_cholesky(Kmm, jitter, relative=True)
     A = tri_solve(L, Kmn) / sigma                       # (M, N)
     B = A @ A.T + jnp.eye(Z.shape[0], dtype=X.dtype)
     LB = safe_cholesky(B, 0.0)
@@ -190,7 +203,11 @@ class SparseGPR:
         """Adam on (theta, Z) via one jitted lax.scan (reference loop:
         models/sgpr.py:110-144). Returns the per-step loss trajectory."""
         if optimizer is None:
-            optimizer = optax.adam(lr)
+            # clip guards against Cholesky-gradient blow-ups on
+            # ill-conditioned composite kernels in f32
+            optimizer = optax.chain(optax.zero_nans(),
+                                    optax.clip_by_global_norm(100.0),
+                                    optax.adam(lr))
         params, losses = _run_adam(self.kernel, self.train_x, self.train_y,
                                    self.jitter, self.params, optimizer, max_steps)
         self.params = params
@@ -219,8 +236,13 @@ class SparseGPR:
         return jnp.exp(self.params["log_noise"])
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
-def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps):
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps,
+              min_noise=1e-4):
+    """One jitted Adam scan. ``min_noise`` projects log_noise onto a floor
+    after every step — f32 ML-II otherwise collapses the noise and NaNs the
+    Cholesky (the reference's CO2 baseline constrains noise >= 5e-4 for the
+    same reason, experiments/co2_baseline.py:158)."""
     opt_state = optimizer.init(params)
 
     def loss(p):
@@ -231,6 +253,12 @@ def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps):
         val, g = jax.value_and_grad(loss)(p)
         updates, s = optimizer.update(g, s, p)
         p = optax.apply_updates(p, updates)
+        # box-project log params: |log theta| > 15 is always degenerate and
+        # exp() overflows f32 past ~88 -> NaN cascades
+        p = jax.tree_util.tree_map(lambda a: jnp.clip(a, -15.0, 15.0), p)
+        if min_noise is not None and "log_noise" in p:
+            p["log_noise"] = jnp.maximum(p["log_noise"],
+                                         jnp.log(jnp.asarray(min_noise)))
         return (p, s), val
 
     (params, _), losses = jax.lax.scan(step, (params, opt_state), None,

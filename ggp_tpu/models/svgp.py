@@ -46,7 +46,7 @@ def _whitened_q_f(kernel, kp, Z, q_mu, q_L, X, jitter, full_cov=False):
     q_mu: (M, C); q_L: (C, M, M). Returns mean (Nb, C), var (Nb, C).
     """
     Kmm = kernel.gram(kp, Z, Z)
-    Lk = safe_cholesky(Kmm, jitter)
+    Lk = safe_cholesky(Kmm, jitter, relative=True)
     Kms = kernel.gram(kp, Z, X)
     A = tri_solve(Lk, Kms)                         # (M, Nb)
     mean = A.T @ q_mu                              # (Nb, C)

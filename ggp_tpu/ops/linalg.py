@@ -32,15 +32,26 @@ __all__ = [
 ]
 
 
-def add_jitter(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
+def add_jitter(K: jnp.ndarray, jitter: float | None = None,
+               relative: bool = False) -> jnp.ndarray:
+    """K + jitter*I; with ``relative=True`` the jitter is scaled by the mean
+    diagonal (floored at 1), so conditioning tracks a growing outputscale —
+    important for f32 Kmm factorisations during hyper optimisation/sampling
+    (the reference hand-tunes absolute jitters per site instead,
+    experiments/regression.py:34, models/bayesian_sgpr_hmc.py:226)."""
     if jitter is None:
         jitter = default_jitter(K.dtype)
+    if relative:
+        scale = jnp.maximum(jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1),
+                                     axis=-1), 1.0)
+        jitter = jitter * scale[..., None, None] if K.ndim > 2 else jitter * scale
     return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
 
 
-def safe_cholesky(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
+def safe_cholesky(K: jnp.ndarray, jitter: float | None = None,
+                  relative: bool = False) -> jnp.ndarray:
     """Lower Cholesky of K + jitter*I."""
-    return jnp.linalg.cholesky(add_jitter(K, jitter))
+    return jnp.linalg.cholesky(add_jitter(K, jitter, relative))
 
 
 def cholesky_with_flag(K: jnp.ndarray, jitter: float | None = None):

@@ -1,0 +1,108 @@
+"""Pallas fused VFE-stats kernel vs the XLA reference path (SURVEY §4
+implication 4: Pallas-kernel vs XLA-reference numerics). Runs in interpreter
+mode on CPU; the same code compiles for real TPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ggp_tpu.kernels import default_rbf
+from ggp_tpu.models.sgpr import sgpr_elbo_from_stats, vfe_stats
+from ggp_tpu.ops.pallas_vfe import rbf_vfe_stats
+
+
+@pytest.fixture(scope="module")
+def problem(request):
+    rng = np.random.default_rng(3)
+    N, D, M = 300, 5, 32            # N deliberately not a block multiple
+    X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+    Z = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    log_ls = jnp.asarray(rng.uniform(-0.3, 0.5, size=(D,)), jnp.float32)
+    log_os = jnp.asarray(0.4, jnp.float32)
+    return X, y, Z, log_ls, log_os
+
+
+def _xla_stats(X, y, Z, log_ls, log_os):
+    kern = default_rbf(ard=True)
+    kp = {"log_outputscale": log_os, "base": {"log_lengthscale": log_ls}}
+    return vfe_stats(kern, kp, Z, X, y)
+
+
+def test_forward_parity(problem):
+    X, y, Z, log_ls, log_os = problem
+    ref = _xla_stats(X, y, Z, log_ls, log_os)
+    got = rbf_vfe_stats(X, y, Z, log_ls, log_os, 128)
+    np.testing.assert_allclose(np.asarray(got["S_kk"]), np.asarray(ref["S_kk"]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["S_ky"]), np.asarray(ref["S_ky"]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(float(got["s_kdiag"]), float(ref["s_kdiag"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(got["s_yy"]), float(ref["s_yy"]), rtol=1e-6)
+
+
+def test_gradient_parity(problem):
+    """Grad of a scalar function of the stats must match XLA autodiff."""
+    X, y, Z, log_ls, log_os = problem
+
+    def loss_pallas(Z_, lls, los):
+        s = rbf_vfe_stats(X, y, Z_, lls, los, 128)
+        return (jnp.sum(s["S_kk"] * jnp.cos(jnp.arange(s["S_kk"].size)
+                                            .reshape(s["S_kk"].shape) * 0.01))
+                + jnp.sum(s["S_ky"] ** 2) + s["s_kdiag"] * 0.5)
+
+    def loss_xla(Z_, lls, los):
+        s = _xla_stats(X, y, Z_, lls, los)
+        return (jnp.sum(s["S_kk"] * jnp.cos(jnp.arange(s["S_kk"].size)
+                                            .reshape(s["S_kk"].shape) * 0.01))
+                + jnp.sum(s["S_ky"] ** 2) + s["s_kdiag"] * 0.5)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(Z, log_ls, log_os)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(Z, log_ls, log_os)
+    for a, b, name in zip(gp, gx, ["dZ", "dlog_ls", "dlog_os"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-3, err_msg=name)
+
+
+def test_elbo_through_pallas_stats(problem):
+    """End-to-end: ELBO computed from Pallas stats matches the direct bound,
+    and its full hyper gradient matches."""
+    X, y, Z, log_ls, log_os = problem
+    kern = default_rbf(ard=True)
+    n = X.shape[0]
+
+    def elbo_pallas(params):
+        s = rbf_vfe_stats(X, y, params["Z"],
+                          params["kernel"]["base"]["log_lengthscale"],
+                          params["kernel"]["log_outputscale"], 128)
+        return sgpr_elbo_from_stats(kern, params, s, n, 1e-5)
+
+    def elbo_xla(params):
+        s = vfe_stats(kern, params["kernel"], params["Z"], X, y)
+        return sgpr_elbo_from_stats(kern, params, s, n, 1e-5)
+
+    params = {"kernel": {"log_outputscale": log_os,
+                         "base": {"log_lengthscale": log_ls}},
+              "log_noise": jnp.asarray(-2.0, jnp.float32), "Z": Z}
+    vp, gp = jax.value_and_grad(elbo_pallas)(params)
+    vx, gx = jax.value_and_grad(elbo_xla)(params)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=5e-3)
+
+
+def test_scalar_lengthscale(problem):
+    """Non-ARD (scalar log_ls) path."""
+    X, y, Z, _, log_os = problem
+    lls = jnp.asarray(0.2, jnp.float32)
+    got = rbf_vfe_stats(X, y, Z, lls, log_os, 128)
+    ref = _xla_stats(X, y, Z, lls * jnp.ones(X.shape[1]), log_os)
+    np.testing.assert_allclose(np.asarray(got["S_kk"]), np.asarray(ref["S_kk"]),
+                               rtol=2e-5, atol=2e-4)
+    g = jax.grad(lambda l: jnp.sum(rbf_vfe_stats(X, y, Z, l, log_os, 128)["S_ky"]))(lls)
+    gr = jax.grad(lambda l: jnp.sum(_xla_stats(X, y, Z, l * jnp.ones(X.shape[1]),
+                                               log_os)["S_ky"]))(lls)
+    np.testing.assert_allclose(float(g), float(gr), rtol=1e-3)

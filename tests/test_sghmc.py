@@ -1,0 +1,64 @@
+"""SGHMC sampler sanity: recovers a Gaussian target from minibatch
+gradients and runs the subsampled-VFE large-scale path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ggp_tpu.inference.sghmc import SGHMCConfig, run_sghmc
+
+
+def test_sghmc_gaussian():
+    """Target N(2, 0.5^2) via per-datapoint losses: posterior of a mean with
+    strong data — minibatch gradient estimate must average out."""
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(2.0 + 0.5 * rng.normal(size=4000), jnp.float32)
+
+    def logpost(p, idx):
+        x = data[idx]
+        # scaled minibatch log-lik of N(data | mu, 0.5^2), flat prior
+        ll = -0.5 * jnp.sum((x - p["mu"]) ** 2) / 0.25
+        return ll * (data.shape[0] / idx.shape[0])
+
+    cfg = SGHMCConfig(step_size=2e-4, friction=0.1, num_steps=4000,
+                      batch_size=256, num_warmup=1000, thin=5)
+    samples, stats = run_sghmc(logpost, {"mu": jnp.asarray(0.0, jnp.float32)},
+                               jax.random.PRNGKey(0), data.shape[0], cfg,
+                               num_chains=2)
+    mu = np.asarray(samples["mu"]).ravel()
+    assert np.isfinite(mu).all()
+    # posterior of mu is centred at the sample mean with tiny variance
+    assert abs(mu.mean() - float(data.mean())) < 0.1
+
+
+def test_sghmc_sgpr_hypers():
+    """SGHMC over SGPR hypers using subsampled VFE stats (the large-scale
+    path, BASELINE.json config 5)."""
+    from ggp_tpu.kernels import default_rbf
+    from ggp_tpu.models.sgpr import sgpr_elbo_from_stats, vfe_stats
+    from ggp_tpu.priors import log_prior, prior_tree_rbf
+    from ggp_tpu.utils.load_data import DataConfig, load_1d_synthetic
+
+    X, y, _ = load_1d_synthetic(data_cfg=DataConfig(n=500, noise=0.2), seed=21)
+    X = X.astype(jnp.float32); y = y.astype(jnp.float32)
+    kern = default_rbf(ard=True)
+    Z = X[::25]
+    prior = prior_tree_rbf()
+    N = X.shape[0]
+
+    def logpost(hypers, idx):
+        xb, yb = X[idx], y[idx]
+        stats = vfe_stats(kern, hypers["kernel"], Z, xb, yb)
+        scale = N / idx.shape[0]
+        stats = jax.tree_util.tree_map(lambda s: s * scale, stats)
+        ll = sgpr_elbo_from_stats(kern, {**hypers, "Z": Z}, stats, N, 1e-5)
+        return ll + log_prior(prior, hypers)
+
+    init = {"kernel": kern.init_params(1),
+            "log_noise": jnp.asarray(-2.0, jnp.float32)}
+    cfg = SGHMCConfig(step_size=5e-4, friction=0.05, num_steps=1500,
+                      batch_size=128, num_warmup=500, thin=5)
+    samples, _ = run_sghmc(logpost, init, jax.random.PRNGKey(1), N, cfg)
+    noise = np.exp(np.asarray(samples["log_noise"]).ravel())
+    assert np.isfinite(noise).all()
+    assert 0.005 < np.median(noise) < 0.5       # true 0.04

@@ -1,0 +1,56 @@
+"""ctypes binding for the native table reader (csrc/fast_table.cc)."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+from .build import lib_path
+
+_lib = None
+
+
+def _get_lib():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(lib_path("libggp_fast_table.so"))
+        lib.ggp_read_table.argtypes = [
+            ctypes.c_char_p, ctypes.c_char, ctypes.c_long,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.ggp_read_table.restype = ctypes.c_int
+        lib.ggp_table_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+    return _lib
+
+
+def read(path: str, sep: Optional[str] = None, skiprows: int = 0,
+         header=None, **_ignored) -> np.ndarray:
+    """Read a numeric table as (rows, cols) float64.
+
+    ``sep``: single-char delimiter; None or a whitespace regex
+    (e.g. pandas-style r"\\s+") means whitespace mode. ``header`` mimics the
+    pandas kwarg: anything not None consumes one leading row.
+    """
+    lib = _get_lib()
+    if sep is None or sep.strip() in ("", "\\s+", r"\s+"):
+        delim = b" "
+    else:
+        delim = sep.encode()[:1]
+    if header is not None and header != "none":
+        skiprows = skiprows + 1
+    data_p = ctypes.POINTER(ctypes.c_double)()
+    rows = ctypes.c_long()
+    cols = ctypes.c_long()
+    rc = lib.ggp_read_table(path.encode(), ctypes.c_char(delim),
+                            skiprows, ctypes.byref(data_p),
+                            ctypes.byref(rows), ctypes.byref(cols))
+    if rc != 0:
+        raise IOError(f"ggp_read_table({path!r}) failed with code {rc}")
+    n = rows.value * cols.value
+    arr = np.ctypeslib.as_array(data_p, shape=(rows.value, cols.value)).copy()
+    lib.ggp_table_free(data_p)
+    return arr

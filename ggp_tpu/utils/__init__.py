@@ -1,1 +1,9 @@
-from . import datasets, experiment_tools, load_data, metrics, posterior_predictive
+from . import (
+    checkpoint,
+    datasets,
+    experiment_tools,
+    load_data,
+    metrics,
+    posterior_predictive,
+    profiling,
+)

@@ -1,0 +1,64 @@
+"""Fast smoke tests of the experiment layer (tiny configs) — protects the
+driver scripts from API drift."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "experiments"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_regression_single_run_sgpr(tmp_path, monkeypatch):
+    import ggp_tpu.utils.experiment_tools as et
+    monkeypatch.setattr(et, "LOG_DIR", str(tmp_path))
+    from regression import single_run
+    r = single_run("synthetic-small", 0, "SGPR", max_iters=100, verbose=False)
+    assert np.isfinite(r["test_rmse"]) and np.isfinite(r["test_nlpd"])
+
+
+def test_regression_single_run_fixedz(tmp_path, monkeypatch):
+    import ggp_tpu.utils.experiment_tools as et
+    monkeypatch.setattr(et, "LOG_DIR", str(tmp_path))
+    from regression import single_run
+    r = single_run("synthetic-small", 1, "BayesianSGPR_HMC_FixedZ", tune=50,
+                   num_samples=20, num_chains=1, verbose=False)
+    assert np.isfinite(r["test_nlpd"])
+    assert r["sampling_s"] > 0
+
+
+def test_demo_1d_gap_data():
+    from demo_1d_regression import make_gap_data
+    X, y, Xt, ft = make_gap_data(n=50)
+    # the gap: no train inputs in (-1.5, 1.5)
+    xs = np.asarray(X).ravel()
+    assert not np.any((xs > -1.4) & (xs < 1.4))
+
+
+def test_co2_loader_split():
+    from co2_data import load_co2_dataset
+    Xtr, ytr, Xte, yte, ym, ys, synth = load_co2_dataset(2003)
+    assert synth  # no mauna.txt in this env
+    assert Xtr.shape[0] + Xte.shape[0] > 600
+    assert Xte.shape[0] > 100
+    # train strictly precedes test in time
+    assert Xtr.max() < Xte.min()
+
+
+def test_aggregate_results_roundtrip(tmp_path, monkeypatch):
+    import ggp_tpu.utils.experiment_tools as et
+    import aggregate_results as ar
+    monkeypatch.setattr(et, "LOG_DIR", str(tmp_path))
+    monkeypatch.setattr(ar, "LOG_DIR", str(tmp_path))
+    from regression import single_run
+    for split in (0, 1):
+        single_run("synthetic-small", split, "SGPR", max_iters=60,
+                   verbose=False)
+    df = ar.load_runs()
+    assert len(df) == 2
+    agg = ar.aggregate(df)
+    assert agg.iloc[0]["n"] == 2
+    assert np.isfinite(agg.iloc[0]["nlpd_se"])

@@ -49,7 +49,7 @@ def single_run(dataset_name: str, split: int, model_name: str, M: int = 100,
                max_iters: int = 2000, num_epochs: int = 200,
                batch_size: int = 200, tune: int = 500, num_samples: int = 100,
                num_chains: int = 2, prop: float = 0.8, seed: int = 45,
-               verbose: bool = True) -> dict:
+               save_losses: bool = False, verbose: bool = True) -> dict:
     """Train + evaluate one (dataset, split, model) cell
     (reference: single_run, experiments/regression.py:57-199)."""
     data = get_regression_data(dataset_name, split=split, prop=prop)
@@ -65,14 +65,16 @@ def single_run(dataset_name: str, split: int, model_name: str, M: int = 100,
     sampling_seconds = 0.0
     trace_summary = None
     mixture = None
+    losses = None
 
     if model_name == "SGPR":
         model = SparseGPR(X, y, Z_init=Z_init)
-        model.train_model(max_steps=max_iters, verbose=False)
+        losses = model.train_model(max_steps=max_iters, verbose=False)
         mean, var = model.posterior_predictive(Xt, full_cov=False)
     elif model_name == "SVGP":
         model = StochasticVariationalGP(X, y, Z_init=Z_init)
-        model.train_model(num_epochs=num_epochs, batch_size=batch_size, key=key)
+        losses = model.train_model(num_epochs=num_epochs,
+                                   batch_size=batch_size, key=key)
         mean, var = model.posterior_predictive(Xt)
     elif model_name == "BayesianSVGP":
         model = BayesianStochasticVariationalGP(X, y, Z_init=Z_init,
@@ -144,6 +146,12 @@ def single_run(dataset_name: str, split: int, model_name: str, M: int = 100,
         metrics["trace_summary"] = trace_summary
     name = experiment_name(model_name, dataset_name, split, M=M, seed=seed)
     path = dump_experiment_json(name, metrics)
+    if save_losses and losses is not None:
+        # per-split loss curve CSV (reference's optional loss dumps,
+        # experiments/regression.py:189-190; consumed by aggregate_losses)
+        import os
+        np.savetxt(os.path.join(os.path.dirname(path), f"{name}_losses.csv"),
+                   np.asarray(losses), delimiter=",")
     if verbose:
         print(f"[{model_name}|{dataset_name}|split {split}] "
               f"rmse={test_rmse:.4f} nlpd={test_nlpd:.4f} "

@@ -433,7 +433,7 @@ def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
 
 
 def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
-                  num_chains: int = 1, jitter_init: float = 0.1):
+                  num_chains: int = 1, jitter_init: float = 0.1, mesh=None):
     """Compile-once sampler factory.
 
     ``logprob_fn(params, data)`` — ``data`` is an arbitrary pytree traced as
@@ -441,11 +441,19 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
     locations in the alternating trainer, models/bayesian_sgpr_hmc.py:88-158)
     reuse the same executable with zero recompilation.
 
+    ``mesh``: a Mesh with a ``chains`` axis — chains shard across devices
+    (data pytree replicated). The reference has no chain parallelism at all
+    (every sampler call is chains=1, models/bayesian_sgpr_hmc.py:78).
+
     Returns ``sample(init_params, key, data) -> (samples, stats)`` with
     samples leading axes ``(num_chains, num_samples)``.
     """
     _, unravel = jax.flatten_util.ravel_pytree(example_params)
     in_window, window_end = warmup_schedule(cfg.num_warmup)
+
+    if mesh is not None and num_chains % mesh.shape["chains"] != 0:
+        raise ValueError(f"num_chains={num_chains} must divide evenly over "
+                         f"the mesh chains axis ({mesh.shape['chains']})")
 
     @jax.jit
     def _run(flat0, key, data):
@@ -458,6 +466,14 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
         z0s = jnp.stack([
             flat0 + jitter_init * jax.random.normal(k, flat0.shape, flat0.dtype)
             for k in jkeys])
+        if mesh is not None:
+            # GSPMD: pin the chain axis onto the device mesh; the vmapped
+            # chain computation then partitions across chips with no
+            # cross-chain communication
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("chains"))
+            z0s = jax.lax.with_sharding_constraint(z0s, sh)
+            keys = jax.lax.with_sharding_constraint(keys, sh)
         return jax.vmap(
             lambda z0, k: _single_chain(potential_vg, z0, k, cfg, in_window,
                                         window_end))(z0s, keys)

@@ -34,7 +34,7 @@ class all_in_HMC:
 
     def __init__(self, train_x, train_y, likelihood: GaussianLikelihood | None = None,
                  Z_init=None, kernel: Kernel | None = None, prior_tree=None,
-                 jitter: float | None = None):
+                 jitter: float | None = None, mesh=None):
         self.train_x = jnp.asarray(train_x)
         self.train_y = jnp.asarray(train_y)
         d = self.train_x.shape[-1]
@@ -51,6 +51,7 @@ class all_in_HMC:
             "log_noise": jnp.zeros((), self.train_x.dtype),
             "Z": Z_init.astype(self.train_x.dtype),
         }
+        self.mesh = mesh
         self.trace = None
         self._sampler = None
         self._sampler_key = None
@@ -71,7 +72,7 @@ class all_in_HMC:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              max_depth=max_depth)
             self._sampler = build_sampler(self._logpost, self.state, cfg,
-                                          num_chains)
+                                          num_chains, mesh=self.mesh)
             self._sampler_key = skey
         samples, stats = self._sampler(self.state, key,
                                        (self.train_x, self.train_y))

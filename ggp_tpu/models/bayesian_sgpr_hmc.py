@@ -47,7 +47,7 @@ class BayesianSparseGPR_HMC:
 
     def __init__(self, train_x, train_y, likelihood: GaussianLikelihood | None = None,
                  Z_init=None, kernel: Kernel | None = None, prior_tree=None,
-                 jitter: float | None = None):
+                 jitter: float | None = None, mesh=None):
         self.train_x = jnp.asarray(train_x)
         self.train_y = jnp.asarray(train_y)
         d = self.train_x.shape[-1]
@@ -61,6 +61,7 @@ class BayesianSparseGPR_HMC:
             "kernel": self.kernel.init_params(d),
             "log_noise": jnp.zeros((), self.train_x.dtype),
         }
+        self.mesh = mesh            # optional chain-sharding device mesh
         self.trace = None           # dict pytree, leading axis = S samples
         self._samplers = {}
 
@@ -79,7 +80,8 @@ class BayesianSparseGPR_HMC:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              max_depth=max_depth)
             self._samplers[key] = build_sampler(self._logpost, self.hypers,
-                                                cfg, num_chains)
+                                                cfg, num_chains,
+                                                mesh=self.mesh)
         return self._samplers[key]
 
     def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None):

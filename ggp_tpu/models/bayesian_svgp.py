@@ -53,12 +53,17 @@ def _unpack_tril(vec: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.tril(L, k=-1) + jnp.diag(diag)
 
 
-def _hyper_to_kernel_params(s: jnp.ndarray, d: int):
-    """Map one hyper sample (D+2,) onto kernel/likelihood params."""
-    return (
-        {"log_outputscale": s[0], "base": {"log_lengthscale": s[1:d + 1]}},
-        2.0 * s[-1],         # log_noise (noise = std^2, std = exp(s[-1]))
-    )
+def _hyper_to_kernel_params(s: jnp.ndarray, d: int, has_noise: bool = True):
+    """Map one hyper sample onto kernel/likelihood params.
+
+    Gaussian case: (D+2,) with the trailing slot the noise std
+    (models/bayesian_svgp.py:130-132). Classification case: (D+1,), no
+    noise slot.
+    """
+    kp = {"log_outputscale": s[0], "base": {"log_lengthscale": s[1:d + 1]}}
+    if not has_noise:
+        return kp, None
+    return kp, 2.0 * s[-1]   # log_noise (noise = std^2, std = exp(s[-1]))
 
 
 def _kl_hyper(q_mu, L_h, prior_var):
@@ -74,7 +79,8 @@ def bsvgp_elbo(kernel: Kernel, likelihood: Likelihood, params: dict,
                X_batch, y_batch, num_data: int, key, num_hyper_samples: int,
                prior_var: float, jitter) -> jnp.ndarray:
     d = X_batch.shape[-1]
-    h = d + 2
+    has_noise = isinstance(likelihood, GaussianLikelihood)
+    h = d + 2 if has_noise else d + 1
     L_h = _unpack_tril(params["hyper_L_vec"], h)
     eps = jax.random.normal(key, (num_hyper_samples, h), X_batch.dtype)
     thetas = params["hyper_mu"][None, :] + eps @ L_h.T      # (S, h)
@@ -82,10 +88,11 @@ def bsvgp_elbo(kernel: Kernel, likelihood: Likelihood, params: dict,
     q_L = _build_L(params["q_sqrt_raw"])
 
     def data_term(s):
-        kp, log_noise = _hyper_to_kernel_params(s, d)
+        kp, log_noise = _hyper_to_kernel_params(s, d, has_noise)
         mean, var = _whitened_q_f(kernel, kp, params["Z"], params["q_mu"],
                                   q_L, X_batch, jitter)
-        ve = likelihood.variational_expectation({"log_noise": log_noise},
+        lik_params = {"log_noise": log_noise} if has_noise else {}
+        ve = likelihood.variational_expectation(lik_params,
                                                 mean[:, 0], var[:, 0], y_batch)
         return jnp.sum(ve)
 
@@ -116,7 +123,10 @@ class BayesianStochasticVariationalGP:
         Z_init = jnp.asarray(Z_init) if Z_init is not None else self.train_x[:128]
         Z_init = Z_init.astype(self.train_x.dtype)
         M = Z_init.shape[0]
-        h = d + 2                       # hyper_dim (models/bayesian_svgp.py:115)
+        self._has_noise = isinstance(self.likelihood, GaussianLikelihood)
+        # hyper_dim = D+2 for Gaussian (models/bayesian_svgp.py:115); D+1
+        # (no noise slot) for classification likelihoods
+        h = d + 2 if self._has_noise else d + 1
         dt = self.train_x.dtype
         # packed chol init: small diagonal (raw diag log(0.1))
         vec = jnp.zeros(h * (h + 1) // 2, dt)
@@ -159,19 +169,19 @@ class BayesianStochasticVariationalGP:
             key = jax.random.PRNGKey(1)
         test_x = jnp.asarray(test_x)
         d = self.train_x.shape[-1]
-        h = d + 2
+        h = d + 2 if self._has_noise else d + 1
         L_h = _unpack_tril(self.params["hyper_L_vec"], h)
         eps = jax.random.normal(key, (num_samples, h), test_x.dtype)
         thetas = self.params["hyper_mu"][None, :] + eps @ L_h.T
         q_L = _build_L(self.params["q_sqrt_raw"])
 
         def one(s):
-            kp, log_noise = _hyper_to_kernel_params(s, d)
+            kp, log_noise = _hyper_to_kernel_params(s, d, self._has_noise)
             mean, var = _whitened_q_f(self.kernel, kp, self.params["Z"],
                                       self.params["q_mu"], q_L, test_x,
                                       self.jitter)
             v = var[:, 0]
-            if include_noise and isinstance(self.likelihood, GaussianLikelihood):
+            if include_noise and self._has_noise:
                 v = v + jnp.exp(log_noise)
             return mean[:, 0], v
 
@@ -179,6 +189,17 @@ class BayesianStochasticVariationalGP:
         ok = jnp.all(jnp.isfinite(means), axis=-1) & \
              jnp.all(jnp.isfinite(vars_), axis=-1)
         return means[ok], vars_[ok]
+
+    def mixture_predictive_proba(self, test_x, num_samples: int = 100,
+                                 key=None):
+        """Classification: per-hyper-sample P(y=1|x) under the exact probit
+        integral (mixture over q(theta)). Shape (num_samples, Nt)."""
+        from ..likelihoods import BernoulliProbit
+        assert isinstance(self.likelihood, BernoulliProbit), \
+            "mixture_predictive_proba requires a BernoulliProbit likelihood"
+        means, vars_ = self.mixture_posterior_predictive(
+            test_x, num_samples, key, include_noise=False)
+        return jax.scipy.stats.norm.cdf(means / jnp.sqrt(1.0 + vars_))
 
     @property
     def Z(self):

@@ -64,7 +64,7 @@ class GPR_HMC:
 
     def __init__(self, train_x, train_y, likelihood: GaussianLikelihood | None = None,
                  kernel: Kernel | None = None, prior_tree=None,
-                 jitter: float | None = None):
+                 jitter: float | None = None, mesh=None):
         self.train_x = jnp.asarray(train_x)
         self.train_y = jnp.asarray(train_y)
         d = self.train_x.shape[-1]
@@ -76,6 +76,7 @@ class GPR_HMC:
             "kernel": self.kernel.init_params(d),
             "log_noise": jnp.zeros((), self.train_x.dtype),
         }
+        self.mesh = mesh
         self.trace = None
         self._sampler = None
         self._sampler_cfg = None
@@ -96,7 +97,7 @@ class GPR_HMC:
                          max_depth=max_depth)
         if self._sampler is None or self._sampler_cfg != (cfg, num_chains):
             self._sampler = build_sampler(self._logpost, self.params, cfg,
-                                          num_chains)
+                                          num_chains, mesh=self.mesh)
             self._sampler_cfg = (cfg, num_chains)
         samples, stats = self._sampler(self.params, key,
                                        (self.train_x, self.train_y))

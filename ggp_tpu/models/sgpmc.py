@@ -54,7 +54,8 @@ class SGPMC:
 
     def __init__(self, train_x, train_y, likelihood: Likelihood | None = None,
                  Z_init=None, kernel: Kernel | None = None,
-                 hyper_prior_tree=None, jitter: float | None = None):
+                 hyper_prior_tree=None, jitter: float | None = None,
+                 mesh=None):
         self.train_x = jnp.asarray(train_x)
         self.train_y = jnp.asarray(train_y)
         d = self.train_x.shape[-1]
@@ -79,6 +80,7 @@ class SGPMC:
             "kernel": self.kernel.init_params(d),
             "lik": self.likelihood.init_params(),
         }
+        self.mesh = mesh
         self.trace = None
         self._sampler = None
         self._sampler_key = None
@@ -139,7 +141,7 @@ class SGPMC:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              algorithm=algorithm, num_leapfrog=num_leapfrog)
             self._sampler = build_sampler(self._logpost, self.state, cfg,
-                                          num_chains)
+                                          num_chains, mesh=self.mesh)
             self._sampler_key = skey
         samples, stats = self._sampler(
             self.state, key, (self.train_x, self.train_y, self.Z))

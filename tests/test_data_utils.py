@@ -93,3 +93,25 @@ def test_mixture_moments_and_intervals():
     assert 0.92 < cover < 0.97
     lp = log_predictive_mixture_density(means, vars_, jnp.zeros(15))
     assert lp.shape == (15,)
+
+
+def test_coal_and_pines_poisson_datasets():
+    """Point-process datasets for the log-Cox Poisson likelihood
+    (reference: utils/dataset.py:236-253)."""
+    coal = get_regression_data("coal")
+    assert coal.X_train.shape[1] == 1
+    full_y = np.concatenate([coal.Y_train, coal.Y_test])
+    assert (full_y >= 0).all() and full_y.max() > 1   # counts
+    pines = get_regression_data("pines")
+    assert pines.X_train.shape[1] == 2
+    assert pines.N == 16 * 16
+
+
+def test_delgado_registry():
+    from ggp_tpu.utils.datasets import DelgadoClassification, classification_datasets
+    assert "ionosphere" in classification_datasets
+    assert len(classification_datasets) > 20
+    with pytest.raises(FileNotFoundError):
+        classification_datasets["ionosphere"]()
+    extra = DelgadoClassification.from_name("my-extra")
+    assert "my-extra" in classification_datasets

@@ -96,3 +96,44 @@ def test_sharded_train_step_runs_and_moves(setup):
     assert np.isfinite(np.asarray(accs)).all()
     # Z actually updated
     assert np.abs(np.asarray(Z3) - np.asarray(params["Z"])).max() > 0
+
+
+def test_chain_sharded_nuts_matches_unsharded():
+    """build_sampler(mesh=...) shards chains across devices; results must be
+    IDENTICAL to the unsharded run (same program, different partitioning)."""
+    import jax.numpy as jnp
+    from ggp_tpu.inference import NUTSConfig, build_sampler
+
+    logprob = lambda p, _: -0.5 * jnp.sum(p["x"] ** 2)
+    init = {"x": jnp.zeros(3)}
+    cfg = NUTSConfig(num_warmup=100, num_samples=50)
+    mesh = make_mesh(8, chains_axis=4)
+    key = jax.random.PRNGKey(0)
+
+    plain = build_sampler(logprob, init, cfg, num_chains=8)
+    shard = build_sampler(logprob, init, cfg, num_chains=8, mesh=mesh)
+    s1, _ = plain(init, key, None)
+    s2, _ = shard(init, key, None)
+    a, b = np.asarray(s1["x"]), np.asarray(s2["x"])
+    assert a.shape == b.shape == (8, 50, 3)
+    # same program, different partitioning: fp reassociation (~1e-8) gets
+    # amplified by the chaotic trajectories, so compare statistically plus
+    # a loose elementwise bound
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-2)
+    np.testing.assert_allclose(a.mean(), b.mean(), atol=1e-3)
+    np.testing.assert_allclose(a.std(), b.std(), atol=1e-3)
+
+
+def test_chain_sharded_model_api():
+    """mesh= threads through the model ctor (BayesianSGPR_HMC)."""
+    from ggp_tpu.models import BayesianSparseGPR_HMC
+    from ggp_tpu.utils.load_data import DataConfig, load_1d_synthetic
+
+    X, y, _ = load_1d_synthetic(data_cfg=DataConfig(n=40, noise=0.2), seed=3)
+    mesh = make_mesh(8, chains_axis=4)
+    m = BayesianSparseGPR_HMC(X, y, Z_init=X[::5], mesh=mesh)
+    m.train_fixed_model(num_warmup=80, num_samples=40, num_chains=4,
+                        key=jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_leaves(m.trace)[0].shape[0] == 160
+    means, vars_ = m.mixture_posterior_predictive(X)
+    assert np.isfinite(np.asarray(means)).all()

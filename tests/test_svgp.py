@@ -113,3 +113,21 @@ def test_bayesian_svgp_hyper_dim_layout(data):
     assert float(kp["log_outputscale"]) == 0.5
     np.testing.assert_allclose(np.asarray(kp["base"]["log_lengthscale"]), [-0.3])
     np.testing.assert_allclose(float(log_noise), 0.4)   # exp(0.2)^2
+
+
+def test_bayesian_svgp_classification():
+    """BayesianSVGP with Bernoulli-probit (BASELINE config 4): hyper_dim
+    drops the noise slot; mixture probabilities classify well."""
+    X, yb, f = load_1d_synthetic(
+        data_cfg=DataConfig(n=100, likelihood="binary"),
+        kernel_cfg=KernelConfig(lengthscale=1.0, outputscale=2.0), seed=31)
+    m = BayesianStochasticVariationalGP(X, yb, likelihood=BernoulliProbit(),
+                                        Z_init=X[::4], prior_var=1.0)
+    assert m.params["hyper_mu"].shape == (X.shape[1] + 1,)
+    losses = m.train_model(num_epochs=400, batch_size=100, lr=0.03)
+    assert np.isfinite(np.asarray(losses)).all()
+    p = m.mixture_predictive_proba(X, num_samples=50)
+    assert p.shape == (50, 100)
+    acc = float((((np.asarray(p).mean(0)) > 0.5) == np.asarray(yb)).mean())
+    ceiling = ((np.asarray(f) > 0) == np.asarray(yb)).mean()
+    assert acc >= min(0.72, ceiling - 0.05)

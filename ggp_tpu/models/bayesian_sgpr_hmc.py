@@ -74,21 +74,32 @@ class BayesianSparseGPR_HMC:
         ll = sgpr_elbo(self.kernel, p, self.train_x, self.train_y, self.jitter)
         return ll + log_prior(self.prior_tree, hypers)
 
-    def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8):
-        key = (num_warmup, num_samples, num_chains, max_depth)
+    def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,
+                     algorithm="nuts", num_leapfrog=10):
+        key = (num_warmup, num_samples, num_chains, max_depth, algorithm,
+               num_leapfrog)
         if key not in self._samplers:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
-                             max_depth=max_depth)
+                             max_depth=max_depth, algorithm=algorithm,
+                             num_leapfrog=num_leapfrog)
             self._samplers[key] = build_sampler(self._logpost, self.hypers,
                                                 cfg, num_chains,
                                                 mesh=self.mesh)
         return self._samplers[key]
 
-    def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None):
-        """Draw a fresh hyper trace at the current Z."""
+    def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None,
+                      algorithm="nuts", num_leapfrog=10):
+        """Draw a fresh hyper trace at the current Z.
+
+        ``algorithm="hmc"`` with ``num_chains=8``+ is the throughput
+        configuration on a single chip (PERF.md: batched fixed-leapfrog
+        chains amortise the per-iteration factorization overhead ~8x).
+        """
         if key is None:
             key = jax.random.PRNGKey(0)
-        sampler = self._get_sampler(num_warmup, num_samples, num_chains)
+        sampler = self._get_sampler(num_warmup, num_samples, num_chains,
+                                    algorithm=algorithm,
+                                    num_leapfrog=num_leapfrog)
         samples, stats = sampler(self.hypers, key, self.Z)
         trace = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), samples)

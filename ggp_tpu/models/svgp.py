@@ -71,14 +71,16 @@ def _kl_whitened(q_mu, q_L):
 
 def svgp_elbo(kernel: Kernel, likelihood: Likelihood, params: dict,
               X_batch: jnp.ndarray, y_batch: jnp.ndarray, num_data: int,
-              jitter: Optional[float] = None) -> jnp.ndarray:
-    """Minibatch ELBO: (N/b) sum_batch E_q[log p(y_i|f_i)] - KL."""
+              jitter: Optional[float] = None, key=None) -> jnp.ndarray:
+    """Minibatch ELBO: (N/b) sum_batch E_q[log p(y_i|f_i)] - KL. ``key``
+    drives the MC expectations of likelihoods without quadrature rules
+    (Softmax) — fresh noise per step instead of a frozen sample set."""
     q_L = _build_L(params["q_sqrt_raw"])
     mean, var = _whitened_q_f(kernel, params["kernel"], params["Z"],
                               params["q_mu"], q_L, X_batch, jitter)
     if isinstance(likelihood, Softmax):
         ve = likelihood.variational_expectation(params.get("lik", {}), mean,
-                                                var, y_batch)
+                                                var, y_batch, key=key)
     else:
         ve = likelihood.variational_expectation(params.get("lik", {}),
                                                 mean[:, 0], var[:, 0], y_batch)
@@ -179,18 +181,23 @@ def _run_svi(kernel, likelihood, X, y, jitter, params, optimizer, num_epochs,
         perm = jax.random.permutation(ekey, N)[:steps_per_epoch * batch_size]
         idx = perm.reshape(steps_per_epoch, batch_size)
 
-        def step(carry, bidx):
+        skeys = jax.random.split(jax.random.fold_in(ekey, 1),
+                                 idx.shape[0])
+
+        def step(carry, inp):
             p, s = carry
+            bidx, bkey = inp
             xb, yb = X[bidx], y[bidx]
 
             def loss(q):
-                return -svgp_elbo(kernel, likelihood, q, xb, yb, N, jitter)
+                return -svgp_elbo(kernel, likelihood, q, xb, yb, N, jitter,
+                                  key=bkey)
 
             val, g = jax.value_and_grad(loss)(p)
             updates, s = optimizer.update(g, s, p)
             return (optax.apply_updates(p, updates), s), val
 
-        (p, s), vals = jax.lax.scan(step, (p, s), idx)
+        (p, s), vals = jax.lax.scan(step, (p, s), (idx, skeys))
         return (p, s), jnp.mean(vals)
 
     ekeys = jax.random.split(key, num_epochs)

@@ -327,7 +327,9 @@ class _SyntheticRegression(Dataset):
     noise = 0.1
 
     def read_data(self):
-        rng = np.random.RandomState(abs(hash(self.name)) % (2 ** 31))
+        import zlib
+        # stable across processes (python's str hash is salted per process)
+        rng = np.random.RandomState(zlib.crc32(self.name.encode()) % (2 ** 31))
         X = rng.uniform(-3, 3, size=(self.n_rows, self.n_dims))
         w = rng.normal(size=(self.n_dims, 8))
         phase = rng.uniform(0, 2 * np.pi, size=8)

@@ -34,7 +34,7 @@ from ..inference.hmc import NUTSConfig, build_sampler
 from ..kernels import Kernel, default_rbf
 from ..likelihoods import GaussianLikelihood
 from ..priors import log_prior, prior_tree_rbf
-from .sgpr import sgpr_elbo, sgpr_predict
+from .sgpr import sgpr_elbo, sgpr_elbo_fast, sgpr_predict
 
 __all__ = ["BayesianSparseGPR_HMC"]
 
@@ -70,8 +70,12 @@ class BayesianSparseGPR_HMC:
     # sample_optimal_variational_hyper_dist, models/bayesian_sgpr_hmc.py:58-78)
     # ------------------------------------------------------------------
     def _logpost(self, hypers, Z):
+        import os as _os
         p = {**hypers, "Z": Z}
-        ll = sgpr_elbo(self.kernel, p, self.train_x, self.train_y, self.jitter)
+        # the custom-call-minimised bound (identical math, PERF.md) is the
+        # default leapfrog target; GGP_NO_FAST_ELBO opts out
+        elbo_fn = sgpr_elbo if _os.environ.get("GGP_NO_FAST_ELBO") else sgpr_elbo_fast
+        ll = elbo_fn(self.kernel, p, self.train_x, self.train_y, self.jitter)
         return ll + log_prior(self.prior_tree, hypers)
 
     def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,

@@ -341,20 +341,21 @@ def find_reasonable_step_size(potential_vg, z, U_z, g_z, key, inv_mass,
         return jnp.where(jnp.isnan(H), -jnp.inf, H0 - H)
 
     eps = jnp.asarray(init_eps, z.dtype)
-    direction = jnp.where(accept_at(eps) > jnp.log(0.5), 1.0, -1.0)
+    la0 = accept_at(eps)
+    direction = jnp.where(la0 > jnp.log(0.5), 1.0, -1.0)
 
     def cond(c):
-        eps, i = c
-        crossed = jnp.where(direction > 0,
-                            accept_at(eps) <= jnp.log(0.5),
-                            accept_at(eps) > jnp.log(0.5))
+        eps, la, i = c
+        crossed = jnp.where(direction > 0, la <= jnp.log(0.5),
+                            la > jnp.log(0.5))
         return (~crossed) & (i < 64) & (eps > 1e-10) & (eps < 1e7)
 
     def body(c):
-        eps, i = c
-        return eps * jnp.where(direction > 0, 2.0, 0.5), i + 1
+        eps, la, i = c
+        eps = eps * jnp.where(direction > 0, 2.0, 0.5)
+        return eps, accept_at(eps), i + 1      # one potential eval per step
 
-    eps, _ = jax.lax.while_loop(cond, body, (eps, jnp.int32(0)))
+    eps, _, _ = jax.lax.while_loop(cond, body, (eps, la0, jnp.int32(0)))
     # one step back on the shrinking branch so we end on the "accepting" side
     return jnp.where(direction > 0, eps * 0.5, eps)
 

@@ -87,7 +87,7 @@ class Kernel:
         return Product((self, other))
 
     def scaled(self, log_outputscale: float = 0.0) -> "Scale":
-        return Scale(self)
+        return Scale(self, init_log_outputscale=log_outputscale)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -278,9 +278,11 @@ class Scale(Kernel):
     """outputscale * base (reference: ScaleKernel, models/sgpr.py:36)."""
 
     base: Kernel = None
+    init_log_outputscale: float = 0.0
 
     def init_params(self, input_dim: int) -> dict:
-        return {"log_outputscale": jnp.zeros(()), "base": self.base.init_params(input_dim)}
+        return {"log_outputscale": jnp.full((), self.init_log_outputscale),
+                "base": self.base.init_params(input_dim)}
 
     def gram(self, params, x1, x2):
         return jnp.exp(params["log_outputscale"]) * self.base.gram(params["base"], x1, x2)

@@ -97,11 +97,7 @@ class BernoulliProbit(Likelihood):
         sign = 2.0 * y - 1.0
         return _log_ndtr(sign * f)
 
-    def variational_expectation(self, params, mu, var, y):
-        x, w = gauss_hermite()
-        f = mu[..., None] + jnp.sqrt(jnp.maximum(var, 1e-12))[..., None] * x
-        sign = (2.0 * y - 1.0)[..., None]
-        return jnp.sum(_log_ndtr(sign * f) * w, axis=-1)
+    # variational_expectation: inherited Gauss-Hermite default via log_prob
 
     def predictive(self, params, mu, var):
         """P(y=1) = Phi(mu / sqrt(1 + var)) — exact for probit."""

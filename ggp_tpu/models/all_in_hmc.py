@@ -22,7 +22,7 @@ from ..inference.hmc import NUTSConfig, build_sampler
 from ..kernels import Kernel, default_rbf
 from ..likelihoods import GaussianLikelihood
 from ..priors import Normal, log_prior, prior_tree_rbf
-from .sgpr import sgpr_elbo, sgpr_elbo_fast, sgpr_predict
+from .sgpr import sgpr_elbo, sgpr_hmc_target_elbo, sgpr_predict
 
 __all__ = ["all_in_HMC"]
 
@@ -57,10 +57,8 @@ class all_in_HMC:
         self._sampler_key = None
 
     def _logpost(self, state, data):
-        import os as _os
         X, y = data
-        elbo_fn = sgpr_elbo if _os.environ.get("GGP_NO_FAST_ELBO") else sgpr_elbo_fast
-        ll = elbo_fn(self.kernel, state, X, y, self.jitter)
+        ll = sgpr_hmc_target_elbo()(self.kernel, state, X, y, self.jitter)
         return ll + log_prior(self.prior_tree, state)
 
     def train_model(self, num_warmup: int = 500, num_samples: int = 100,

@@ -34,7 +34,7 @@ from ..inference.hmc import NUTSConfig, build_sampler
 from ..kernels import Kernel, default_rbf
 from ..likelihoods import GaussianLikelihood
 from ..priors import log_prior, prior_tree_rbf
-from .sgpr import sgpr_elbo, sgpr_elbo_fast, sgpr_predict
+from .sgpr import sgpr_elbo, sgpr_hmc_target_elbo, sgpr_predict
 
 __all__ = ["BayesianSparseGPR_HMC"]
 
@@ -70,12 +70,9 @@ class BayesianSparseGPR_HMC:
     # sample_optimal_variational_hyper_dist, models/bayesian_sgpr_hmc.py:58-78)
     # ------------------------------------------------------------------
     def _logpost(self, hypers, Z):
-        import os as _os
         p = {**hypers, "Z": Z}
-        # the custom-call-minimised bound (identical math, PERF.md) is the
-        # default leapfrog target; GGP_NO_FAST_ELBO opts out
-        elbo_fn = sgpr_elbo if _os.environ.get("GGP_NO_FAST_ELBO") else sgpr_elbo_fast
-        ll = elbo_fn(self.kernel, p, self.train_x, self.train_y, self.jitter)
+        ll = sgpr_hmc_target_elbo()(self.kernel, p, self.train_x,
+                                    self.train_y, self.jitter)
         return ll + log_prior(self.prior_tree, hypers)
 
     def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,
@@ -228,9 +225,11 @@ def _adam_all(kernel, X, y, jitter, params, optimizer, num_steps,
         val, g = jax.value_and_grad(loss)(p)
         updates, s = optimizer.update(g, s, p)
         p = optax.apply_updates(p, updates)
-        # box-project log params (see models/sgpr.py:_run_adam); Z passes
-        # through unharmed since |Z| < 15 for normalised inputs
-        p = jax.tree_util.tree_map(lambda a: jnp.clip(a, -15.0, 15.0), p)
+        # box-project log HYPER params only (see models/sgpr.py:_run_adam);
+        # Z is a location and is never clamped
+        p = {k: (v if k == "Z" else
+                 jax.tree_util.tree_map(lambda a: jnp.clip(a, -15.0, 15.0), v))
+             for k, v in p.items()}
         if min_noise is not None:
             p["log_noise"] = jnp.maximum(p["log_noise"],
                                          jnp.log(jnp.asarray(min_noise)))

@@ -150,10 +150,8 @@ class SGPMC:
         self.stats = stats
         return self.trace
 
-    def mixture_posterior_predictive(self, test_x, num_components: int = 50,
-                                     thin_to: Optional[int] = None):
-        """Latent-f mixture over posterior samples (reference loops 50
-        samples through predict_f, models/sgp_hmc.py:93-130)."""
+    def _thinned_mixture(self, test_x, num_components):
+        """(thinned trace, means, vars, finite-mask) with aligned indices."""
         assert self.trace is not None, "train first"
         test_x = jnp.asarray(test_x)
         S = jax.tree_util.tree_leaves(self.trace)[0].shape[0]
@@ -168,19 +166,26 @@ class SGPMC:
         means, vars_ = jax.jit(jax.vmap(one))(sub)
         ok = jnp.all(jnp.isfinite(means), axis=-1) & \
              jnp.all(jnp.isfinite(vars_), axis=-1)
+        return sub, means, vars_, ok
+
+    def mixture_posterior_predictive(self, test_x, num_components: int = 50,
+                                     thin_to: Optional[int] = None):
+        """Latent-f mixture over posterior samples (reference loops 50
+        samples through predict_f, models/sgp_hmc.py:93-130)."""
+        _, means, vars_, ok = self._thinned_mixture(test_x, num_components)
         return means[ok], vars_[ok]
 
     def mixture_posterior_predictive_y(self, test_x, num_components: int = 50):
-        """Observation-space mixture (adds likelihood moments)."""
-        means, vars_ = self.mixture_posterior_predictive(test_x, num_components)
-        S = means.shape[0]
-        k = max(1, jax.tree_util.tree_leaves(self.trace)[0].shape[0] // num_components)
-        sub = jax.tree_util.tree_map(lambda a: a[::k][:S], self.trace)
+        """Observation-space mixture (adds likelihood moments). Likelihood
+        params stay index-aligned with their latent moments even when
+        non-finite components are masked out."""
+        sub, means, vars_, ok = self._thinned_mixture(test_x, num_components)
 
         def one(state, m, v):
             return self.likelihood.predictive(state["lik"], m, v)
 
-        return jax.vmap(one)(sub, means, vars_)
+        ym, yv = jax.vmap(one)(sub, means, vars_)
+        return ym[ok], yv[ok]
 
 
 def train_sgp_hmc(data, Z_init, likelihood=None, kernel=None,

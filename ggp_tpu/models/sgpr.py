@@ -35,8 +35,9 @@ from jax.scipy.linalg import solve_triangular
 
 from ..ops.linalg import logdet_from_chol, safe_cholesky, tri_solve
 
-__all__ = ["sgpr_elbo", "sgpr_elbo_fast", "sgpr_predict", "sgpr_optimal_qu",
-           "SparseGPR", "vfe_stats", "sgpr_elbo_from_stats"]
+__all__ = ["sgpr_elbo", "sgpr_elbo_fast", "sgpr_hmc_target_elbo",
+           "sgpr_predict", "sgpr_optimal_qu", "SparseGPR", "vfe_stats",
+           "sgpr_elbo_from_stats"]
 
 
 def vfe_stats(kernel: Kernel, kp: dict, Z: jnp.ndarray, X: jnp.ndarray,
@@ -164,6 +165,18 @@ _bound_core.defvjp(lambda K, s, l, n: _bound_core_fwd(K, s, l, n),
                    _bound_core_bwd)
 
 
+def sgpr_hmc_target_elbo():
+    """The collapsed-bound implementation used as HMC leapfrog target.
+
+    Returns :func:`sgpr_elbo_fast` (2 custom calls + closed-form VJP,
+    PERF.md) unless ``GGP_NO_FAST_ELBO`` is set. NOTE: read at TRACE time —
+    toggling the env var after a sampler is compiled has no effect on the
+    cached executable.
+    """
+    import os as _os
+    return sgpr_elbo if _os.environ.get("GGP_NO_FAST_ELBO") else sgpr_elbo_fast
+
+
 def sgpr_elbo_fast(kernel: Kernel, params: dict, X: jnp.ndarray,
                    y: jnp.ndarray, jitter: Optional[float] = None) -> jnp.ndarray:
     """Collapsed VFE bound, custom-call-minimised variant (see _bound_core).
@@ -178,10 +191,9 @@ def sgpr_elbo_fast(kernel: Kernel, params: dict, X: jnp.ndarray,
         jitter = _dj(X.dtype)
     kp = params["kernel"]
     Z = params["Z"]
+    from ..ops.linalg import add_jitter
     stats = vfe_stats(kernel, kp, Z, X, y)
-    Kmm = kernel.gram(kp, Z, Z)
-    diag_scale = jnp.maximum(jnp.mean(jnp.diagonal(Kmm)), 1.0)
-    Kmm_j = Kmm + (jitter * diag_scale) * jnp.eye(Z.shape[0], dtype=X.dtype)
+    Kmm_j = add_jitter(kernel.gram(kp, Z, Z), jitter, relative=True)
     return _bound_core(Kmm_j, stats, params["log_noise"], X.shape[0])
 
 
@@ -345,9 +357,13 @@ def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps,
         val, g = jax.value_and_grad(loss)(p)
         updates, s = optimizer.update(g, s, p)
         p = optax.apply_updates(p, updates)
-        # box-project log params: |log theta| > 15 is always degenerate and
-        # exp() overflows f32 past ~88 -> NaN cascades
-        p = jax.tree_util.tree_map(lambda a: jnp.clip(a, -15.0, 15.0), p)
+        # box-project log HYPER params only: |log theta| > 15 is always
+        # degenerate and exp() overflows f32 past ~88 -> NaN cascades.
+        # Z is a location, not a log-param - never clamp it (CO2 time axes
+        # legitimately exceed the box).
+        p = {k: (v if k == "Z" else
+                 jax.tree_util.tree_map(lambda a: jnp.clip(a, -15.0, 15.0), v))
+             for k, v in p.items()}
         if min_noise is not None and "log_noise" in p:
             p["log_noise"] = jnp.maximum(p["log_noise"],
                                          jnp.log(jnp.asarray(min_noise)))

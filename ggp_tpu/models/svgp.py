@@ -153,10 +153,19 @@ class StochasticVariationalGP:
                              include_likelihood: bool = True):
         """q(f*) or the y-predictive (reference returns the y-predictive
         under fast_pred_var, models/svgp.py:132-141)."""
-        mean, var = svgp_predict_f(self.kernel, self.params,
-                                   jnp.asarray(test_x), self.jitter, full_cov)
-        if not include_likelihood or full_cov:
-            if self.num_latents == 1 and not full_cov:
+        test_x = jnp.asarray(test_x)
+        mean, var = svgp_predict_f(self.kernel, self.params, test_x,
+                                   self.jitter, full_cov)
+        if full_cov:
+            if include_likelihood and isinstance(self.likelihood,
+                                                 GaussianLikelihood):
+                noise = jnp.exp(self.params["lik"]["log_noise"])
+                var = var + noise * jnp.eye(test_x.shape[0], dtype=var.dtype)
+            if self.num_latents == 1:
+                return mean[:, 0], var[0]
+            return mean, var
+        if not include_likelihood:
+            if self.num_latents == 1:
                 return mean[:, 0], var[:, 0]
             return mean, var
         if isinstance(self.likelihood, Softmax):

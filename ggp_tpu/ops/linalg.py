@@ -64,8 +64,9 @@ def cholesky_with_flag(K: jnp.ndarray, jitter: float | None = None):
     the whole mixture stays inside one jitted program.
     """
     L = safe_cholesky(K, jitter)
-    ok = jnp.all(jnp.isfinite(L))
-    L = jnp.where(ok, L, jnp.eye(K.shape[-1], dtype=K.dtype))
+    ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))       # per batch component
+    L = jnp.where(ok[..., None, None], L,
+                  jnp.eye(K.shape[-1], dtype=K.dtype))
     return L, ok
 
 

@@ -27,21 +27,28 @@ def _get_lib():
     return _lib
 
 
-def read(path: str, sep: Optional[str] = None, skiprows: int = 0,
-         header=None, **_ignored) -> np.ndarray:
-    """Read a numeric table as (rows, cols) float64.
+_INFER = object()
 
-    ``sep``: single-char delimiter; None or a whitespace regex
-    (e.g. pandas-style r"\\s+") means whitespace mode. ``header`` mimics the
-    pandas kwarg: anything not None consumes one leading row.
+
+def read(path: str, sep: Optional[str] = ",", skiprows: int = 0,
+         header=_INFER, **_ignored) -> np.ndarray:
+    """Read a numeric table as (rows, cols) float64 with pandas-compatible
+    call semantics (the dataset layer passes ``pd.read_csv`` kwargs through):
+
+    * ``sep`` defaults to "," like pandas; a whitespace regex (r"\\s+") or
+      " " selects whitespace mode,
+    * ``header`` defaults to pandas-style inference: non-numeric leading
+      rows (which the C parser yields as all-NaN) are dropped;
+      ``header=None`` means "no header, keep all rows";
+      ``header=<int>`` consumes that many leading rows explicitly.
     """
     lib = _get_lib()
     if sep is None or sep.strip() in ("", "\\s+", r"\s+"):
         delim = b" "
     else:
         delim = sep.encode()[:1]
-    if header is not None and header != "none":
-        skiprows = skiprows + 1
+    if header is not _INFER and header is not None:
+        skiprows = skiprows + int(header) + 1
     data_p = ctypes.POINTER(ctypes.c_double)()
     rows = ctypes.c_long()
     cols = ctypes.c_long()
@@ -50,7 +57,13 @@ def read(path: str, sep: Optional[str] = None, skiprows: int = 0,
                             ctypes.byref(rows), ctypes.byref(cols))
     if rc != 0:
         raise IOError(f"ggp_read_table({path!r}) failed with code {rc}")
-    n = rows.value * cols.value
     arr = np.ctypeslib.as_array(data_p, shape=(rows.value, cols.value)).copy()
     lib.ggp_table_free(data_p)
+    if header is _INFER:
+        # pandas-like inference: drop leading rows that are entirely
+        # non-numeric (header labels parse to NaN)
+        start = 0
+        while start < arr.shape[0] and np.isnan(arr[start]).all():
+            start += 1
+        arr = arr[start:]
     return arr

@@ -218,7 +218,8 @@ def _adam_all(kernel, X, y, jitter, params, optimizer, num_steps,
     opt_state = optimizer.init(params)
 
     def loss(p):
-        return -sgpr_elbo(kernel, p, X, y, jitter)
+        from .sgpr import sgpr_hmc_target_elbo
+        return -sgpr_hmc_target_elbo()(kernel, p, X, y, jitter)
 
     def step(carry, _):
         p, s = carry
@@ -246,8 +247,11 @@ def _adam_Z(kernel, X, y, jitter, Z, trace, optimizer, num_steps):
     opt_state = optimizer.init(Z)
 
     def loss(Z_):
+        from .sgpr import sgpr_hmc_target_elbo
+        elbo_fn = sgpr_hmc_target_elbo()
+
         def one(hypers):
-            return -sgpr_elbo(kernel, {**hypers, "Z": Z_}, X, y, jitter)
+            return -elbo_fn(kernel, {**hypers, "Z": Z_}, X, y, jitter)
         return jnp.mean(jax.vmap(one)(trace))
 
     def step(carry, _):

@@ -350,7 +350,7 @@ def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps,
     opt_state = optimizer.init(params)
 
     def loss(p):
-        return -sgpr_elbo(kernel, p, X, y, jitter)
+        return -sgpr_hmc_target_elbo()(kernel, p, X, y, jitter)
 
     def step(carry, _):
         p, s = carry

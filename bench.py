@@ -60,15 +60,32 @@ def main():
 
     key = jax.random.PRNGKey(0)
     total = 0.0
+    div_frac = []
+    acc = []
     for i, (tune, n) in enumerate(rounds):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         model.sample_hypers(tune, n, key=sub)
         jax.block_until_ready(model.trace)
         total += time.perf_counter() - t0
+        div_frac.append(float(np.asarray(model.stats["diverging"]).mean()))
+        acc.append(float(np.asarray(model.stats["accept_prob"]).mean()))
         if i < len(rounds) - 1:
             model.optimize_Z(num_steps=100, lr=0.01)   # not timed (torch side
             # of the reference's alternation isn't in its sampling seconds)
+
+    # sanity gate: a diverging sampler terminates trees early and would
+    # report a bogus speedup — refuse to emit a healthy-looking number.
+    # (mean accept, not min: the reference's tune=25 mid-rounds legitimately
+    # adapt poorly, which is part of the protocol being timed)
+    if max(div_frac) > 0.1 or float(np.mean(acc)) < 0.5:
+        print(json.dumps({
+            "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "error": f"sampler unhealthy: divergence={max(div_frac):.2f} "
+                     f"accept={min(acc):.2f}",
+        }))
+        return
 
     print(json.dumps({
         "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",

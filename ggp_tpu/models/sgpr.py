@@ -97,7 +97,7 @@ def sgpr_elbo_from_stats(kernel: Kernel, params: dict, stats: dict, n: int,
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _bound_core(Kmm_j, stats, log_noise, n):
+def _bound_core(Kmm_j, stats, log_noise, n, jitter=1e-6):
     """Collapsed bound from (jittered Kmm, stats, log_noise) with a
     hand-derived backward pass.
 
@@ -112,15 +112,22 @@ def _bound_core(Kmm_j, stats, log_noise, n):
       F = c - (log|M1| - log|Kmm| + n log s2)/2 - s_yy/(2 s2)
           + S_ky^T M1^-1 S_ky/(2 s2^2) - (s_kdiag - tr(Kmm^-1 S_kk))/(2 s2)
     """
-    F, _ = _bound_core_fwd(Kmm_j, stats, log_noise, n)
+    F, _ = _bound_core_fwd(Kmm_j, stats, log_noise, n, jitter)
     return F
 
 
-def _bound_core_fwd(Kmm_j, stats, log_noise, n):
+def _bound_core_fwd(Kmm_j, stats, log_noise, n, jitter=1e-6):
     M = Kmm_j.shape[0]
     s2 = jnp.exp(log_noise)
     S_kk, S_ky = stats["S_kk"], stats["S_ky"]
     M1 = Kmm_j + S_kk / s2
+    # S_kk is a Gram-of-Gram: f32 rounding makes it indefinite at the
+    # ~1e-7*||S_kk|| level, which /s2 amplifies past Kmm's small eigenvalues
+    # — without this relative jitter the stacked Cholesky NaNs at small
+    # noise on TPU (symmetrise + scale-aware floor)
+    M1 = 0.5 * (M1 + M1.T)
+    m1_scale = jnp.maximum(jnp.mean(jnp.diagonal(M1)), 1.0)
+    M1 = M1 + (jitter * m1_scale) * jnp.eye(M, dtype=M1.dtype)
     Ls = jnp.linalg.cholesky(jnp.stack([Kmm_j, M1]))        # 1 batched call
     eye = jnp.broadcast_to(jnp.eye(M, dtype=Kmm_j.dtype), (2, M, M))
     Winv = solve_triangular(Ls, eye, lower=True)            # 1 batched call
@@ -158,23 +165,27 @@ def _bound_core_bwd(n, res, gF):
     dlog_noise = dF_ds2 * s2
     dstats = {"S_kk": gF * dS_kk, "S_ky": gF * dS_ky,
               "s_yy": gF * ds_yy, "s_kdiag": gF * ds_kdiag}
-    return (gF * dKmm, dstats, gF * dlog_noise)
+    # jitter is a regularisation knob, not a model parameter: zero cotangent
+    return (gF * dKmm, dstats, gF * dlog_noise, jnp.zeros_like(dlog_noise))
 
 
-_bound_core.defvjp(lambda K, s, l, n: _bound_core_fwd(K, s, l, n),
+_bound_core.defvjp(lambda K, s, l, n, j: _bound_core_fwd(K, s, l, n, j),
                    _bound_core_bwd)
 
 
 def sgpr_hmc_target_elbo():
     """The collapsed-bound implementation used as HMC leapfrog target.
 
-    Returns :func:`sgpr_elbo_fast` (2 custom calls + closed-form VJP,
-    PERF.md) unless ``GGP_NO_FAST_ELBO`` is set. NOTE: read at TRACE time —
-    toggling the env var after a sampler is compiled has no effect on the
-    cached executable.
+    DEFAULT: the direct Cholesky bound (:func:`sgpr_elbo`). The fused
+    2-custom-call variant (:func:`sgpr_elbo_fast`) is ~1.25x faster per
+    eval but works in the stats formulation, whose f32 gradients lose
+    cond(Kmn)^2 digits — at realistic (small-noise) hypers on TPU they are
+    unusable, so it is OPT-IN via ``GGP_FAST_ELBO=1`` (safe under x64 or
+    well-conditioned problems). Read at TRACE time — toggling after a
+    sampler is compiled has no effect on the cached executable.
     """
     import os as _os
-    return sgpr_elbo if _os.environ.get("GGP_NO_FAST_ELBO") else sgpr_elbo_fast
+    return sgpr_elbo_fast if _os.environ.get("GGP_FAST_ELBO") else sgpr_elbo
 
 
 def sgpr_elbo_fast(kernel: Kernel, params: dict, X: jnp.ndarray,
@@ -194,7 +205,8 @@ def sgpr_elbo_fast(kernel: Kernel, params: dict, X: jnp.ndarray,
     from ..ops.linalg import add_jitter
     stats = vfe_stats(kernel, kp, Z, X, y)
     Kmm_j = add_jitter(kernel.gram(kp, Z, Z), jitter, relative=True)
-    return _bound_core(Kmm_j, stats, params["log_noise"], X.shape[0])
+    return _bound_core(Kmm_j, stats, params["log_noise"], X.shape[0],
+                       jnp.asarray(jitter, X.dtype))
 
 
 def _common(kernel: Kernel, params: dict, X: jnp.ndarray, y: jnp.ndarray,

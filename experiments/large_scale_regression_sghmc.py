@@ -19,6 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,6 +88,10 @@ def main(dataset="synthetic-large", split=0, M=100, warm_iters=1000,
     kept = stats["num_kept"] * num_chains
     print(f"SGHMC: {num_steps * num_chains} steps in {dt:.1f}s "
           f"({num_steps * num_chains / dt:.0f} steps/s), kept {kept}")
+    flat_s, _ = jax.flatten_util.ravel_pytree(samples)
+    if not bool(jnp.all(jnp.isfinite(flat_s))):
+        print(f"WARNING: non-finite SGHMC samples - the gradient scale grows "
+              f"with N={N}; reduce --step_size (e.g. {2.0 / N:.1e})")
 
     # mixture predictive over a thinned sample set
     flat = jax.tree_util.tree_map(

@@ -92,7 +92,8 @@ class all_in_HMC:
                                 self.train_y, test_x, self.jitter,
                                 full_cov=False, include_noise=include_noise)
 
-        means, vars_ = jax.jit(jax.vmap(one))(self.trace)
+        means, vars_ = jax.jit(
+            lambda tr: jax.lax.map(one, tr, batch_size=8))(self.trace)
         ok = jnp.all(jnp.isfinite(means), axis=-1) & \
              jnp.all(jnp.isfinite(vars_), axis=-1) & \
              jnp.all(vars_ > 0, axis=-1)

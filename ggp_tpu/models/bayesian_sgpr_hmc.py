@@ -198,7 +198,11 @@ class BayesianSparseGPR_HMC:
                                 test_x, self.jitter, full_cov=False,
                                 include_noise=include_noise)
 
-        means, vars_ = jax.jit(jax.vmap(one))(self.trace)
+        # chunked map: a full vmap over S samples materialises S x (M x N)
+        # gram intermediates at once (OOMs the chip for big-M composite
+        # kernels); batch_size bounds peak memory
+        means, vars_ = jax.jit(
+            lambda tr: jax.lax.map(one, tr, batch_size=8))(self.trace)
         ok = jnp.all(jnp.isfinite(means), axis=-1) & \
              jnp.all(jnp.isfinite(vars_), axis=-1) & \
              jnp.all(vars_ > 0, axis=-1)

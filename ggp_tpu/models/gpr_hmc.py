@@ -124,7 +124,8 @@ class GPR_HMC:
             return gp_predict(self.kernel, hypers, self.train_x, self.train_y,
                               test_x, self.jitter)
 
-        means, vars_ = jax.jit(jax.vmap(one))(self.trace)
+        means, vars_ = jax.jit(
+            lambda tr: jax.lax.map(one, tr, batch_size=8))(self.trace)
         ok = jnp.all(jnp.isfinite(means), axis=-1) & \
              jnp.all(jnp.isfinite(vars_), axis=-1)
         return means[ok], vars_[ok]

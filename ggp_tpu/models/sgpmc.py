@@ -163,7 +163,8 @@ class SGPMC:
             return _whitened_conditional(self.kernel, state["kernel"], self.Z,
                                          state["v"], test_x, self.jitter)
 
-        means, vars_ = jax.jit(jax.vmap(one))(sub)
+        means, vars_ = jax.jit(
+            lambda tr: jax.lax.map(one, tr, batch_size=8))(sub)
         ok = jnp.all(jnp.isfinite(means), axis=-1) & \
              jnp.all(jnp.isfinite(vars_), axis=-1)
         return sub, means, vars_, ok

@@ -66,9 +66,11 @@ def main(M=480, max_iters=2000, tune=500, n_samples=100, year_split=2003,
     model.warm_start(num_steps=1500, lr=0.01)
 
     if fixed_z:
-        # reference train_fixed_model: tune=500, n=100 (:257-277)
+        # reference train_fixed_model: tune=500, n=100 (:257-277);
+        # chunked so each program invocation stays under the remote link's
+        # execution-length limit at M=480
         model.train_fixed_model(num_warmup=tune, num_samples=n_samples,
-                                key=jax.random.PRNGKey(0))
+                                key=jax.random.PRNGKey(0), chunk_size=100)
     else:
         model.train_model(max_steps=max_iters,
                           hmc_scheduler=[max_iters // 2, max_iters],

@@ -1,2 +1,3 @@
 from .diagnostics import effective_sample_size, split_rhat, summary
-from .hmc import NUTSConfig, build_sampler, hmc_kernel, nuts_kernel, run_nuts
+from .hmc import (NUTSConfig, build_sampler, build_sampler_chunked,
+                  hmc_kernel, nuts_kernel, run_nuts)

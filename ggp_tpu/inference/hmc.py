@@ -499,3 +499,155 @@ def run_nuts(logprob_fn: Callable, init_params, key, cfg: NUTSConfig = NUTSConfi
     sampler = build_sampler(lambda p, _: logprob_fn(p), init_params, cfg,
                             num_chains)
     return sampler(init_params, key, None)
+
+
+def build_sampler_chunked(logprob_fn: Callable, example_params,
+                          cfg: NUTSConfig, num_chains: int = 1,
+                          jitter_init: float = 0.1, mesh=None,
+                          chunk_size: int = 100):
+    """Like :func:`build_sampler`, but warmup and sampling run as a sequence
+    of bounded-length program invocations of at most ``chunk_size``
+    transitions each (three compiled executables total: init, warm chunk,
+    sample chunk).
+
+    Why: (a) some runtimes kill single XLA executions past a wall-clock
+    limit (CLAUDE.md), (b) the host regains control between chunks —
+    progress reporting and sampler-state checkpointing become possible.
+    Warmup length is rounded UP to a multiple of ``chunk_size`` (extra
+    adaptation steps are harmless). Sampling length rounds up too; excess
+    draws are trimmed.
+    """
+    _, unravel = jax.flatten_util.ravel_pytree(example_params)
+    n_warm_chunks = -(-cfg.num_warmup // chunk_size)
+    warm_total = n_warm_chunks * chunk_size
+    in_w_np, w_end_np = warmup_schedule(cfg.num_warmup)
+    pad = warm_total - cfg.num_warmup
+    in_w = jnp.concatenate([jnp.asarray(in_w_np), jnp.zeros(pad, bool)])
+    w_end = jnp.concatenate([jnp.asarray(w_end_np), jnp.zeros(pad, bool)])
+    n_sample_chunks = -(-cfg.num_samples // chunk_size)
+
+    if cfg.algorithm == "nuts":
+        kernel = partial(nuts_kernel, max_depth=cfg.max_depth)
+    else:
+        kernel = partial(hmc_kernel, num_leapfrog=cfg.num_leapfrog)
+
+    def _shard(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("chains")))
+
+    @jax.jit
+    def _init(flat0, key, data):
+        def pvg(zvec):
+            return jax.value_and_grad(
+                lambda v: -logprob_fn(unravel(v), data))(zvec)
+
+        keys = jax.random.split(key, num_chains)
+        jkeys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
+        z0s = _shard(jnp.stack([
+            flat0 + jitter_init * jax.random.normal(k, flat0.shape,
+                                                    flat0.dtype)
+            for k in jkeys]))
+        keys = _shard(keys)
+
+        def one(z0, k):
+            dim = z0.shape[0]
+            U0, g0 = pvg(z0)
+            inv_mass = jnp.ones(dim, z0.dtype)
+            k, k_eps = jax.random.split(k)
+            eps = find_reasonable_step_size(pvg, z0, U0, g0, k_eps, inv_mass,
+                                            cfg.init_step_size)
+            return dict(z=z0, U=U0, g=g0, key=k, da=da_init(eps),
+                        wf=welford_init(dim, z0.dtype), inv_mass=inv_mass)
+
+        return jax.vmap(one)(z0s, keys)
+
+    @jax.jit
+    def _warm_chunk(carry, in_w_c, w_end_c, data):
+        def pvg(zvec):
+            return jax.value_and_grad(
+                lambda v: -logprob_fn(unravel(v), data))(zvec)
+
+        def one(c):
+            dim = c["z"].shape[0]
+            dtype = c["z"].dtype
+
+            def step(s, inputs):
+                in_wi, w_endi = inputs
+                key, k_step = jax.random.split(s["key"])
+                eps = jnp.exp(s["da"].log_eps)
+                z, U, g, stats = kernel(pvg, s["z"], s["U"], s["g"], k_step,
+                                        eps, s["inv_mass"])
+                da = da_update(s["da"], stats["accept_prob"],
+                               cfg.target_accept)
+                wf, inv_mass = s["wf"], s["inv_mass"]
+                if cfg.adapt_mass:
+                    wf = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(in_wi, a, b),
+                        welford_update(wf, z), wf)
+                    inv_mass = jnp.where(w_endi, welford_variance(wf),
+                                         inv_mass)
+                    wf = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(w_endi, a, b),
+                        welford_init(dim, dtype), wf)
+                    da = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(w_endi, a, b),
+                        da_init(jnp.exp(da.log_eps)), da)
+                return dict(z=z, U=U, g=g, key=key, da=da, wf=wf,
+                            inv_mass=inv_mass), None
+
+            c, _ = jax.lax.scan(step, c, (in_w_c, w_end_c))
+            return c
+
+        return jax.vmap(one)(carry)
+
+    @jax.jit
+    def _sample_chunk(carry, data):
+        def pvg(zvec):
+            return jax.value_and_grad(
+                lambda v: -logprob_fn(unravel(v), data))(zvec)
+
+        def one(c):
+            eps = jnp.exp(c["da"].log_eps_avg)
+
+            def step(s, _):
+                key, k_step = jax.random.split(s["key"])
+                z, U, g, stats = kernel(pvg, s["z"], s["U"], s["g"], k_step,
+                                        eps, s["inv_mass"])
+                return {**s, "z": z, "U": U, "g": g, "key": key}, (z, stats)
+
+            c, (zs, stats) = jax.lax.scan(step, c, None, length=chunk_size)
+            return c, zs, stats
+
+        return jax.vmap(one)(carry)
+
+    def sample(init_params, key, data=None, progress: Callable | None = None):
+        flat0, _ = jax.flatten_util.ravel_pytree(init_params)
+        carry = _init(flat0, key, data)
+        for i in range(n_warm_chunks):
+            sl = slice(i * chunk_size, (i + 1) * chunk_size)
+            carry = _warm_chunk(carry, in_w[sl], w_end[sl], data)
+            jax.block_until_ready(carry["z"])
+            if progress:
+                progress("warmup", (i + 1) * chunk_size, warm_total)
+        zs_chunks, stats_chunks = [], []
+        for i in range(n_sample_chunks):
+            carry, zs, stats = _sample_chunk(carry, data)
+            jax.block_until_ready(zs)
+            zs_chunks.append(zs)
+            stats_chunks.append(stats)
+            if progress:
+                progress("sample", (i + 1) * chunk_size,
+                         n_sample_chunks * chunk_size)
+        zs = jnp.concatenate(zs_chunks, axis=1)[:, :cfg.num_samples]
+        stats = jax.tree_util.tree_map(
+            lambda *a: jnp.concatenate(a, axis=1)[:, :cfg.num_samples],
+            *stats_chunks)
+        stats["step_size"] = jnp.exp(carry["da"].log_eps_avg)
+        stats["inv_mass"] = carry["inv_mass"]
+        samples = jax.vmap(jax.vmap(unravel))(zs)
+        return samples, stats
+
+    return sample

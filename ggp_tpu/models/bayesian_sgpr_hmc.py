@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import default_jitter
-from ..inference.hmc import NUTSConfig, build_sampler
+from ..inference.hmc import NUTSConfig, build_sampler, build_sampler_chunked
 from ..kernels import Kernel, default_rbf
 from ..likelihoods import GaussianLikelihood
 from ..priors import log_prior, prior_tree_rbf
@@ -76,20 +76,25 @@ class BayesianSparseGPR_HMC:
         return ll + log_prior(self.prior_tree, hypers)
 
     def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,
-                     algorithm="nuts", num_leapfrog=10):
+                     algorithm="nuts", num_leapfrog=10, chunk_size=None):
         key = (num_warmup, num_samples, num_chains, max_depth, algorithm,
-               num_leapfrog)
+               num_leapfrog, chunk_size)
         if key not in self._samplers:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              max_depth=max_depth, algorithm=algorithm,
                              num_leapfrog=num_leapfrog)
-            self._samplers[key] = build_sampler(self._logpost, self.hypers,
-                                                cfg, num_chains,
-                                                mesh=self.mesh)
+            if chunk_size:
+                self._samplers[key] = build_sampler_chunked(
+                    self._logpost, self.hypers, cfg, num_chains,
+                    mesh=self.mesh, chunk_size=chunk_size)
+            else:
+                self._samplers[key] = build_sampler(self._logpost, self.hypers,
+                                                    cfg, num_chains,
+                                                    mesh=self.mesh)
         return self._samplers[key]
 
     def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None,
-                      algorithm="nuts", num_leapfrog=10):
+                      algorithm="nuts", num_leapfrog=10, chunk_size=None):
         """Draw a fresh hyper trace at the current Z.
 
         ``algorithm="hmc"`` with ``num_chains=8``+ is the throughput
@@ -100,7 +105,8 @@ class BayesianSparseGPR_HMC:
             key = jax.random.PRNGKey(0)
         sampler = self._get_sampler(num_warmup, num_samples, num_chains,
                                     algorithm=algorithm,
-                                    num_leapfrog=num_leapfrog)
+                                    num_leapfrog=num_leapfrog,
+                                    chunk_size=chunk_size)
         samples, stats = sampler(self.hypers, key, self.Z)
         trace = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), samples)
@@ -176,10 +182,12 @@ class BayesianSparseGPR_HMC:
         return jnp.concatenate(losses)
 
     def train_fixed_model(self, num_warmup: int = 500, num_samples: int = 500,
-                          num_chains: int = 1, key=None):
+                          num_chains: int = 1, key=None, chunk_size=None):
         """One-shot NUTS at fixed Z (reference: train_fixed_model,
-        models/bayesian_sgpr_hmc.py:160-180)."""
-        return self.sample_hypers(num_warmup, num_samples, num_chains, key)
+        models/bayesian_sgpr_hmc.py:160-180). ``chunk_size`` bounds each
+        program invocation's length (CLAUDE.md runtime limit)."""
+        return self.sample_hypers(num_warmup, num_samples, num_chains, key,
+                                  chunk_size=chunk_size)
 
     # ------------------------------------------------------------------
     # Prediction (reference: mixture_posterior_predictive,

@@ -87,3 +87,28 @@ def test_rhat_detects_nonconvergence():
     bad = good + np.arange(4)[:, None] * 3.0
     assert split_rhat(good) < 1.01
     assert split_rhat(bad) > 1.5
+
+
+def test_chunked_sampler_matches_statistics():
+    """build_sampler_chunked: bounded-length program invocations; posterior
+    statistics must match the monolithic sampler on a known target."""
+    from ggp_tpu.inference.hmc import build_sampler, build_sampler_chunked
+
+    logprob = lambda p, _: -0.5 * jnp.sum(p["x"] ** 2)
+    init = {"x": jnp.zeros(3)}
+    cfg = NUTSConfig(num_warmup=250, num_samples=300)
+    mono = build_sampler(logprob, init, cfg, num_chains=2)
+    chunk = build_sampler_chunked(logprob, init, cfg, num_chains=2,
+                                  chunk_size=64)
+    s1, st1 = mono(init, jax.random.PRNGKey(0), None)
+    progress_calls = []
+    s2, st2 = chunk(init, jax.random.PRNGKey(0), None,
+                    progress=lambda *a: progress_calls.append(a))
+    a, b = np.asarray(s1["x"]), np.asarray(s2["x"])
+    assert b.shape == (2, 300, 3)
+    assert abs(a.mean() - b.mean()) < 0.1
+    assert abs(a.std() - b.std()) < 0.1
+    assert np.asarray(st2["diverging"]).sum() == 0
+    # progress callback fired for each chunk (warmup rounds to 256 = 4x64)
+    assert len(progress_calls) == 4 + 5
+    assert progress_calls[0][0] == "warmup" and progress_calls[-1][0] == "sample"

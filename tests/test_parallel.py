@@ -137,3 +137,20 @@ def test_chain_sharded_model_api():
     assert jax.tree_util.tree_leaves(m.trace)[0].shape[0] == 160
     means, vars_ = m.mixture_posterior_predictive(X)
     assert np.isfinite(np.asarray(means)).all()
+
+
+def test_chain_sharded_placement():
+    """Chain-sharded sampler output is actually partitioned across devices
+    (not just numerically correct)."""
+    import jax.numpy as jnp
+    from ggp_tpu.inference import NUTSConfig, build_sampler
+
+    logprob = lambda p, _: -0.5 * jnp.sum(p["x"] ** 2)
+    init = {"x": jnp.zeros(2)}
+    mesh = make_mesh(8, chains_axis=8)
+    sampler = build_sampler(logprob, init, NUTSConfig(50, 20), num_chains=8,
+                            mesh=mesh)
+    samples, stats = sampler(init, jax.random.PRNGKey(0), None)
+    # step_size has shape (chains,) and should be sharded over the mesh
+    sharding = stats["step_size"].sharding
+    assert len(sharding.device_set) == 8, sharding

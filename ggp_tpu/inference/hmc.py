@@ -374,7 +374,6 @@ class NUTSConfig:
     num_leapfrog: int = 10           # hmc only
     adapt_mass: bool = True
     init_step_size: float = 0.1
-    thinning: int = 1
 
 
 def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
@@ -633,41 +632,44 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
         flat0, _ = jax.flatten_util.ravel_pytree(init_params)
         carry = _init(flat0, key, data)
         start_chunk = 0
+        run_sig = {"chunk_size": chunk_size, "num_warmup": cfg.num_warmup,
+                   "num_samples": cfg.num_samples,
+                   "algorithm": cfg.algorithm, "num_chains": num_chains}
         if ckpt_manager is not None:
             restored, meta = ckpt_manager.restore(carry)
             if restored is not None:
+                saved_sig = {k: meta.get(k) for k in run_sig}
+                if saved_sig != run_sig:
+                    raise ValueError(
+                        f"checkpoint was written by a different sampler "
+                        f"configuration ({saved_sig} != {run_sig}) - resuming "
+                        f"would misalign the warmup schedule")
                 carry = restored
-                start_chunk = int(meta.get("chunk", 0))
+                # resume skips completed WARMUP chunks only; sampling always
+                # reruns in full so callers get exactly num_samples draws
+                start_chunk = min(int(meta.get("chunk", 0)), n_warm_chunks)
         zs_chunks, stats_chunks = [], []
-        total_chunks = n_warm_chunks + n_sample_chunks
         for i in range(start_chunk, n_warm_chunks):
             sl = slice(i * chunk_size, (i + 1) * chunk_size)
             carry = _warm_chunk(carry, in_w[sl], w_end[sl], data)
             jax.block_until_ready(carry["z"])
             if ckpt_manager is not None:
-                ckpt_manager.save(i + 1, carry, {"chunk": i + 1})
+                ckpt_manager.save(i + 1, carry, {"chunk": i + 1, **run_sig})
             if progress:
                 progress("warmup", (i + 1) * chunk_size, warm_total)
-        for i in range(max(start_chunk - n_warm_chunks, 0), n_sample_chunks):
+        for i in range(n_sample_chunks):
             carry, zs, stats = _sample_chunk(carry, data)
             jax.block_until_ready(zs)
             zs_chunks.append(zs)
             stats_chunks.append(stats)
             if ckpt_manager is not None:
-                ckpt_manager.save(n_warm_chunks + i + 1, carry,
-                                  {"chunk": n_warm_chunks + i + 1})
+                # sampling checkpoints stay capped at the post-warmup chunk
+                # id so a resume never skips draws
+                ckpt_manager.save(n_warm_chunks, carry,
+                                  {"chunk": n_warm_chunks, **run_sig})
             if progress:
                 progress("sample", (i + 1) * chunk_size,
                          n_sample_chunks * chunk_size)
-        if start_chunk > n_warm_chunks and len(zs_chunks) < n_sample_chunks:
-            # resumed mid-sampling: earlier chunks' draws were produced in
-            # the previous run and are not re-materialised here; the caller
-            # gets the remaining draws (documented resume semantics)
-            pass
-        if not zs_chunks:
-            raise RuntimeError(
-                "checkpoint is already past the final sampling chunk - "
-                "delete the checkpoint directory to re-run")
         zs = jnp.concatenate(zs_chunks, axis=1)[:, :cfg.num_samples]
         stats = jax.tree_util.tree_map(
             lambda *a: jnp.concatenate(a, axis=1)[:, :cfg.num_samples],

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -64,24 +65,44 @@ inline bool is_sep(char c, char delim) {
 }
 
 // Parse one line's fields into out (appending); returns field count.
+// Whitespace mode collapses separator runs (pandas \s+ semantics);
+// char-delimiter mode preserves EMPTY fields as NaN (pandas missing-value
+// semantics) so columns stay aligned for rows like "1;;3".
 long parse_line(const char* p, const char* end, char delim,
                 std::vector<double>* out) {
   long n = 0;
   const char* q = p;
-  while (q < end) {
-    while (q < end && is_sep(*q, delim)) ++q;
-    if (q >= end) break;
+  if (delim == ' ') {
+    while (q < end) {
+      while (q < end && is_sep(*q, delim)) ++q;
+      if (q >= end) break;
+      char* after = nullptr;
+      double v = strtod(q, &after);
+      if (after == q || after > end) {  // non-numeric token: NaN, skip it
+        v = NAN;
+        while (q < end && !is_sep(*q, delim)) ++q;
+        after = const_cast<char*>(q);
+      }
+      if (out) out->push_back(v);
+      ++n;
+      q = after;
+    }
+    return n;
+  }
+  // char-delimited: exactly one field between consecutive delimiters
+  while (true) {
+    const char* field_end = q;
+    while (field_end < end && *field_end != delim) ++field_end;
     char* after = nullptr;
-    double v = strtod(q, &after);
-    if (after == q) {  // non-numeric token: NaN and skip token
-      v = NAN;
-      while (q < end && !is_sep(*q, delim)) ++q;
-      after = const_cast<char*>(q);
+    double v = NAN;
+    if (field_end > q) {
+      v = strtod(q, &after);
+      if (after == q || after > field_end) v = NAN;
     }
     if (out) out->push_back(v);
     ++n;
-    q = after;
-    if (delim != ' ' && q < end && *q == delim) ++q;
+    if (field_end >= end) break;
+    q = field_end + 1;
   }
   return n;
 }
@@ -96,11 +117,22 @@ int ggp_read_table(const char* path, char delim, long skiprows,
   Mapped m = map_file(path);
   if (!m.ok()) return -1;
 
-  // split into lines (indices into the mapping), skipping blanks
+  // split into lines (indices into the mapping), skipping blanks.
+  // If the file does not end in a newline, the final line is copied into a
+  // NUL-terminated side buffer — strtod on the mmap'd tail could otherwise
+  // scan past the mapping (SIGSEGV on exact-page-multiple files).
+  std::string tail_copy;
   std::vector<std::pair<const char*, const char*>> lines;
   lines.reserve(1 << 16);
   const char* p = m.data;
   const char* end = m.data + m.size;
+  if (m.size > 0 && m.data[m.size - 1] != '\n') {
+    const char* last_nl =
+        static_cast<const char*>(memrchr(m.data, '\n', m.size));
+    const char* tail = last_nl ? last_nl + 1 : m.data;
+    tail_copy.assign(tail, end - tail);
+    end = tail;  // the copied tail is appended after the loop
+  }
   while (p < end) {
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
     const char* le = nl ? nl : end;
@@ -111,6 +143,14 @@ int ggp_read_table(const char* path, char delim, long skiprows,
       if (!isspace(static_cast<unsigned char>(*c))) { blank = false; break; }
     if (!blank) lines.emplace_back(p, trim_end);
     p = nl ? nl + 1 : end;
+  }
+  if (!tail_copy.empty()) {
+    bool blank = true;
+    for (char c : tail_copy)
+      if (!isspace(static_cast<unsigned char>(c))) { blank = false; break; }
+    if (!blank)
+      lines.emplace_back(tail_copy.data(),
+                         tail_copy.data() + tail_copy.size());
   }
   if (static_cast<long>(lines.size()) <= skiprows) {
     unmap(m);

@@ -43,10 +43,13 @@ def read(path: str, sep: Optional[str] = ",", skiprows: int = 0,
       ``header=<int>`` consumes that many leading rows explicitly.
     """
     lib = _get_lib()
-    if sep is None or sep.strip() in ("", "\\s+", r"\s+"):
-        delim = b" "
+    if sep is None or sep in (" ", "\\s+", r"\s+"):
+        delim = b" "                      # whitespace-run mode
+    elif len(sep) == 1:
+        delim = sep.encode()              # incl. "\t" as a real delimiter
     else:
-        delim = sep.encode()[:1]
+        raise ValueError(f"fast_csv supports single-char or whitespace "
+                         f"separators, got {sep!r} - use the pandas path")
     if header is not _INFER and header is not None:
         skiprows = skiprows + int(header) + 1
     data_p = ctypes.POINTER(ctypes.c_double)()
@@ -59,11 +62,8 @@ def read(path: str, sep: Optional[str] = ",", skiprows: int = 0,
         raise IOError(f"ggp_read_table({path!r}) failed with code {rc}")
     arr = np.ctypeslib.as_array(data_p, shape=(rows.value, cols.value)).copy()
     lib.ggp_table_free(data_p)
-    if header is _INFER:
-        # pandas-like inference: drop leading rows that are entirely
-        # non-numeric (header labels parse to NaN)
-        start = 0
-        while start < arr.shape[0] and np.isnan(arr[start]).all():
-            start += 1
-        arr = arr[start:]
+    if header is _INFER and arr.shape[0] and np.isnan(arr[0]).all():
+        # pandas-like inference: at most ONE leading all-non-numeric row is
+        # a header (further all-NaN rows are genuine missing-data rows)
+        arr = arr[1:]
     return arr

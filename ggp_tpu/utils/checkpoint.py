@@ -84,6 +84,8 @@ class CheckpointManager:
     """Numbered checkpoints under a directory, keep the newest ``max_to_keep``."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
+        if max_to_keep < 1:
+            raise ValueError("max_to_keep must be >= 1")
         self.directory = directory
         self.max_to_keep = max_to_keep
         os.makedirs(directory, exist_ok=True)

@@ -151,6 +151,13 @@ def test_chunked_sampler_checkpoint_resume(tmp_path):
     assert abs(x.std() - 1.0) < 0.15
     assert np.asarray(st2["diverging"]).sum() == 0
 
-    # fully-consumed checkpoint refuses a silent empty re-run
-    with pytest.raises(RuntimeError, match="past the final sampling chunk"):
-        sampler(init, jax.random.PRNGKey(0), None, ckpt_manager=mgr)
+    # resuming again still returns the FULL set of draws (sampling reruns
+    # from the post-warmup carry; only warmup is skipped)
+    s3, _ = sampler(init, jax.random.PRNGKey(0), None, ckpt_manager=mgr)
+    assert np.asarray(s3["x"]).shape == (2, 128, 2)
+
+    # a checkpoint from a different configuration is rejected
+    sampler2 = build_sampler_chunked(logprob, init, cfg, num_chains=2,
+                                     chunk_size=32)
+    with pytest.raises(ValueError, match="different sampler configuration"):
+        sampler2(init, jax.random.PRNGKey(0), None, ckpt_manager=mgr)

@@ -72,3 +72,50 @@ def test_sweep_executor(built, tmp_path):
 def test_sweep_binary_exists(built):
     assert os.path.exists(built["ggp-sweep"])
     assert os.access(built["ggp-sweep"], os.X_OK)
+
+
+def test_fast_table_empty_fields_nan(built, tmp_path):
+    """Missing values keep column alignment (pandas semantics)."""
+    from ggp_tpu.runtime import fast_csv
+    p = tmp_path / "m.csv"
+    p.write_text("1,,3\n,5,6\n7,8,\n")
+    arr = fast_csv.read(str(p), sep=",", header=None)
+    assert arr.shape == (3, 3)
+    assert np.isnan(arr[0, 1]) and arr[0, 2] == 3
+    assert np.isnan(arr[1, 0]) and arr[1, 1] == 5
+    assert np.isnan(arr[2, 2]) and arr[2, 0] == 7
+
+
+def test_fast_table_tab_delimiter(built, tmp_path):
+    from ggp_tpu.runtime import fast_csv
+    p = tmp_path / "t.tsv"
+    p.write_text("1\t\t3\n4\t5\t6\n")
+    arr = fast_csv.read(str(p), sep="\t", header=None)
+    assert arr.shape == (2, 3)
+    assert np.isnan(arr[0, 1])
+
+
+def test_fast_table_no_trailing_newline(built, tmp_path):
+    from ggp_tpu.runtime import fast_csv
+    p = tmp_path / "n.csv"
+    p.write_bytes(b"1,2\n3,4")          # no trailing newline
+    arr = fast_csv.read(str(p), sep=",", header=None)
+    np.testing.assert_allclose(arr, [[1, 2], [3, 4]])
+
+
+def test_fast_table_multichar_sep_rejected(built, tmp_path):
+    from ggp_tpu.runtime import fast_csv
+    p = tmp_path / "x.csv"
+    p.write_text("1,2\n")
+    with pytest.raises(ValueError, match="single-char"):
+        fast_csv.read(str(p), sep=r"\s*,\s*")
+
+
+def test_fast_table_single_header_row_only(built, tmp_path):
+    """Header inference drops at most ONE leading non-numeric row."""
+    from ggp_tpu.runtime import fast_csv
+    p = tmp_path / "h.csv"
+    p.write_text("a,b\n?,?\n1,2\n")
+    arr = fast_csv.read(str(p), sep=",")
+    assert arr.shape == (2, 2)           # the '?,?' row is DATA (all-NaN)
+    assert np.isnan(arr[0]).all()

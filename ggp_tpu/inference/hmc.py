@@ -376,6 +376,32 @@ class NUTSConfig:
     init_step_size: float = 0.1
 
 
+def _make_warm_step(potential_vg, kernel, cfg: NUTSConfig, dim, dtype):
+    """One warmup transition + adaptation update, shared by the monolithic
+    (_single_chain) and chunked (build_sampler_chunked) drivers so their
+    adaptation logic can never diverge."""
+
+    def warm_step(z, U, g, key, da, wf, inv_mass, in_w, w_end):
+        key, k_step = jax.random.split(key)
+        eps = jnp.exp(da.log_eps)
+        z, U, g, stats = kernel(potential_vg, z, U, g, k_step, eps, inv_mass)
+        da = da_update(da, stats["accept_prob"], cfg.target_accept)
+        if cfg.adapt_mass:
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_w, a, b), welford_update(wf, z), wf)
+            inv_mass = jnp.where(w_end, welford_variance(wf), inv_mass)
+            # window end: reset welford + restart dual averaging at current eps
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(w_end, a, b), welford_init(dim, dtype),
+                wf)
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(w_end, a, b),
+                da_init(jnp.exp(da.log_eps)), da)
+        return z, U, g, key, da, wf, inv_mass, stats
+
+    return warm_step
+
+
 def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
                   window_end):
     dim = z0.shape[0]
@@ -394,25 +420,12 @@ def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
     else:
         kernel = partial(hmc_kernel, num_leapfrog=cfg.num_leapfrog)
 
+    warm = _make_warm_step(potential_vg, kernel, cfg, dim, dtype)
+
     def warm_step(carry, inputs):
-        (z, U, g, key, da, wf, inv_mass) = carry
         in_w, w_end = inputs
-        key, k_step = jax.random.split(key)
-        eps = jnp.exp(da.log_eps)
-        z, U, g, stats = kernel(potential_vg, z, U, g, k_step, eps, inv_mass)
-        da = da_update(da, stats["accept_prob"], cfg.target_accept)
-        if cfg.adapt_mass:
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_w, a, b), welford_update(wf, z), wf)
-            new_mass = welford_variance(wf)
-            inv_mass = jnp.where(w_end, new_mass, inv_mass)
-            # window end: reset welford + restart dual averaging at current eps
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(w_end, a, b), welford_init(dim, dtype), wf)
-            eps_now = jnp.exp(da.log_eps)
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(w_end, a, b), da_init(eps_now), da)
-        return (z, U, g, key, da, wf, inv_mass), stats["accept_prob"]
+        *state, stats = warm(*carry, in_w, w_end)
+        return tuple(state), stats["accept_prob"]
 
     carry = (z0, U0, g0, key, da, wf, inv_mass)
     carry, _ = jax.lax.scan(warm_step, carry, (in_window, window_end))
@@ -570,30 +583,14 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
                 lambda v: -logprob_fn(unravel(v), data))(zvec)
 
         def one(c):
-            dim = c["z"].shape[0]
-            dtype = c["z"].dtype
+            warm = _make_warm_step(pvg, kernel, cfg, c["z"].shape[0],
+                                   c["z"].dtype)
 
             def step(s, inputs):
                 in_wi, w_endi = inputs
-                key, k_step = jax.random.split(s["key"])
-                eps = jnp.exp(s["da"].log_eps)
-                z, U, g, stats = kernel(pvg, s["z"], s["U"], s["g"], k_step,
-                                        eps, s["inv_mass"])
-                da = da_update(s["da"], stats["accept_prob"],
-                               cfg.target_accept)
-                wf, inv_mass = s["wf"], s["inv_mass"]
-                if cfg.adapt_mass:
-                    wf = jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(in_wi, a, b),
-                        welford_update(wf, z), wf)
-                    inv_mass = jnp.where(w_endi, welford_variance(wf),
-                                         inv_mass)
-                    wf = jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(w_endi, a, b),
-                        welford_init(dim, dtype), wf)
-                    da = jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(w_endi, a, b),
-                        da_init(jnp.exp(da.log_eps)), da)
+                z, U, g, key, da, wf, inv_mass, _ = warm(
+                    s["z"], s["U"], s["g"], s["key"], s["da"], s["wf"],
+                    s["inv_mass"], in_wi, w_endi)
                 return dict(z=z, U=U, g=g, key=key, da=da, wf=wf,
                             inv_mass=inv_mass), None
 

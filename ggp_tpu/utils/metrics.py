@@ -25,6 +25,7 @@ __all__ = [
     "nlpd_mixture",
     "negative_log_predictive_mixture_density",
     "get_trainable_param_names",
+    "print_trainable_param_names",
 ]
 
 
@@ -76,3 +77,18 @@ def get_trainable_param_names(params: dict):
     utils/metrics.py:13-36, reduced to the useful part)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     return [jax.tree_util.keystr(path) for path, _ in flat]
+
+
+def print_trainable_param_names(params: dict) -> None:
+    """Tabular parameter dump (reference's PrettyTable printer,
+    utils/metrics.py:13-26)."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    width = max((len(jax.tree_util.keystr(p)) for p, _ in flat), default=4)
+    print(f"{'parameter':{width}}  shape        value")
+    for path, leaf in flat:
+        a = np.asarray(leaf)
+        val = (f"{a.item():.4f}" if a.size == 1
+               else f"mean {a.mean():.4f}")
+        print(f"{jax.tree_util.keystr(path):{width}}  {str(a.shape):12} {val}")

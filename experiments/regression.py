@@ -32,7 +32,7 @@ import numpy as np
 from ggp_tpu.inference import summary
 from ggp_tpu.models import (
     BayesianSparseGPR_HMC, GPR_HMC, SGPMC, SparseGPR,
-    StochasticVariationalGP, all_in_HMC, predict_sgpmc, train_sgp_hmc,
+    StochasticVariationalGP, all_in_HMC, train_sgp_hmc,
 )
 from ggp_tpu.models.bayesian_svgp import BayesianStochasticVariationalGP
 from ggp_tpu.utils.datasets import get_regression_data
@@ -119,10 +119,11 @@ def single_run(dataset_name: str, split: int, model_name: str, M: int = 100,
                               num_samples=num_samples, key=key)
         jax.block_until_ready(model.trace)
         sampling_seconds = time.time() - ts
-        fmeans, fvars = predict_sgpmc(model, Xt, num_components=50)
-        noise = jnp.exp(model.trace["lik"]["log_noise"])
-        k = max(1, noise.shape[0] // 50)
-        mixture = (fmeans, fvars + noise[::k][:fmeans.shape[0], None])
+        # Observation-space mixture via the model API: it keeps likelihood
+        # params index-aligned with surviving latent components even when
+        # non-finite samples are masked (re-pairing them by position here
+        # corrupted NLPD whenever a component was dropped).
+        mixture = model.mixture_posterior_predictive_y(Xt, num_components=50)
     else:
         raise ValueError(f"unknown model {model_name}")
 

@@ -13,8 +13,8 @@ components). Design differs deliberately from gpytorch's stateful modules:
   pymc3 side samples in log space the same way,
   experiments/co2_bayesian_sgpr_hmc.py:107-144),
 * Gram construction is expressed with matmul-dominant ops (the x^2+z^2-2xz
-  trick) so XLA maps it onto the MXU; a fused Pallas path lives in
-  ``ggp_tpu.ops.pallas_gram``.
+  trick) so XLA maps it onto the MXU; the fused Pallas path (streaming VFE
+  statistics that never materialise Knm) lives in ``ggp_tpu.ops.pallas_vfe``.
 """
 
 from __future__ import annotations

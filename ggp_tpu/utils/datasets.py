@@ -7,7 +7,11 @@ layer (utils/dataset.py:35-460) with identical *semantics*:
   array before splitting (reference ``normalize`` utils/dataset.py:38-41 and
   ``preprocess_data`` :122-125 normalize the whole array),
 * split shuffling seeded with ``BASE_SEED + split`` = 173 + split
-  (utils/dataset.py:62-63), proportion ``prop=0.8`` train,
+  (utils/dataset.py:62-63). NOTE on the ``prop`` default: our 0.8 mirrors
+  the reference's benchmark-runner CLI default (experiments/regression.py:242,
+  the setting all published CSVs used), NOT the reference ``Dataset`` ctor
+  default of 0.9 (utils/dataset.py:52) — pass ``prop=0.9`` explicitly for
+  ctor-default parity,
 * the same dataset names / shapes / quirks (Naval drops constant columns 8
   and 11, utils/dataset.py:166-182),
 * download-on-demand into ``DATASET_DIR`` — this environment has zero

@@ -63,7 +63,13 @@ def nlpd_mixture(pred_means, pred_vars, y, y_std=1.0):
 
 def negative_log_predictive_mixture_density(pred_means, pred_vars, y, y_std=1.0):
     """Proper per-point mixture density: -mean_i log( (1/S) sum_s N(y_i | m_si,
-    v_si) ) + log y_std (reference: utils/metrics.py:70-78)."""
+    v_si) ) + log y_std.
+
+    DELIBERATE DEVIATION from reference utils/metrics.py:70-78, which (despite
+    its name) averages per-component log-pdfs with no logsumexp — that variant
+    is ``nlpd_mixture`` above and is the one the benchmark CSVs were produced
+    with. Values from this function are the mathematically proper mixture
+    density and are NOT comparable to reference CSV numbers."""
     m = jnp.asarray(pred_means)
     v = jnp.asarray(pred_vars)
     y = jnp.asarray(y)[None, :]

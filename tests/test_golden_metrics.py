@@ -31,7 +31,7 @@ GOLDEN = {"elbo": -1306.255272, "lml": -469.377496,
 
 @pytest.fixture(scope="module")
 def fixed_setup():
-    d = get_regression_data("synthetic-small", split=0)
+    d = get_regression_data("synthetic-small", split=0, prop=0.8)
     X = jnp.asarray(d.X_train); y = jnp.asarray(d.Y_train)
     Xt = jnp.asarray(d.X_test); yt = jnp.asarray(d.Y_test)
     kern = default_rbf(ard=True)

@@ -94,9 +94,6 @@ def single_run(dataset_name: str, split: int, model_name: str, M: int = 100,
         jax.block_until_ready(model.trace)
         sampling_seconds = time.time() - ts
         mixture = model.mixture_posterior_predictive(Xt)
-        trace_summary = summary(
-            {"log_noise": np.asarray(model.trace["log_noise"])[None]},
-            model.stats)
     elif model_name == "GPR_HMC":
         model = GPR_HMC(X, y)
         ts = time.time()
@@ -129,6 +126,24 @@ def single_run(dataset_name: str, split: int, model_name: str, M: int = 100,
 
     wall_clock = time.time() - t0
 
+    # Trace diagnostics for EVERY sampler-backed model (the reference writes
+    # pm.summary(trace) CSVs per HMC run, experiments/regression.py:192-195;
+    # round 1 only covered BayesianSGPR_HMC). The JSON embeds hypers only;
+    # the CSV gets the full table incl. high-dim leaves (Z, whitened u).
+    full_summary = None
+    if model_name not in ("SGPR", "SVGP", "BayesianSVGP") and \
+            getattr(model, "trace", None) is not None:
+        from ggp_tpu.inference import trace_to_named_dict
+        # add a singleton chain axis: traces are already flattened over chains
+        named = {k: np.asarray(v)[None]
+                 for k, v in trace_to_named_dict(model.trace).items()}
+        stats = getattr(model, "stats", None)
+        small = {k: v for k, v in named.items()
+                 if int(np.prod(v.shape[2:]) or 1) <= 64}
+        trace_summary = summary(small, stats)
+        full_summary = (trace_summary if small.keys() == named.keys()
+                        else summary(named, stats))
+
     if mixture is not None:
         means, vars_ = mixture
         test_rmse = float(rmse(jnp.mean(means, axis=0), yt, y_std))
@@ -147,6 +162,13 @@ def single_run(dataset_name: str, split: int, model_name: str, M: int = 100,
         metrics["trace_summary"] = trace_summary
     name = experiment_name(model_name, dataset_name, split, M=M, seed=seed)
     path = dump_experiment_json(name, metrics)
+    if full_summary is not None:
+        # per-run trace CSV incl. high-dim leaves — the reference's
+        # pm.summary(trace).to_csv artifact (experiments/regression.py:192-195)
+        from ggp_tpu.inference import summary_to_csv
+        import os
+        summary_to_csv(full_summary,
+                       os.path.join(os.path.dirname(path), f"{name}_trace.csv"))
     if save_losses and losses is not None:
         # per-split loss curve CSV (reference's optional loss dumps,
         # experiments/regression.py:189-190; consumed by aggregate_losses)

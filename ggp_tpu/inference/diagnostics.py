@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["effective_sample_size", "split_rhat", "summary"]
+__all__ = ["effective_sample_size", "split_rhat", "summary",
+           "trace_to_named_dict", "summary_to_csv"]
 
 
 def _autocov_fft(x: np.ndarray) -> np.ndarray:
@@ -102,3 +103,35 @@ def summary(samples_dict: dict, stats: dict | None = None) -> dict:
     if stats is not None and "diverging" in stats:
         out["_diverging"] = int(np.asarray(stats["diverging"]).sum())
     return out
+
+
+def trace_to_named_dict(trace) -> dict:
+    """Flatten a trace pytree (leading axis = draws, or (chains, draws)) into
+    a {dotted.path: array} dict for :func:`summary` — the naming convention
+    the reference gets for free from pymc3 variable names in its
+    ``pm.summary(trace)`` CSVs (experiments/regression.py:192-195)."""
+    import jax
+
+    out = {}
+    leaves = jax.tree_util.tree_flatten_with_path(trace)[0]
+    for path, leaf in leaves:
+        name = ".".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        out[name or "param"] = np.asarray(leaf)
+    return out
+
+
+def summary_to_csv(summ: dict, path: str) -> str:
+    """Write a :func:`summary` table as CSV (columns: param, mean, sd, ess,
+    rhat) — the per-run artifact the reference produces with
+    ``pm.summary(trace).to_csv`` (experiments/regression.py:192-195,
+    regression_allin.py:118-121). ``_diverging`` lands in an extra row."""
+    with open(path, "w") as f:
+        f.write("param,mean,sd,ess,rhat\n")
+        for name, row in summ.items():
+            if name == "_diverging":
+                f.write(f"_diverging,{row},,,\n")
+                continue
+            f.write(f"\"{name}\",{row['mean']:.6g},{row['sd']:.6g},"
+                    f"{row['ess']:.6g},{row['rhat']:.6g}\n")
+    return path

@@ -446,7 +446,8 @@ def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
 
 
 def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
-                  num_chains: int = 1, jitter_init: float = 0.1, mesh=None):
+                  num_chains: int = 1, jitter_init: float = 0.1, mesh=None,
+                  potential_fn: Callable | None = None):
     """Compile-once sampler factory.
 
     ``logprob_fn(params, data)`` — ``data`` is an arbitrary pytree traced as
@@ -457,6 +458,12 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
     ``mesh``: a Mesh with a ``chains`` axis — chains shard across devices
     (data pytree replicated). The reference has no chain parallelism at all
     (every sampler call is chains=1, models/bayesian_sgpr_hmc.py:78).
+
+    ``potential_fn(zvec, data) -> (U, grad)``: optional fused replacement for
+    ``jax.value_and_grad`` of ``-logprob_fn`` — used by the custom-call-free
+    collapsed-bound path (ggp_tpu.ops.fused_bound) to escape the per-loop
+    custom-call overhead (PERF.md). Must match the autodiff potential
+    numerically (tested in tests/test_fused_bound.py).
 
     Returns ``sample(init_params, key, data) -> (samples, stats)`` with
     samples leading axes ``(num_chains, num_samples)``.
@@ -470,9 +477,13 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
 
     @jax.jit
     def _run(flat0, key, data):
-        def potential_vg(zvec):
-            return jax.value_and_grad(
-                lambda v: -logprob_fn(unravel(v), data))(zvec)
+        if potential_fn is not None:
+            def potential_vg(zvec):
+                return potential_fn(zvec, data)
+        else:
+            def potential_vg(zvec):
+                return jax.value_and_grad(
+                    lambda v: -logprob_fn(unravel(v), data))(zvec)
 
         keys = jax.random.split(key, num_chains)
         jkeys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
@@ -516,7 +527,8 @@ def run_nuts(logprob_fn: Callable, init_params, key, cfg: NUTSConfig = NUTSConfi
 def build_sampler_chunked(logprob_fn: Callable, example_params,
                           cfg: NUTSConfig, num_chains: int = 1,
                           jitter_init: float = 0.1, mesh=None,
-                          chunk_size: int = 100):
+                          chunk_size: int = 100,
+                          potential_fn: Callable | None = None):
     """Like :func:`build_sampler`, but warmup and sampling run as a sequence
     of bounded-length program invocations of at most ``chunk_size``
     transitions each (three compiled executables total: init, warm chunk,
@@ -530,6 +542,13 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
     draws are trimmed.
     """
     _, unravel = jax.flatten_util.ravel_pytree(example_params)
+
+    def _make_pvg(data):
+        if potential_fn is not None:
+            return lambda zvec: potential_fn(zvec, data)
+        return lambda zvec: jax.value_and_grad(
+            lambda v: -logprob_fn(unravel(v), data))(zvec)
+
     n_warm_chunks = -(-cfg.num_warmup // chunk_size)
     warm_total = n_warm_chunks * chunk_size
     in_w_np, w_end_np = warmup_schedule(cfg.num_warmup)
@@ -552,9 +571,7 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
     @jax.jit
     def _init(flat0, key, data):
-        def pvg(zvec):
-            return jax.value_and_grad(
-                lambda v: -logprob_fn(unravel(v), data))(zvec)
+        pvg = _make_pvg(data)
 
         keys = jax.random.split(key, num_chains)
         jkeys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
@@ -578,9 +595,7 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
     @jax.jit
     def _warm_chunk(carry, in_w_c, w_end_c, data):
-        def pvg(zvec):
-            return jax.value_and_grad(
-                lambda v: -logprob_fn(unravel(v), data))(zvec)
+        pvg = _make_pvg(data)
 
         def one(c):
             warm = _make_warm_step(pvg, kernel, cfg, c["z"].shape[0],
@@ -601,9 +616,7 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
     @jax.jit
     def _sample_chunk(carry, data):
-        def pvg(zvec):
-            return jax.value_and_grad(
-                lambda v: -logprob_fn(unravel(v), data))(zvec)
+        pvg = _make_pvg(data)
 
         def one(c):
             eps = jnp.exp(c["da"].log_eps_avg)

@@ -75,6 +75,21 @@ class BayesianSparseGPR_HMC:
                                     self.train_y, self.jitter)
         return ll + log_prior(self.prior_tree, hypers)
 
+    def _fused_potential(self):
+        """Custom-call-free potential for the default Scale(RBF-ARD) target
+        (ggp_tpu.ops.fused_bound) — removes the ~80us/leapfrog custom-call
+        floor (PERF.md). None when the model configuration falls outside the
+        fused envelope (then the autodiff potential is used)."""
+        import os
+        from ..ops.fused_bound import (fused_potential_is_eligible,
+                                       make_rbf_vfe_potential)
+        if os.environ.get("GGP_FAST_ELBO"):      # explicit override wins
+            return None
+        if not fused_potential_is_eligible(self.kernel, self.likelihood,
+                                           self.prior_tree):
+            return None
+        return make_rbf_vfe_potential(self.train_x, self.train_y, self.jitter)
+
     def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,
                      algorithm="nuts", num_leapfrog=10, chunk_size=None):
         key = (num_warmup, num_samples, num_chains, max_depth, algorithm,
@@ -83,14 +98,16 @@ class BayesianSparseGPR_HMC:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              max_depth=max_depth, algorithm=algorithm,
                              num_leapfrog=num_leapfrog)
+            pot = self._fused_potential()
             if chunk_size:
                 self._samplers[key] = build_sampler_chunked(
                     self._logpost, self.hypers, cfg, num_chains,
-                    mesh=self.mesh, chunk_size=chunk_size)
+                    mesh=self.mesh, chunk_size=chunk_size, potential_fn=pot)
             else:
                 self._samplers[key] = build_sampler(self._logpost, self.hypers,
                                                     cfg, num_chains,
-                                                    mesh=self.mesh)
+                                                    mesh=self.mesh,
+                                                    potential_fn=pot)
         return self._samplers[key]
 
     def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None,

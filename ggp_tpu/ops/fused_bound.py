@@ -1,0 +1,371 @@
+"""Custom-call-free collapsed VFE bound: value + analytic gradient in one pass.
+
+Why this exists (PERF.md hot-loop profile): on the target TPU runtime every
+sampler-loop iteration that contains a *custom call* — an XLA
+Cholesky/triangular-solve, or even a trivial Pallas call — pays a ~80 us fixed
+overhead plus ~20 us per extra call. The NUTS leapfrog evaluates the collapsed
+bound's value+grad at every leaf, so that overhead is the measured floor
+(139 us/eval at Boston size, of which ~90 us is overhead). Autodiff of the
+direct bound emits ~6 custom calls per eval.
+
+This module removes *all* custom calls from the potential:
+
+* ``block_chol_u`` / ``block_ut_inv`` — blocked, MXU-friendly Cholesky and
+  upper-triangular inverse written as pure jnp/lax HLO (dynamic slices +
+  ``dot_general`` + ``fori_loop``); XLA compiles them into the sampler loop
+  body with no custom-call boundary. Row-oriented (we build U = L^T) so all
+  dynamic indexing lands on the cheap sublane axis.
+* ``make_rbf_vfe_potential`` — the negative log posterior and its gradient
+  for the flagship BayesianSGPR_HMC target (Scale(RBF-ARD) kernel, Gaussian
+  likelihood, the reference's Gamma(2,1)/HalfCauchy(1) priors,
+  /root/reference/models/bayesian_sgpr_hmc.py:62-68) with a hand-derived
+  adjoint, numerically identical (same direct Cholesky formulation, same
+  relative-jitter policy) to ``jax.value_and_grad`` of
+  ``-(sgpr_elbo + log_prior)``.
+
+The gradient uses the numerically-sound direct formulation (A = L^-1 Kmn —
+condition number linear in cond(Kmn), unlike the stats formulation that made
+``sgpr_elbo_fast`` f32-unsafe, PERF.md):
+
+  dF/dKnm  = [A^T (I - B^-1) L^-1 + alpha w^T] / sigma
+  dF/dKmm  = -w w^T/(2 s2) + L^-T (2I - B - B^-1) L^-1 / 2
+  dF/ds2   = ||alpha||^2/2 - tr(W)/2 + t/(2 s2^2)
+  with  B = I + A A^T,  u = A y,  v = B^-1 u,  w = L^-T v,
+        alpha = (y - A^T v)/s2,  tr(W) = (n - M + tr B^-1)/s2,
+        t = sum kdiag - s2 (tr B - M)
+
+then chains through the RBF-ARD kernel in closed form. Verified against
+``jax.grad`` to machine precision (tests/test_fused_bound.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["block_chol_u", "block_ut_inv", "chol_u_inplace", "ut_inv_inplace",
+           "make_rbf_vfe_potential", "fused_potential_is_eligible"]
+
+_LANES = 128
+
+
+def _dg(a, b, ca, cb):
+    """dot_general contracting dim ca of a with cb of b, f32-accumulated."""
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((), ())),
+        preferred_element_type=a.dtype if a.dtype == jnp.float64 else jnp.float32)
+
+
+def _chol_panel(p, j0, block):
+    """Factor ``block`` pivot rows (lanes j0..j0+block-1) of a symmetric
+    trailing panel p (block, Mp). Statically unrolled; dynamic indices appear
+    only in lane masks. Returns the U (=L^T) panel. Non-PSD pivots propagate
+    NaN (matching ``jnp.linalg.cholesky``) so sampler divergence detection
+    keeps working."""
+    Mp = p.shape[1]
+    dt = p.dtype
+    colmj = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1) - j0
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    rows = []
+    for i in range(block):
+        onehot = (colmj == i).astype(dt)                  # (1, Mp)
+        ri = p[i:i + 1, :]                                # (1, Mp)
+        d = jnp.sum(ri * onehot)
+        dis = jnp.where(d > 0,
+                        jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
+                        jnp.asarray(jnp.nan, dt))
+        ui = ri * dis * (colmj >= i).astype(dt)           # masked U row
+        rows.append(ui)
+        cu = jnp.sum(p * onehot, axis=1, keepdims=True) * dis   # (block,1)
+        p = p - jnp.where(rowb > i, cu, jnp.asarray(0.0, dt)) * ui
+    return jnp.concatenate(rows, axis=0)
+
+
+def _inv_panel(S, R, i0, block):
+    """Back-substitute the diagonal block of panel S (rows i0..i0+block-1 of
+    U) against accumulated right-hand side R. Returns the V panel."""
+    Mp = S.shape[1]
+    dt = S.dtype
+    colmj = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1) - i0
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    rows: list = [None] * block
+    for k in range(block - 1, -1, -1):
+        onehot = (colmj == k).astype(dt)
+        ukk = jnp.sum(S[k:k + 1, :] * onehot)
+        vk = R[k:k + 1, :] / ukk                          # (1, Mp)
+        rows[k] = vk
+        c = jnp.sum(S * onehot, axis=1, keepdims=True)    # (block, 1)
+        R = R - jnp.where(rowb < k, c, jnp.asarray(0.0, dt)) * vk
+    return jnp.concatenate(rows, axis=0)
+
+
+def block_chol_u(K: jnp.ndarray, block: int = 16) -> jnp.ndarray:
+    """U = chol(K)^T (upper triangular), pure HLO — no lapack custom call.
+
+    Right-looking blocked algorithm over ``block``-row panels: panel
+    factorisation via :func:`_chol_panel`, trailing update via one MXU
+    ``dot_general`` per panel.
+    """
+    Mp = K.shape[0]
+    assert Mp % block == 0, (Mp, block)
+
+    def block_step(bj, carry):
+        K, U = carry
+        j0 = bj * block
+        p = jax.lax.dynamic_slice(K, (j0, 0), (block, Mp))
+        Up = _chol_panel(p, j0, block)
+        U = jax.lax.dynamic_update_slice(U, Up, (j0, 0))
+        K = K - _dg(Up, Up, 0, 0)                             # trailing update
+        return K, U
+
+    _, U = jax.lax.fori_loop(0, Mp // block, block_step,
+                             (K, jnp.zeros_like(K)))
+    return U
+
+
+def block_ut_inv(U: jnp.ndarray, block: int = 16) -> jnp.ndarray:
+    """V = U^-1 for upper-triangular U, pure HLO (no trsm custom call).
+
+    Bottom-up blocked back-substitution; same masking strategy as
+    :func:`block_chol_u`.
+    """
+    Mp = U.shape[0]
+    assert Mp % block == 0, (Mp, block)
+    dt = U.dtype
+    nb = Mp // block
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+    def block_step(t, V):
+        i0 = (nb - 1 - t) * block
+        S = jax.lax.dynamic_slice(U, (i0, 0), (block, Mp))    # (block, Mp)
+        Smask = S * (col >= i0 + block).astype(dt)
+        E = ((rowb + i0) == col).astype(dt)                   # identity rows
+        R = E - _dg(Smask, V, 1, 0)
+        Vp = _inv_panel(S, R, i0, block)
+        return jax.lax.dynamic_update_slice(V, Vp, (i0, 0))
+
+    # V starts at zero so masked products with not-yet-written rows vanish
+    return jax.lax.fori_loop(0, nb, block_step, jnp.zeros_like(U))
+
+
+# -- ref-based variants for use INSIDE Pallas kernels ------------------------
+# (Mosaic does not lower dynamic_slice on values, so the in-kernel versions
+# read/write panels through Refs with pl.ds; the panel math is shared.)
+
+def chol_u_inplace(K_ref, U_ref, block: int = 16) -> None:
+    """In-kernel U = chol(K)^T: consumes K_ref (destroyed), writes U_ref."""
+    from jax.experimental import pallas as pl
+
+    Mp = K_ref.shape[0]
+    nb = Mp // block
+
+    def step(bj, _):
+        j0 = pl.multiple_of(bj * block, block)
+        p = K_ref[pl.ds(j0, block), :]
+        Up = _chol_panel(p, j0, block)
+        U_ref[pl.ds(j0, block), :] = Up
+        K_ref[:] = K_ref[:] - _dg(Up, Up, 0, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nb, step, 0)
+
+
+def ut_inv_inplace(U_ref, V_ref, block: int = 16) -> None:
+    """In-kernel V = U^-1 (upper triangular): reads U_ref, writes V_ref."""
+    from jax.experimental import pallas as pl
+
+    Mp = U_ref.shape[0]
+    dt = U_ref.dtype
+    nb = Mp // block
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    V_ref[:] = jnp.zeros((Mp, Mp), dt)
+
+    def step(t, _):
+        i0 = pl.multiple_of((nb - 1 - t) * block, block)
+        S = U_ref[pl.ds(i0, block), :]
+        Smask = S * (col >= i0 + block).astype(dt)
+        E = ((rowb + i0) == col).astype(dt)
+        R = E - _dg(Smask, V_ref[:], 1, 0)
+        V_ref[pl.ds(i0, block), :] = _inv_panel(S, R, i0, block)
+        return 0
+
+    jax.lax.fori_loop(0, nb, step, 0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _default_chol_inv(K):
+    U = block_chol_u(K)
+    return U, block_ut_inv(U)
+
+
+def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
+                            chol_inv=_default_chol_inv):
+    """Potential U = -(collapsed ELBO + log prior) and dU/dtheta.
+
+    Shapes: theta_pad (1,128) [lanes 0..d-1 log-lengthscale, d log-outputscale,
+    d+1 log-noise], Xp (Np,128), yp (Np,1), Zp (Mp,128); n/m/d static actual
+    sizes (padding rows/lanes are zero). Returns (U, g) with g (1,128), zero
+    in padding lanes. Matches jax.value_and_grad of
+    -(sgpr_elbo + log_prior(prior_tree_rbf())) bit-for-bit in structure:
+    same sq_dist clamping, same relative jitter (ops/linalg.py:add_jitter),
+    same prior parameterisation (priors.py:142-153).
+    """
+    dt = Xp.dtype
+    Np, Mp = Xp.shape[0], Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    ls_mask = (lane < d).astype(dt)
+    log_os = theta_pad[0, d]
+    log_noise = theta_pad[0, d + 1]
+    inv_ls = jnp.exp(-theta_pad) * ls_mask                    # (1,128)
+    sf2 = jnp.exp(log_os)
+    s2 = jnp.exp(log_noise)
+    sigma = jnp.sqrt(s2)
+
+    rown = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    n_mask = (rown < n).astype(dt)                            # (Np,1)
+    mrow_mask = (rowm < m).astype(dt)                         # (Mp,1)
+    mcol_mask = (colm < m).astype(dt)                         # (1,Mp)
+    eyeM = (rowm == colm).astype(dt)                          # (Mp,Mp)
+
+    Xs = Xp * inv_ls
+    Zs = Zp * inv_ls
+    xn = jnp.sum(Xs * Xs, axis=1, keepdims=True)              # (Np,1)
+    zn = jnp.sum(Zs * Zs, axis=1, keepdims=True)              # (Mp,1)
+    znT = jnp.reshape(zn, (1, Mp))
+    r2_nm = jnp.maximum(xn + znT - 2.0 * _dg(Xs, Zs, 1, 1), 0.0)
+    Knm = sf2 * jnp.exp(-0.5 * r2_nm) * n_mask * mcol_mask    # (Np,Mp)
+    r2_mm = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+    Kmm = sf2 * jnp.exp(-0.5 * r2_mm)
+    Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)   # pad block = I
+    jit_scale = jnp.maximum(sf2, 1.0)                         # mean diag = sf2
+    Kmm_j = Kmm + (jitter * jit_scale) * eyeM
+
+    U, V = chol_inv(Kmm_j)                                    # U = L^T, V = L^-T
+    An = _dg(Knm, V, 1, 0) / sigma                            # A^T = Knm L^-T / sigma
+    B = _dg(An, An, 0, 0) + eyeM
+    UB, VB = chol_inv(B)
+    Binv = _dg(VB, VB, 1, 1)                                  # VB VB^T = B^-1
+    u = _dg(An, yp, 0, 0)                                     # (Mp,1) A y
+    v = Binv @ u
+    w = _dg(V, v, 1, 0)                                       # L^-T v
+    alpha = (yp - An @ v) / s2                                # (Np,1)
+
+    diagUB = jnp.sum(UB * eyeM, axis=1)
+    logdetB = 2.0 * jnp.sum(jnp.log(diagUB))
+    uv = jnp.sum(u * v)
+    yy = jnp.sum(yp * yp)
+    trB = jnp.sum(B * eyeM)
+    trBinv = jnp.sum(Binv * eyeM)
+    kdiag_sum = n * sf2
+    t_term = kdiag_sum - s2 * (trB - Mp)
+    F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+         - 0.5 * logdetB - 0.5 * (yy - uv) / s2 - 0.5 * t_term / s2)
+
+    # ---- adjoints ----
+    Y1 = _dg(eyeM - Binv, V, 1, 1)                            # (I-B^-1) L^-1
+    wT = jnp.reshape(w, (1, Mp))
+    dKnm = (An @ Y1 + alpha * wT) / sigma                     # (Np,Mp)
+    T0 = 2.0 * eyeM - B - Binv
+    dKmm = (-(w * wT) / (2.0 * s2)
+            + 0.5 * _dg(_dg(V, T0, 1, 0), V, 1, 1))           # L^-T T0 L^-1
+    trW = (n - Mp + trBinv) / s2
+    dF_ds2 = (0.5 * jnp.sum(alpha * alpha) - 0.5 * trW
+              + t_term / (2.0 * s2 * s2))
+    dlog_noise = dF_ds2 * s2
+    dlog_os = (jnp.sum(dKmm * Kmm) + jnp.sum(dKnm * Knm)
+               + jitter * sf2 * (sf2 > 1.0) * jnp.sum(dKmm * eyeM)
+               - n * sf2 / (2.0 * s2))
+
+    Pmm = dKmm * Kmm
+    Pnm = dKnm * Knm
+    rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)               # (Mp,1)
+    cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)               # (1,Mp)
+    rs_nm = jnp.sum(Pnm, axis=1, keepdims=True)               # (Np,1)
+    cs_nm = jnp.sum(Pnm, axis=0, keepdims=True)               # (1,Mp)
+    Zs2 = Zs * Zs
+    Xs2 = Xs * Xs
+    dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+           - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+           + _dg(rs_nm, Xs2, 0, 0) + cs_nm @ Zs2
+           - 2.0 * jnp.sum(Xs * (Pnm @ Zs), axis=0, keepdims=True))  # (1,128)
+
+    # ---- priors (priors.py: Gamma(2,1) on ls, HalfCauchyOnStd(1) on os/noise)
+    lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
+    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
+
+    def _hc(uu):
+        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
+
+    lp = lp_ls + _hc(log_os) + _hc(log_noise)
+    g_ls = (2.0 - jnp.exp(theta_pad)) * ls_mask
+    g_os = 0.5 - jax.nn.sigmoid(log_os)
+    g_noise = 0.5 - jax.nn.sigmoid(log_noise)
+
+    g = dls + g_ls
+    g = jnp.where(lane == d, dlog_os + g_os, g)
+    g = jnp.where(lane == d + 1, dlog_noise + g_noise, g)
+    g = g * (lane < d + 2).astype(dt)
+    return -(F + lp), -g
+
+
+def make_rbf_vfe_potential(X, y, jitter: float, max_n: int = 32768):
+    """Factory: ``potential_fn(zvec, Z) -> (U, grad)`` for ``build_sampler``.
+
+    ``zvec`` is the flat unconstrained hyper vector in ravel_pytree order
+    [log_lengthscale (D), log_outputscale, log_noise] (asserted by the
+    caller, models/bayesian_sgpr_hmc.py). Returns None if the problem is out
+    of the fused path's envelope (D+2 > 128 or N > max_n).
+    """
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+    n, d = X.shape
+    if d + 2 > _LANES or n > max_n:
+        return None
+    dt = X.dtype
+    Np = _round_up(n, 8)
+    Xp = jnp.zeros((Np, _LANES), dt).at[:n, :d].set(X)
+    yp = jnp.zeros((Np, 1), dt).at[:n, 0].set(y)
+    jitter = float(jitter)
+
+    def potential_fn(zvec, Z):
+        m = Z.shape[0]
+        Mp = _round_up(m, _LANES)
+        Zp = jnp.zeros((Mp, _LANES), dt).at[:m, :d].set(Z.astype(dt))
+        theta_pad = jnp.zeros((1, _LANES), dt).at[0, :d + 2].set(zvec)
+        Upot, g = _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d,
+                                          jitter)
+        return Upot, g[0, :d + 2]
+
+    return potential_fn
+
+
+def fused_potential_is_eligible(kernel, likelihood, prior_tree) -> bool:
+    """True when (kernel, likelihood, priors) match the fused RBF-VFE target
+    exactly: Scale(RBF(ard)) x Gaussian x prior_tree_rbf().
+
+    NOTE this gates only the MODEL-STRUCTURE match. The XLA-level fused
+    potential is opt-in (``GGP_FUSED_NUTS=1``): measured 6x SLOWER than the
+    autodiff potential at XLA level (the blocked panel loops decompose into
+    thousands of sub-tile HLOs). Its production consumer is the Pallas
+    whole-transition kernel (ggp_tpu.ops.fused_nuts), where the same panel
+    algorithms compile to straight VPU/MXU code.
+    """
+    import os
+    if os.environ.get("GGP_FUSED_NUTS", "0") != "1":
+        return False
+    from ..kernels.base import RBF, Scale
+    from ..likelihoods import GaussianLikelihood
+    from ..priors import prior_tree_rbf
+    return (isinstance(kernel, Scale) and type(kernel.base) is RBF
+            and kernel.base.ard
+            and type(likelihood) is GaussianLikelihood
+            and prior_tree == prior_tree_rbf())

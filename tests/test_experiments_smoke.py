@@ -62,3 +62,29 @@ def test_aggregate_results_roundtrip(tmp_path, monkeypatch):
     agg = ar.aggregate(df)
     assert agg.iloc[0]["n"] == 2
     assert np.isfinite(agg.iloc[0]["nlpd_se"])
+
+
+def test_trace_summary_csv_all_hmc_models(tmp_path, monkeypatch):
+    """Every sampler-backed model writes a per-run trace CSV with
+    ESS/R-hat/divergences per hyper (reference writes pm.summary CSVs for
+    every HMC run, experiments/regression.py:192-195)."""
+    import os
+
+    import ggp_tpu.utils.experiment_tools as et
+    monkeypatch.setattr(et, "LOG_DIR", str(tmp_path))
+    from regression import single_run
+    for split, model in [(0, "GPR_HMC"), (0, "JointHMC")]:
+        r = single_run("synthetic-small", split, model, tune=40,
+                       num_samples=16, num_chains=1, verbose=False)
+        assert "trace_summary" in r, model
+        ts = r["trace_summary"]
+        hyper_rows = [k for k in ts if not k.startswith("_")]
+        assert hyper_rows, model
+        for k in hyper_rows:
+            assert np.isfinite(ts[k]["ess"]), (model, k)
+        assert "_diverging" in ts
+        csvs = [f for f in os.listdir(os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0]))
+                if f.endswith("_trace.csv")]
+        assert csvs, model
+        txt = open(os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0], csvs[0])).read()
+        assert txt.startswith("param,mean,sd,ess,rhat")

@@ -1,0 +1,143 @@
+"""Custom-call-free collapsed bound: blocked linalg + analytic adjoint parity.
+
+Layer-1 tests per SURVEY §4: the blocked Cholesky/triangular-inverse against
+lapack, and the fused potential's value+grad against jax.value_and_grad of
+-(sgpr_elbo + log_prior) — the exact function it replaces in the NUTS hot
+loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggp_tpu.kernels import default_rbf
+from ggp_tpu.models.sgpr import sgpr_elbo
+from ggp_tpu.ops.fused_bound import (block_chol_u, block_ut_inv,
+                                     fused_potential_is_eligible,
+                                     make_rbf_vfe_potential)
+from ggp_tpu.priors import log_prior, prior_tree_rbf
+
+
+def _rand_psd(rng, n, dtype):
+    A = jnp.asarray(rng.normal(size=(n, n)), dtype)
+    return A @ A.T + n * jnp.eye(n, dtype=dtype)
+
+
+@pytest.mark.parametrize("n", [16, 128, 256])
+def test_block_chol_matches_lapack(rng, n):
+    K = _rand_psd(rng, n, jnp.float64)
+    U = jax.jit(block_chol_u)(K)
+    L_ref = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(U.T), np.asarray(L_ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_block_chol_nan_on_non_psd(rng):
+    K = _rand_psd(rng, 32, jnp.float64)
+    K = K.at[3, 3].set(-100.0)
+    U = jax.jit(block_chol_u)(K)
+    assert not bool(jnp.all(jnp.isfinite(U)))
+
+
+@pytest.mark.parametrize("n", [16, 128])
+def test_block_ut_inv(rng, n):
+    K = _rand_psd(rng, n, jnp.float64)
+    U = block_chol_u(K)
+    V = jax.jit(block_ut_inv)(U)
+    np.testing.assert_allclose(np.asarray(U @ V), np.eye(n),
+                               rtol=0, atol=1e-10)
+
+
+@pytest.mark.parametrize("ndm", [(40, 8, 3), (404, 100, 13), (37, 20, 1)])
+def test_fused_potential_matches_autodiff(rng, ndm):
+    n, m, d = ndm
+    X = jnp.asarray(rng.normal(size=(n, d)))
+    y = jnp.asarray(rng.normal(size=(n,)))
+    Z = jnp.asarray(rng.normal(size=(m, d)))
+    kern = default_rbf(ard=True)
+    ptree = prior_tree_rbf()
+    jitter = 1e-6
+    hypers = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(d,)) * 0.5)},
+                   "log_outputscale": jnp.asarray(0.4)},
+        "log_noise": jnp.asarray(-1.2),
+    }
+    zvec, unravel = jax.flatten_util.ravel_pytree(hypers)
+    # fused path assumes ravel order [lengthscales..., outputscale, noise]
+    assert np.allclose(
+        np.asarray(zvec[:d]),
+        np.asarray(hypers["kernel"]["base"]["log_lengthscale"]))
+    assert float(zvec[d]) == float(hypers["kernel"]["log_outputscale"])
+    assert float(zvec[d + 1]) == float(hypers["log_noise"])
+
+    def ref(v):
+        th = unravel(v)
+        return -(sgpr_elbo(kern, {**th, "Z": Z}, X, y, jitter)
+                 + log_prior(ptree, th))
+
+    U_ref, g_ref = jax.value_and_grad(ref)(zvec)
+    pot = make_rbf_vfe_potential(X, y, jitter)
+    U_f, g_f = jax.jit(pot)(zvec, Z)
+    assert g_f.shape == zvec.shape
+    np.testing.assert_allclose(float(U_f), float(U_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_fused_potential_f32(rng):
+    """f32 parity at realistic (post-warm-start, small-noise) hypers — the
+    regime where sgpr_elbo_fast's stats formulation broke (PERF.md)."""
+    n, m, d = 200, 32, 4
+    X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    y = jnp.sin(X @ w) + 0.05 * jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    Z = X[:m]
+    kern = default_rbf(ard=True)
+    ptree = prior_tree_rbf()
+    jitter = 1e-6
+    hypers = {
+        "kernel": {"base": {"log_lengthscale": jnp.zeros((d,), jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.0, jnp.float32)},
+        "log_noise": jnp.asarray(np.log(0.05 ** 2), jnp.float32),
+    }
+    zvec, unravel = jax.flatten_util.ravel_pytree(hypers)
+
+    def ref(v):
+        th = unravel(v)
+        return -(sgpr_elbo(kern, {**th, "Z": Z}, X, y, jitter)
+                 + log_prior(ptree, th))
+
+    U_ref, g_ref = jax.value_and_grad(ref)(zvec)
+    pot = make_rbf_vfe_potential(X, y, jitter)
+    U_f, g_f = jax.jit(pot)(zvec, Z)
+    assert np.isfinite(float(U_f))
+    np.testing.assert_allclose(float(U_f), float(U_ref),
+                               rtol=2e-4, atol=2e-3)
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1.0
+    np.testing.assert_allclose(np.asarray(g_f) / scale,
+                               np.asarray(g_ref) / scale, atol=5e-3)
+
+
+def test_eligibility_gate(monkeypatch):
+    monkeypatch.setenv("GGP_FUSED_NUTS", "1")
+    from ggp_tpu.kernels.base import RBF, Matern52, Scale
+    from ggp_tpu.likelihoods import BernoulliProbit, GaussianLikelihood
+    assert fused_potential_is_eligible(
+        Scale(RBF(ard=True)), GaussianLikelihood(), prior_tree_rbf())
+    monkeypatch.delenv("GGP_FUSED_NUTS")
+    assert not fused_potential_is_eligible(
+        Scale(RBF(ard=True)), GaussianLikelihood(), prior_tree_rbf())
+    monkeypatch.setenv("GGP_FUSED_NUTS", "1")
+    assert not fused_potential_is_eligible(
+        Scale(Matern52(ard=True)), GaussianLikelihood(), prior_tree_rbf())
+    assert not fused_potential_is_eligible(
+        Scale(RBF(ard=True)), BernoulliProbit(), prior_tree_rbf())
+    assert not fused_potential_is_eligible(
+        Scale(RBF(ard=True)), GaussianLikelihood(), {"log_noise": None})
+    # envelope: too many dims / too many rows -> factory declines
+    X = jnp.zeros((10, 127))
+    assert make_rbf_vfe_potential(X, jnp.zeros(10), 1e-6) is None
+    X2 = jnp.zeros((100, 2))
+    assert make_rbf_vfe_potential(X2, jnp.zeros(100), 1e-6, max_n=50) is None

@@ -1,10 +1,15 @@
-"""Mauna Loa CO2 with SGPMC (JointHMC) and the composite kernel.
+"""Mauna Loa CO2 with SGPMC (JointHMC), faithful to the reference spec.
 
-Rebuild of the reference's gpflow variant (experiments/co2_sgpmc.py): the
-composite kernel with tfd priors (:66-93) becomes the same co2 kernel with a
-LogNormal(0,3) prior tree; the reference's HMC (leapfrog=20, step=0.005,
-:120-122) maps to our ``algorithm="hmc"`` with the same leapfrog count;
-M=200 (:190).
+Rebuild of the reference's gpflow variant (experiments/co2_sgpmc.py):
+* Linear mean function with N(0,3) priors on A and b (:60-63) — the only
+  reference model with a non-zero mean;
+* the exact composite: Periodic(SE, period=1 fixed) x Matern52 seasonal,
+  RationalQuadratic medium, SE trend (variance init log(2)^2),
+  Matern52 + White noise (:65-71), with the per-component tfd priors
+  (HalfNormal on variances, Gamma on lengthscales/alpha, :74-90) and
+  Gamma(2,1) on likelihood noise (:107);
+* HMC with leapfrog=20, step size adapted to accept 0.80 from 0.005
+  (:119-125) -> ``algorithm="hmc"``, num_leapfrog=20; M=200 (:190).
 """
 
 from __future__ import annotations
@@ -19,11 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from co2_bayesian_sgpr_hmc import co2_prior_tree
 from co2_data import load_co2_dataset
-from ggp_tpu.kernels import co2_kernel
+from ggp_tpu.kernels.composite import co2_sgpmc_kernel, co2_sgpmc_prior_tree
+from ggp_tpu.means import Linear, linear_mean_prior_tree
 from ggp_tpu.models import SGPMC
-from ggp_tpu.priors import Gamma
 from ggp_tpu.utils.metrics import nlpd_mixture, rmse
 
 
@@ -37,12 +41,11 @@ def main(M=200, tune=500, n_samples=500, year_split=2003, algorithm="nuts",
     Xt = jnp.asarray(Xte, jnp.float32)
     yt = jnp.asarray(yte, jnp.float32)
 
-    kern = co2_kernel()
-    prior = co2_prior_tree(kern)
-    hyper_prior = {"kernel": prior["kernel"],
-                   "lik": {"log_noise": Gamma(2.0, 1.0)}}
+    kern = co2_sgpmc_kernel()
+    hyper_prior = co2_sgpmc_prior_tree()
+    hyper_prior["mean"] = linear_mean_prior_tree(3.0)
     Z_init = X[:: max(1, X.shape[0] // M)][:M]
-    model = SGPMC(X, y, Z_init=Z_init, kernel=kern,
+    model = SGPMC(X, y, Z_init=Z_init, kernel=kern, mean_fn=Linear(),
                   hyper_prior_tree=hyper_prior, jitter=1e-4)
     model.warm_start(num_steps=200, lr=0.02)
     model.train_model(num_warmup=tune, num_samples=n_samples,

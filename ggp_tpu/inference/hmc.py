@@ -403,7 +403,7 @@ def _make_warm_step(potential_vg, kernel, cfg: NUTSConfig, dim, dtype):
 
 
 def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
-                  window_end):
+                  window_end, kernel_override=None):
     dim = z0.shape[0]
     dtype = z0.dtype
     U0, g0 = potential_vg(z0)
@@ -415,7 +415,9 @@ def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
     da = da_init(eps)
     wf = welford_init(dim, dtype)
 
-    if cfg.algorithm == "nuts":
+    if kernel_override is not None:
+        kernel = kernel_override
+    elif cfg.algorithm == "nuts":
         kernel = partial(nuts_kernel, max_depth=cfg.max_depth)
     else:
         kernel = partial(hmc_kernel, num_leapfrog=cfg.num_leapfrog)
@@ -447,7 +449,8 @@ def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
 
 def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
                   num_chains: int = 1, jitter_init: float = 0.1, mesh=None,
-                  potential_fn: Callable | None = None):
+                  potential_fn: Callable | None = None,
+                  fused_builder: Callable | None = None):
     """Compile-once sampler factory.
 
     ``logprob_fn(params, data)`` — ``data`` is an arbitrary pytree traced as
@@ -477,7 +480,10 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
 
     @jax.jit
     def _run(flat0, key, data):
-        if potential_fn is not None:
+        kernel_override = None
+        if fused_builder is not None:
+            kernel_override, potential_vg = fused_builder(data)
+        elif potential_fn is not None:
             def potential_vg(zvec):
                 return potential_fn(zvec, data)
         else:
@@ -500,7 +506,8 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
             keys = jax.lax.with_sharding_constraint(keys, sh)
         return jax.vmap(
             lambda z0, k: _single_chain(potential_vg, z0, k, cfg, in_window,
-                                        window_end))(z0s, keys)
+                                        window_end,
+                                        kernel_override))(z0s, keys)
 
     def sample(init_params, key, data=None):
         flat0, _ = jax.flatten_util.ravel_pytree(init_params)
@@ -528,7 +535,8 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
                           cfg: NUTSConfig, num_chains: int = 1,
                           jitter_init: float = 0.1, mesh=None,
                           chunk_size: int = 100,
-                          potential_fn: Callable | None = None):
+                          potential_fn: Callable | None = None,
+                          fused_builder: Callable | None = None):
     """Like :func:`build_sampler`, but warmup and sampling run as a sequence
     of bounded-length program invocations of at most ``chunk_size``
     transitions each (three compiled executables total: init, warm chunk,
@@ -544,10 +552,17 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
     _, unravel = jax.flatten_util.ravel_pytree(example_params)
 
     def _make_pvg(data):
+        if fused_builder is not None:
+            return fused_builder(data)[1]
         if potential_fn is not None:
             return lambda zvec: potential_fn(zvec, data)
         return lambda zvec: jax.value_and_grad(
             lambda v: -logprob_fn(unravel(v), data))(zvec)
+
+    def _make_kernel(data):
+        if fused_builder is not None:
+            return fused_builder(data)[0]
+        return kernel
 
     n_warm_chunks = -(-cfg.num_warmup // chunk_size)
     warm_total = n_warm_chunks * chunk_size
@@ -597,8 +612,10 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
     def _warm_chunk(carry, in_w_c, w_end_c, data):
         pvg = _make_pvg(data)
 
+        kern = _make_kernel(data)
+
         def one(c):
-            warm = _make_warm_step(pvg, kernel, cfg, c["z"].shape[0],
+            warm = _make_warm_step(pvg, kern, cfg, c["z"].shape[0],
                                    c["z"].dtype)
 
             def step(s, inputs):
@@ -617,14 +634,15 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
     @jax.jit
     def _sample_chunk(carry, data):
         pvg = _make_pvg(data)
+        kern = _make_kernel(data)
 
         def one(c):
             eps = jnp.exp(c["da"].log_eps_avg)
 
             def step(s, _):
                 key, k_step = jax.random.split(s["key"])
-                z, U, g, stats = kernel(pvg, s["z"], s["U"], s["g"], k_step,
-                                        eps, s["inv_mass"])
+                z, U, g, stats = kern(pvg, s["z"], s["U"], s["g"], k_step,
+                                      eps, s["inv_mass"])
                 return {**s, "z": z, "U": U, "g": g, "key": key}, (z, stats)
 
             c, (zs, stats) = jax.lax.scan(step, c, None, length=chunk_size)

@@ -28,3 +28,42 @@ def default_rbf(ard: bool = True) -> Kernel:
     """Scale(RBF(ard)) — the reference's default model kernel
     (models/sgpr.py:35-37)."""
     return Scale(RBF(ard=ard))
+
+
+def co2_sgpmc_kernel() -> Kernel:
+    """The reference CO2 JointHMC composite (experiments/co2_sgpmc.py:65-71):
+    seasonal Periodic(SE, period=1 fixed) x Matern52 (M52 variance fixed at 1
+    — our unit-variance bases encode that for free), medium RationalQuadratic,
+    trend SE initialised at variance log(2)^2, noise Matern52 + White."""
+    import numpy as _np
+
+    from .base import Matern52, White
+    seasonal = Scale(Periodic(fixed_period=1.0) * Matern52(ard=False))
+    medium = Scale(RationalQuadratic(ard=False))
+    trend = Scale(RBF(ard=False),
+                  init_log_outputscale=float(_np.log(_np.log(2.0) ** 2)))
+    noise = Scale(Matern52(ard=False)) + White()
+    return Sum((seasonal, medium, trend, noise))
+
+
+def co2_sgpmc_prior_tree() -> dict:
+    """Per-component priors of the reference CO2 JointHMC
+    (experiments/co2_sgpmc.py:74-93,107): HalfNormal on variances, Gamma on
+    lengthscales/alpha, Gamma(2,1) on likelihood noise. Structure mirrors
+    ``co2_sgpmc_kernel().init_params(1)``."""
+    from ..priors import Gamma, HalfNormal
+    seasonal = {"log_outputscale": HalfNormal(2.0),
+                "base": {"terms": ({"log_lengthscale": Gamma(4.0, 3.0)},
+                                   {"log_lengthscale": Gamma(10.0, 0.075)})}}
+    medium = {"log_outputscale": HalfNormal(0.5),
+              "base": {"log_lengthscale": Gamma(2.0, 0.75),
+                       "log_alpha": Gamma(5.0, 2.0)}}
+    trend = {"log_outputscale": HalfNormal(2.0),
+             "base": {"log_lengthscale": Gamma(4.0, 0.1)}}
+    noise = {"terms": ({"log_outputscale": HalfNormal(0.5),
+                        "base": {"log_lengthscale": Gamma(2.0, 4.0)}},
+                       {"log_variance": HalfNormal(0.25)})}
+    return {
+        "kernel": {"terms": (seasonal, medium, trend, noise)},
+        "lik": {"log_noise": Gamma(2.0, 1.0)},
+    }

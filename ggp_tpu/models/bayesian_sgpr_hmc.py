@@ -90,6 +90,32 @@ class BayesianSparseGPR_HMC:
             return None
         return make_rbf_vfe_potential(self.train_x, self.train_y, self.jitter)
 
+    def _fused_transition(self, max_depth):
+        """Pallas whole-transition NUTS kernel (ops.fused_nuts) — the default
+        hot path on TPU for the Scale(RBF-ARD) target: one kernel per NUTS
+        transition instead of one custom call per leapfrog (PERF.md's ~80us/
+        loop-iteration floor). Disable with ``GGP_FUSED_TRANSITION=0``."""
+        import os
+
+        import jax as _jax
+
+        from ..ops.fused_bound import fused_structure_matches
+        from ..ops.fused_nuts import fused_nuts_supported, make_fused_nuts
+        if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
+            return None
+        if os.environ.get("GGP_FAST_ELBO"):
+            return None
+        if _jax.default_backend() != "tpu" or self.mesh is not None:
+            return None
+        if not fused_structure_matches(self.kernel, self.likelihood,
+                                       self.prior_tree):
+            return None
+        n, d = self.train_x.shape
+        if not fused_nuts_supported(n, d, self.Z.shape[0]):
+            return None
+        return make_fused_nuts(self.train_x, self.train_y, self.jitter,
+                               max_depth=max_depth)
+
     def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,
                      algorithm="nuts", num_leapfrog=10, chunk_size=None):
         key = (num_warmup, num_samples, num_chains, max_depth, algorithm,
@@ -98,16 +124,20 @@ class BayesianSparseGPR_HMC:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              max_depth=max_depth, algorithm=algorithm,
                              num_leapfrog=num_leapfrog)
-            pot = self._fused_potential()
+            fused = (self._fused_transition(max_depth)
+                     if algorithm == "nuts" else None)
+            pot = None if fused is not None else self._fused_potential()
             if chunk_size:
                 self._samplers[key] = build_sampler_chunked(
                     self._logpost, self.hypers, cfg, num_chains,
-                    mesh=self.mesh, chunk_size=chunk_size, potential_fn=pot)
+                    mesh=self.mesh, chunk_size=chunk_size, potential_fn=pot,
+                    fused_builder=fused)
             else:
                 self._samplers[key] = build_sampler(self._logpost, self.hypers,
                                                     cfg, num_chains,
                                                     mesh=self.mesh,
-                                                    potential_fn=pot)
+                                                    potential_fn=pot,
+                                                    fused_builder=fused)
         return self._samplers[key]
 
     def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None,

@@ -31,6 +31,7 @@ from ..config import default_jitter
 from ..inference.hmc import NUTSConfig, build_sampler
 from ..kernels import Kernel, default_rbf
 from ..likelihoods import GaussianLikelihood, Likelihood
+from ..means import MeanFunction, Zero, linear_mean_prior_tree
 from ..priors import Gamma, log_prior
 from ..ops.linalg import safe_cholesky, tri_solve
 
@@ -55,12 +56,17 @@ class SGPMC:
     def __init__(self, train_x, train_y, likelihood: Likelihood | None = None,
                  Z_init=None, kernel: Kernel | None = None,
                  hyper_prior_tree=None, jitter: float | None = None,
-                 mesh=None):
+                 mesh=None, mean_fn: MeanFunction | None = None,
+                 mean_prior_tree=None):
         self.train_x = jnp.asarray(train_x)
         self.train_y = jnp.asarray(train_y)
         d = self.train_x.shape[-1]
         self.kernel = kernel if kernel is not None else default_rbf(ard=True)
         self.likelihood = likelihood if likelihood is not None else GaussianLikelihood()
+        # reference CO2 JointHMC pairs a Linear mean with N(0,3) priors
+        # (experiments/co2_sgpmc.py:60-63); default stays zero-mean like
+        # every other reference model
+        self.mean_fn = mean_fn if mean_fn is not None else Zero()
         self.jitter = default_jitter(self.train_x.dtype) if jitter is None else jitter
         Z_init = jnp.asarray(Z_init) if Z_init is not None else self.train_x[:100]
         self.Z = Z_init.astype(self.train_x.dtype)
@@ -74,11 +80,19 @@ class SGPMC:
                 "lik": jax.tree_util.tree_map(lambda _: Gamma(2.0, 1.0),
                                               self.likelihood.init_params()),
             }
+        if "mean" not in hyper_prior_tree:
+            mean_params = self.mean_fn.init_params(d)
+            if mean_prior_tree is None:
+                from ..priors import Normal
+                mean_prior_tree = jax.tree_util.tree_map(
+                    lambda _: Normal(0.0, 3.0), mean_params)
+            hyper_prior_tree = {**hyper_prior_tree, "mean": mean_prior_tree}
         self.hyper_prior_tree = hyper_prior_tree
         self.state = {
             "v": jnp.zeros(M, self.train_x.dtype),
             "kernel": self.kernel.init_params(d),
             "lik": self.likelihood.init_params(),
+            "mean": self.mean_fn.init_params(d),
         }
         self.mesh = mesh
         self.trace = None
@@ -89,6 +103,7 @@ class SGPMC:
         X, y, Z = data
         mean, var = _whitened_conditional(self.kernel, state["kernel"], Z,
                                           state["v"], X, self.jitter)
+        mean = mean + self.mean_fn(state["mean"], X)
         ve = self.likelihood.variational_expectation(state["lik"], mean, var, y)
         return jnp.sum(ve)
 
@@ -96,7 +111,8 @@ class SGPMC:
         lp = self._loglik(state, data)
         lp += -0.5 * jnp.sum(state["v"] ** 2)          # v ~ N(0, I), whitened
         lp += log_prior(self.hyper_prior_tree,
-                        {"kernel": state["kernel"], "lik": state["lik"]})
+                        {"kernel": state["kernel"], "lik": state["lik"],
+                         "mean": state["mean"]})
         return lp
 
     def warm_start(self, num_steps: int = 100, lr: float = 0.01):
@@ -160,8 +176,10 @@ class SGPMC:
                                      self.trace)
 
         def one(state):
-            return _whitened_conditional(self.kernel, state["kernel"], self.Z,
-                                         state["v"], test_x, self.jitter)
+            mean, var = _whitened_conditional(self.kernel, state["kernel"],
+                                              self.Z, state["v"], test_x,
+                                              self.jitter)
+            return mean + self.mean_fn(state["mean"], test_x), var
 
         means, vars_ = jax.jit(
             lambda tr: jax.lax.map(one, tr, batch_size=8))(sub)
@@ -191,11 +209,12 @@ class SGPMC:
 
 def train_sgp_hmc(data, Z_init, likelihood=None, kernel=None,
                   num_warmup=500, num_samples=500, warm_start_iters=100,
-                  key=None, **kw):
+                  key=None, mean_fn=None, hyper_prior_tree=None, **kw):
     """Functional reference API (models/sgp_hmc.py:32-91). ``data=(X, y)``.
     Returns the trained SGPMC model (holding its trace)."""
     X, y = data
-    m = SGPMC(X, y, likelihood=likelihood, Z_init=Z_init, kernel=kernel)
+    m = SGPMC(X, y, likelihood=likelihood, Z_init=Z_init, kernel=kernel,
+              mean_fn=mean_fn, hyper_prior_tree=hyper_prior_tree)
     m.warm_start(num_steps=warm_start_iters)
     m.train_model(num_warmup=num_warmup, num_samples=num_samples, key=key, **kw)
     return m

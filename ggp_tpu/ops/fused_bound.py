@@ -362,6 +362,12 @@ def fused_potential_is_eligible(kernel, likelihood, prior_tree) -> bool:
     import os
     if os.environ.get("GGP_FUSED_NUTS", "0") != "1":
         return False
+    return fused_structure_matches(kernel, likelihood, prior_tree)
+
+
+def fused_structure_matches(kernel, likelihood, prior_tree) -> bool:
+    """Pure (env-independent) structure check shared with the Pallas
+    whole-transition path (ops.fused_nuts)."""
     from ..kernels.base import RBF, Scale
     from ..likelihoods import GaussianLikelihood
     from ..priors import prior_tree_rbf

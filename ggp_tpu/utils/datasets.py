@@ -366,14 +366,25 @@ class SyntheticLarge(_SyntheticRegression):
 class DelgadoClassification(Dataset):
     """UCI classification via the Delgado et al. preprocessed archive
     (reference: ``Classification`` base downloading the 195MB bundle,
-    utils/dataset.py:274-322, feeding a 120-entry registry :324-441).
+    utils/dataset.py:274-322, feeding a 116-entry registry :324-441).
 
-    Zero-egress environment: place ``<name>_R.dat`` (whitespace table, last
-    column = integer label) under ``data/delgado/``. Subclasses are
-    generated for a set of canonical names below; any other archive member
-    works via ``DelgadoClassification.from_name``.
+    Zero-egress environment: extract the archive (or drop single files)
+    under ``data/delgado/``. The reader mirrors the reference's layout
+    resolution (utils/dataset.py:304-322):
+
+    * ``<name>/<name>_R.dat`` — tab-delimited, one header row;
+    * else ``<name>/<name>_train_R.dat`` + ``<name>/<name>_test_R.dat``
+      concatenated (some archive members ship pre-split);
+    * ``banana/banana.csv`` special case with -1 labels mapped to 0;
+    * additionally a flat ``<name>_R.dat`` directly in ``data/delgado/``
+      (convenient for dropping single files).
+
+    Last column is the integer class label; X is z-scored, Y is not
+    (reference Classification.preprocess_data, utils/dataset.py:275-277).
     """
     normalize_y = False
+    N = None             # expected rows (reference table; checked if known)
+    K = None             # number of classes
 
     @property
     def datadir(self):
@@ -381,26 +392,182 @@ class DelgadoClassification(Dataset):
 
     @property
     def datapath(self):
-        return os.path.join(self.datadir, f"{self.name}_R.dat")
+        # preferred archive layout; read_data falls back across variants
+        return os.path.join(self.datadir, self.name, f"{self.name}_R.dat")
+
+    def _read_table(self, path):
+        return np.asarray(self._load_csv(path, header=0, sep="\t"),
+                          np.float64)
 
     def read_data(self):
-        data = np.asarray(np.loadtxt(self._require_file(), skiprows=1),
-                          np.float64)
+        nested = os.path.join(self.datadir, self.name)
+        if self.name == "banana" and \
+                os.path.isfile(os.path.join(nested, "banana.csv")):
+            # reference special case (utils/dataset.py:305-308)
+            data = np.asarray(self._load_csv(
+                os.path.join(nested, "banana.csv"), header=0, sep=","),
+                np.float64)
+            data[:, -1] = np.where(data[:, -1] == -1, 0.0, data[:, -1])
+        elif os.path.isfile(self.datapath):
+            data = self._read_table(self.datapath)
+        elif os.path.isfile(os.path.join(nested,
+                                         f"{self.name}_train_R.dat")):
+            # pre-split members: concatenate (utils/dataset.py:313-321)
+            data = np.concatenate([
+                self._read_table(os.path.join(
+                    nested, f"{self.name}_train_R.dat")),
+                self._read_table(os.path.join(
+                    nested, f"{self.name}_test_R.dat")),
+            ], axis=0)
+        elif os.path.isfile(os.path.join(self.datadir,
+                                         f"{self.name}_R.dat")):
+            data = self._read_table(os.path.join(self.datadir,
+                                                 f"{self.name}_R.dat"))
+        else:
+            raise FileNotFoundError(
+                f"{self.name}: no Delgado archive member under "
+                f"{self.datadir} - see data/MANIFEST.md (zero-egress "
+                f"environment; the reference downloads the 195MB bundle "
+                f"from {_DELGADO_URL})")
+        if self.N is not None and data.shape[0] != self.N:
+            import warnings
+            warnings.warn(f"{self.name}: expected {self.N} rows "
+                          f"(reference table), got {data.shape[0]}")
         return data[:, :-1], data[:, -1]
 
     @classmethod
-    def from_name(cls, name: str):
-        sub = type(name, (cls,), {"name": name})
+    def from_name(cls, name: str, N=None, D=None, K=None):
+        sub = type(name.replace("-", "_"), (cls,),
+                   {"name": name, "N": N, "K": K})
         return register_classification(sub)
 
 
-# canonical Delgado archive members used in GP-classification papers
-for _n in ["heart-statlog", "ionosphere", "breast-cancer", "pima",
-           "sonar", "australian", "german-numer", "diabetes", "vehicle",
-           "waveform", "glass", "vowel", "wine", "segment", "dna",
-           "satimage", "mushroom", "splice", "banana", "titanic",
-           "twonorm", "ringnorm", "thyroid", "flare-solar"]:
-    DelgadoClassification.from_name(_n)
+_DELGADO_URL = ("http://persoal.citius.usc.es/manuel.fernandez.delgado/"
+                "papers/jmlr/data.tar.gz")
+
+# The reference's full classification registry: (name, N, D incl. label
+# column, K classes) — utils/dataset.py:324-441 verbatim as data.
+_DELGADO_TABLE = [
+    ("heart-va", 200, 13, 5),
+    ("wine", 178, 14, 3),
+    ("fertility", 100, 10, 2),
+    ("statlog-german-credit", 1000, 25, 2),
+    ("car", 1728, 7, 4),
+    ("libras", 360, 91, 15),
+    ("pittsburg-bridges-MATERIAL", 106, 8, 3),
+    ("hepatitis", 155, 20, 2),
+    ("acute-inflammation", 120, 7, 2),
+    ("pittsburg-bridges-TYPE", 105, 8, 6),
+    ("arrhythmia", 452, 263, 13),
+    ("nursery", 12960, 9, 5),
+    ("breast-cancer-wisc-prog", 198, 34, 2),
+    ("seeds", 210, 8, 3),
+    ("lung-cancer", 32, 57, 3),
+    ("waveform", 5000, 22, 3),
+    ("audiology-std", 196, 60, 18),
+    ("trains", 10, 30, 2),
+    ("horse-colic", 368, 26, 2),
+    ("miniboone", 130064, 51, 2),
+    ("pittsburg-bridges-SPAN", 92, 8, 3),
+    ("breast-cancer-wisc-diag", 569, 31, 2),
+    ("statlog-heart", 270, 14, 2),
+    ("blood", 748, 5, 2),
+    ("primary-tumor", 330, 18, 15),
+    ("cylinder-bands", 512, 36, 2),
+    ("glass", 214, 10, 6),
+    ("contrac", 1473, 10, 3),
+    ("statlog-shuttle", 58000, 10, 7),
+    ("zoo", 101, 17, 7),
+    ("musk-1", 476, 167, 2),
+    ("hill-valley", 1212, 101, 2),
+    ("hayes-roth", 160, 4, 3),
+    ("optical", 5620, 63, 10),
+    ("credit-approval", 690, 16, 2),
+    ("pendigits", 10992, 17, 10),
+    ("pittsburg-bridges-REL-L", 103, 8, 3),
+    ("dermatology", 366, 35, 6),
+    ("soybean", 683, 36, 18),
+    ("ionosphere", 351, 34, 2),
+    ("planning", 182, 13, 2),
+    ("energy-y1", 768, 9, 3),
+    ("acute-nephritis", 120, 7, 2),
+    ("letter", 20000, 17, 26),
+    ("titanic", 2201, 4, 2),
+    ("adult", 48842, 15, 2),
+    ("lymphography", 148, 19, 4),
+    ("statlog-australian-credit", 690, 15, 2),
+    ("chess-krvk", 28056, 7, 18),
+    ("bank", 4521, 17, 2),
+    ("statlog-landsat", 6435, 37, 6),
+    ("heart-hungarian", 294, 13, 2),
+    ("flags", 194, 29, 8),
+    ("mushroom", 8124, 22, 2),
+    ("conn-bench-sonar-mines-rocks", 208, 61, 2),
+    ("image-segmentation", 2310, 19, 7),
+    ("congressional-voting", 435, 17, 2),
+    ("annealing", 898, 32, 5),
+    ("semeion", 1593, 257, 10),
+    ("echocardiogram", 131, 11, 2),
+    ("statlog-image", 2310, 19, 7),
+    ("wine-quality-white", 4898, 12, 7),
+    ("lenses", 24, 5, 3),
+    ("plant-margin", 1600, 65, 100),
+    ("post-operative", 90, 9, 3),
+    ("thyroid", 7200, 22, 3),
+    ("monks-2", 601, 7, 2),
+    ("molec-biol-promoter", 106, 58, 2),
+    ("chess-krvkp", 3196, 37, 2),
+    ("balloons", 16, 5, 2),
+    ("low-res-spect", 531, 101, 9),
+    ("plant-texture", 1599, 65, 100),
+    ("haberman-survival", 306, 4, 2),
+    ("spect", 265, 23, 2),
+    ("plant-shape", 1600, 65, 100),
+    ("parkinsons", 195, 23, 2),
+    ("oocytes_merluccius_nucleus_4d", 1022, 42, 2),
+    ("conn-bench-vowel-deterding", 990, 12, 11),
+    ("ilpd-indian-liver", 583, 10, 2),
+    ("heart-cleveland", 303, 14, 5),
+    ("synthetic-control", 600, 61, 6),
+    ("vertebral-column-2clases", 310, 7, 2),
+    ("teaching", 151, 6, 3),
+    ("cardiotocography-10clases", 2126, 22, 10),
+    ("heart-switzerland", 123, 13, 5),
+    ("led-display", 1000, 8, 10),
+    ("molec-biol-splice", 3190, 61, 3),
+    ("wall-following", 5456, 25, 4),
+    ("statlog-vehicle", 846, 19, 4),
+    ("ringnorm", 7400, 21, 2),
+    ("energy-y2", 768, 9, 3),
+    ("oocytes_trisopterus_nucleus_2f", 912, 26, 2),
+    ("yeast", 1484, 9, 10),
+    ("oocytes_merluccius_states_2f", 1022, 26, 3),
+    ("oocytes_trisopterus_states_5b", 912, 33, 3),
+    ("breast-cancer-wisc", 699, 10, 2),
+    ("steel-plates", 1941, 28, 7),
+    ("mammographic", 961, 6, 2),
+    ("monks-3", 554, 7, 2),
+    ("balance-scale", 625, 5, 3),
+    ("ecoli", 336, 8, 8),
+    ("spectf", 267, 45, 2),
+    ("monks-1", 556, 7, 2),
+    ("page-blocks", 5473, 11, 5),
+    ("magic", 19020, 11, 2),
+    ("pima", 768, 9, 2),
+    ("breast-tissue", 106, 10, 6),
+    ("ozone", 2536, 73, 2),
+    ("iris", 150, 5, 3),
+    ("waveform-noise", 5000, 41, 3),
+    ("cardiotocography-3clases", 2126, 22, 3),
+    ("wine-quality-red", 1599, 12, 6),
+    ("vertebral-column-3clases", 310, 7, 3),
+    ("breast-cancer", 286, 10, 2),
+    ("abalone", 4177, 9, 3),
+    ("banana", 5300, 2, 3),
+]
+
+for _n, _N, _D, _K in _DELGADO_TABLE:
+    DelgadoClassification.from_name(_n, N=_N, D=_D, K=_K)
 
 
 @register_classification

@@ -115,3 +115,67 @@ def test_delgado_registry():
         classification_datasets["ionosphere"]()
     extra = DelgadoClassification.from_name("my-extra")
     assert "my-extra" in classification_datasets
+
+
+def test_delgado_registry_full():
+    """The classification registry carries the reference's full table
+    (116 entries, utils/dataset.py:324-441) plus the synthetic stand-in."""
+    from ggp_tpu.utils.datasets import (_DELGADO_TABLE,
+                                        classification_datasets)
+    assert len(_DELGADO_TABLE) == 116
+    assert len(classification_datasets) >= 117
+    # spot-check (name, N, D, K) rows against the reference table
+    tbl = {t[0]: t for t in _DELGADO_TABLE}
+    assert tbl["iris"] == ("iris", 150, 5, 3)
+    assert tbl["banana"] == ("banana", 5300, 2, 3)
+    assert tbl["arrhythmia"][1:] == (452, 263, 13)
+
+
+def test_delgado_archive_layouts(tmp_path, monkeypatch):
+    """All three reference archive layouts parse (utils/dataset.py:304-322):
+    nested <name>_R.dat, pre-split train/test, and banana.csv with -1->0."""
+    import ggp_tpu.utils.datasets as ds
+    monkeypatch.setattr(ds, "DATASET_DIR", str(tmp_path))
+    root = tmp_path / "delgado"
+
+    def table(n, d, k, header=True):
+        rng = np.random.default_rng(n + d)
+        rows = []
+        if header:
+            rows.append("\t".join([f"f{i}" for i in range(d - 1)] + ["clase"]))
+        for i in range(n):
+            vals = list(rng.normal(size=d - 1).round(4)) + [i % k + 1]
+            rows.append("\t".join(str(v) for v in vals))
+        return "\n".join(rows) + "\n"
+
+    # 1) nested single-file layout (iris: 150 x 5, 3 classes)
+    (root / "iris").mkdir(parents=True)
+    (root / "iris" / "iris_R.dat").write_text(table(150, 5, 3))
+    d = ds.get_classification_data("iris", split=0)
+    assert d.X_train.shape[1] == 4
+    assert d.N == 150
+    # X z-scored over the FULL data before splitting (reference
+    # Classification.preprocess_data, utils/dataset.py:275-277)
+    Xall = np.concatenate([d.X_train, d.X_test])
+    assert np.allclose(Xall.mean(0), 0, atol=1e-6)
+    assert np.allclose(Xall.std(0), 1, atol=1e-3)
+    assert set(np.unique(d.Y_train)) <= {1.0, 2.0, 3.0}     # Y untouched
+
+    # 2) pre-split train/test layout (monks-1: 556 x 7)
+    (root / "monks-1").mkdir()
+    (root / "monks-1" / "monks-1_train_R.dat").write_text(table(400, 7, 2))
+    (root / "monks-1" / "monks-1_test_R.dat").write_text(table(156, 7, 2))
+    d2 = ds.get_classification_data("monks-1", split=0)
+    assert d2.N == 556 and d2.X_train.shape[1] == 6
+
+    # 3) banana.csv with -1 labels mapped to 0 (utils/dataset.py:305-308)
+    (root / "banana").mkdir()
+    rng = np.random.default_rng(0)
+    lines = ["x1,x2,label"]
+    for i in range(5300):
+        lines.append(f"{rng.normal():.4f},{rng.normal():.4f},"
+                     f"{-1 if i % 2 else 1}")
+    (root / "banana" / "banana.csv").write_text("\n".join(lines) + "\n")
+    d3 = ds.get_classification_data("banana", split=0)
+    assert d3.N == 5300
+    assert set(np.unique(d3.Y_train)) == {0.0, 1.0}

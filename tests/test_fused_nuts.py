@@ -1,0 +1,110 @@
+"""Whole-transition Pallas NUTS: interpret-mode correctness on CPU.
+
+Statistical (posterior-moment) parity against the XLA NUTS sampler runs on
+TPU (scripts/bench); here we verify the in-kernel potential matches the
+tested fused-bound math exactly, and that a full transition produces sane
+moves (finite state, consistent stats, detailed-balance-compatible energies).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggp_tpu.ops.fused_bound import make_rbf_vfe_potential
+from ggp_tpu.ops.fused_nuts import fused_nuts_supported, make_fused_nuts
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(7)
+    n, m, d = 48, 8, 2
+    X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    w = rng.normal(size=(d,))
+    y = jnp.asarray(np.sin(np.asarray(X) @ w) + 0.3 * rng.normal(size=n),
+                    jnp.float32)
+    Z = X[:m]
+    return X, y, Z, d
+
+
+def test_supported_envelope():
+    assert fused_nuts_supported(404, 13, 100)
+    assert not fused_nuts_supported(10_000, 13, 100)
+    assert not fused_nuts_supported(404, 130, 100)
+    assert not fused_nuts_supported(404, 13, 500)
+
+
+def test_inkernel_potential_matches_xla(problem):
+    X, y, Z, d = problem
+    builder = make_fused_nuts(X, y, 1e-6, interpret=True)
+    _, pot_kernel = builder(Z)
+    pot_xla = make_rbf_vfe_potential(X, y, 1e-6)
+    zvec = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U_k, g_k = jax.jit(pot_kernel)(zvec)
+    U_x, g_x = jax.jit(lambda v: pot_xla(v, Z))(zvec)
+    np.testing.assert_allclose(float(U_k), float(U_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_transition_moves_and_stats(problem):
+    X, y, Z, d = problem
+    builder = make_fused_nuts(X, y, 1e-6, max_depth=4, interpret=True)
+    trans, pot = builder(Z)
+    zvec = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U0, g0 = pot(zvec)
+    assert np.isfinite(float(U0))
+    inv_mass = jnp.ones(d + 2, jnp.float32)
+    eps = jnp.asarray(0.05, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    z1, U1, g1, stats = trans(None, zvec, U0, g0, key, eps, inv_mass)
+    assert z1.shape == zvec.shape and g1.shape == zvec.shape
+    assert np.all(np.isfinite(np.asarray(z1)))
+    assert np.isfinite(float(U1))
+    assert 0.0 <= float(stats["accept_prob"]) <= 1.0
+    assert int(stats["n_leapfrog"]) >= 1
+    assert int(stats["depth"]) >= 1
+    assert not bool(stats["diverging"])
+    # the proposal's potential must equal an independent evaluation at z1
+    U1_check, _ = pot(z1)
+    np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-5)
+    # different key -> different move
+    z2, *_ = trans(None, zvec, U0, g0, jax.random.PRNGKey(11), eps, inv_mass)
+    assert not np.allclose(np.asarray(z1), np.asarray(z2))
+
+
+def test_transition_diverges_at_huge_step(problem):
+    X, y, Z, d = problem
+    builder = make_fused_nuts(X, y, 1e-6, max_depth=4, interpret=True)
+    trans, pot = builder(Z)
+    zvec = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U0, g0 = pot(zvec)
+    inv_mass = jnp.ones(d + 2, jnp.float32)
+    z1, U1, g1, stats = trans(None, zvec, U0, g0, jax.random.PRNGKey(0),
+                              jnp.asarray(1e4, jnp.float32), inv_mass)
+    assert bool(stats["diverging"]) or float(stats["accept_prob"]) < 0.1
+    # diverged transition keeps (or proposes near) a finite state
+    assert np.all(np.isfinite(np.asarray(z1)))
+
+
+def test_short_chain_statistics(problem):
+    """A short fused-kernel chain at fixed step size should explore: distinct
+    accepted states, mostly finite potentials, reasonable accept rate."""
+    X, y, Z, d = problem
+    builder = make_fused_nuts(X, y, 1e-6, max_depth=4, interpret=True)
+    trans, pot = builder(Z)
+    z = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U, g = pot(z)
+    inv_mass = jnp.ones(d + 2, jnp.float32)
+    eps = jnp.asarray(0.1, jnp.float32)
+    key = jax.random.PRNGKey(42)
+    zs, accs = [], []
+    for t in range(12):
+        key, k = jax.random.split(key)
+        z, U, g, stats = trans(None, z, U, g, k, eps, inv_mass)
+        zs.append(np.asarray(z))
+        accs.append(float(stats["accept_prob"]))
+    zs = np.stack(zs)
+    assert np.all(np.isfinite(zs))
+    assert len({tuple(np.round(r, 6)) for r in zs}) > 6   # actually moves
+    assert np.mean(accs) > 0.4

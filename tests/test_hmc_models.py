@@ -121,3 +121,39 @@ def test_sgpmc_bernoulli_probit():
         means / np.sqrt(1.0 + np.asarray(vars_)))).mean(0)
     acc = ((p > 0.5) == np.asarray(y)).mean()
     assert acc > 0.7
+
+
+def test_sgpmc_linear_mean_and_co2_spec(rng):
+    """SGPMC with the faithful CO2 spec: Linear mean (N(0,3) priors,
+    reference experiments/co2_sgpmc.py:60-63) + the per-component-prior
+    composite (:65-93) samples finitely and the mean function shifts
+    predictions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggp_tpu.kernels.composite import (co2_sgpmc_kernel,
+                                           co2_sgpmc_prior_tree)
+    from ggp_tpu.means import Linear, linear_mean_prior_tree
+    from ggp_tpu.models import SGPMC
+
+    X = jnp.linspace(0.0, 8.0, 60)[:, None]
+    y = 0.5 * X[:, 0] + jnp.sin(2 * jnp.pi * X[:, 0]) * 0.3 + \
+        0.05 * jnp.asarray(rng.normal(size=60))
+    prior = co2_sgpmc_prior_tree()
+    prior["mean"] = linear_mean_prior_tree(3.0)
+    m = SGPMC(X, y, Z_init=X[::4], kernel=co2_sgpmc_kernel(),
+              mean_fn=Linear(), hyper_prior_tree=prior, jitter=1e-4)
+    assert "mean" in m.state and m.state["mean"]["A"].shape == (1,)
+    m.warm_start(num_steps=60, lr=0.02)
+    m.train_model(num_warmup=40, num_samples=16, algorithm="hmc",
+                  num_leapfrog=10, key=jax.random.PRNGKey(0))
+    A = np.asarray(m.trace["mean"]["A"])
+    assert np.all(np.isfinite(A))
+    # the linear trend should be picked up by the mean (roughly positive)
+    assert A.mean() > 0.0
+    Xt = jnp.linspace(8.0, 10.0, 20)[:, None]
+    means, vars_ = m.mixture_posterior_predictive(Xt, num_components=8)
+    assert np.all(np.isfinite(np.asarray(means)))
+    # extrapolated mean keeps growing with the linear trend
+    assert float(jnp.mean(means[:, -1])) > float(jnp.mean(means[:, 0])) - 0.5

@@ -1,17 +1,24 @@
-"""Headline benchmark: BayesianSGPR_HMC total MCMC sampling seconds.
+"""Headline benchmark + sampler-runtime matrix.
 
-Reproduces the reference's measurement (sampler_runtimes.csv row "SGPR+HMC",
-Boston column: 14.57 s of pure NUTS sampling per run, harvested from pymc3
-``perf_counter_diff`` stats — SURVEY §6) on a Boston-shaped problem:
-N_train=404, D=13, M=100, alternating schedule with sampling rounds
-(tune=100, n=20) x2 + (tune=25, n=10) x2 (models/bayesian_sgpr_hmc.py:144-152).
+Headline (unchanged protocol since round 1 for comparability): total NUTS
+sampling seconds of BayesianSGPR_HMC's alternating schedule on a
+Boston-shaped problem, vs the reference's pymc3 CPU measurement
+(sampler_runtimes.csv row "SGPR+HMC", Boston: 14.57 s — SURVEY §6).
 
-We time ONLY the NUTS sampling calls (compile excluded via warmup calls with
-identical shapes, matching pymc3's exclusion of Theano compile time).
+Matrix (VERDICT r1 item 7): the reference's sampler_runtimes.csv grid
+{SGPR+HMC, GPR+HMC, JointHMC} x {Boston-shaped, WineRed-shaped}, each cell
+timed under that model's reference sampling protocol:
+* SGPR+HMC — alternating rounds (tune=100,n=20)x2 + (tune=25,n=10)x2
+  (models/bayesian_sgpr_hmc.py:144-152), NUTS, chains=1;
+* GPR+HMC — one-shot NUTS tune=50, n=10 (models/gpr_hmc.py:61-78);
+* JointHMC — HMC leapfrog=10, tune=500, n=500
+  (models/sgp_hmc.py:67-83, experiments/regression_sgmc_tf.py:79).
+All cells are divergence-gated and report min-ESS/sec. Compile is excluded
+on both sides (pymc3 excludes Theano compile from perf_counter_diff).
 
-Prints one JSON line:
-  {"metric": "...", "value": seconds, "unit": "s", "vs_baseline": ratio}
-vs_baseline > 1 means faster than the reference CPU run.
+Prints ONE JSON line: the driver's {metric, value, unit, vs_baseline}
+contract, with the matrix embedded under "cells" and the geometric-mean
+speedup under "matrix_geomean_speedup".
 """
 
 from __future__ import annotations
@@ -21,20 +28,25 @@ import time
 
 import numpy as np
 
+# reference CPU sampling seconds (sampler_runtimes.csv:1-4)
+BASELINES = {
+    ("SGPR+HMC", "boston"): 14.57,
+    ("SGPR+HMC", "winered"): 32.83,
+    ("GPR+HMC", "boston"): 27.88,
+    ("GPR+HMC", "winered"): 478.54,
+    ("JointHMC", "boston"): 38.83,
+    ("JointHMC", "winered"): 89.21,
+}
+SHAPES = {"boston": (506, 13), "winered": (1599, 11)}
+BASELINE_SECONDS = BASELINES[("SGPR+HMC", "boston")]
 
-BASELINE_SECONDS = 14.57     # sampler_runtimes.csv:2, Boston, SGPR+HMC
 
-
-def main():
-    import jax
+def _make_data(name, seed=173):
     import jax.numpy as jnp
 
-    from ggp_tpu.models import BayesianSparseGPR_HMC
     from ggp_tpu.utils.datasets import normalize
-
-    # Boston-shaped synthetic data (N=506, D=13, 80% train)
-    rng = np.random.default_rng(173)
-    N, D, M = 506, 13, 100
+    N, D = SHAPES[name]
+    rng = np.random.default_rng(seed)
     X_raw = rng.normal(size=(N, D))
     w = rng.normal(size=(D, 8)) / np.sqrt(D)
     f = np.cos(X_raw @ w + rng.uniform(0, 2 * np.pi, 8)).sum(1)
@@ -44,54 +56,138 @@ def main():
     n_train = int(0.8 * N)
     X = jnp.asarray(Xn[:n_train], jnp.float32)
     y = jnp.asarray(yn[:n_train, 0], jnp.float32)
-    Z_init = X[rng.integers(0, n_train, M)]
+    Z = X[rng.integers(0, n_train, 100)]
+    return X, y, Z
 
-    model = BayesianSparseGPR_HMC(X, y, Z_init=Z_init)
-    # ML-II warm start (not timed; reference excludes it too)
+
+def _health(stats):
+    div = float(np.asarray(stats["diverging"]).mean())
+    acc = float(np.asarray(stats["accept_prob"]).mean())
+    return div, acc, (div <= 0.1 and acc >= 0.5)
+
+
+def _min_ess_per_s(trace, seconds):
+    import jax
+
+    from ggp_tpu.inference import effective_sample_size
+    vals = []
+    for leaf in jax.tree_util.tree_leaves(trace):
+        a = np.asarray(leaf).reshape(np.asarray(leaf).shape[0], -1)
+        for j in range(min(a.shape[1], 32)):
+            vals.append(effective_sample_size(a[None, :, j]))
+    return float(min(vals) / seconds) if vals else 0.0
+
+
+def cell_sgpr_hmc(name):
+    import jax
+
+    from ggp_tpu.models import BayesianSparseGPR_HMC
+    X, y, Z = _make_data(name)
+    model = BayesianSparseGPR_HMC(X, y, Z_init=Z)
     model.warm_start(num_steps=500, lr=0.01)
-
-    # Reference sampling schedule: first/last (100, 20), middle (25, 10)
     rounds = [(100, 20), (25, 10), (25, 10), (100, 20)]
-
-    # compile warmup: one call per distinct config
-    for tune, n in set(rounds):
+    for tune, n in set(rounds):                      # compile warmup
         model.sample_hypers(tune, n, key=jax.random.PRNGKey(99))
         jax.block_until_ready(model.trace)
-
     key = jax.random.PRNGKey(0)
-    total = 0.0
-    div_frac = []
-    acc = []
+    total, div_frac, acc_all, traces = 0.0, [], [], []
     for i, (tune, n) in enumerate(rounds):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         model.sample_hypers(tune, n, key=sub)
         jax.block_until_ready(model.trace)
         total += time.perf_counter() - t0
-        div_frac.append(float(np.asarray(model.stats["diverging"]).mean()))
-        acc.append(float(np.asarray(model.stats["accept_prob"]).mean()))
+        d, a, _ = _health(model.stats)
+        div_frac.append(d)
+        acc_all.append(a)
+        traces.append(model.trace)
         if i < len(rounds) - 1:
             model.optimize_Z(num_steps=100, lr=0.01)   # not timed (torch side
             # of the reference's alternation isn't in its sampling seconds)
+    healthy = max(div_frac) <= 0.1 and float(np.mean(acc_all)) >= 0.5
+    ess = _min_ess_per_s(traces[-1], total)
+    return total, ess, max(div_frac), float(np.mean(acc_all)), healthy
 
-    # sanity gate: a diverging sampler terminates trees early and would
-    # report a bogus speedup — refuse to emit a healthy-looking number.
-    # (mean accept, not min: the reference's tune=25 mid-rounds legitimately
-    # adapt poorly, which is part of the protocol being timed)
-    if max(div_frac) > 0.1 or float(np.mean(acc)) < 0.5:
+
+def cell_gpr_hmc(name):
+    import jax
+
+    from ggp_tpu.models import GPR_HMC
+    X, y, _ = _make_data(name)
+    model = GPR_HMC(X, y)
+    model.train_model(num_warmup=50, num_samples=10, num_chains=1,
+                      key=jax.random.PRNGKey(99))      # compile warmup
+    jax.block_until_ready(model.trace)
+    t0 = time.perf_counter()
+    model.train_model(num_warmup=50, num_samples=10, num_chains=1,
+                      key=jax.random.PRNGKey(0))
+    jax.block_until_ready(model.trace)
+    total = time.perf_counter() - t0
+    div, acc, healthy = _health(model.stats)
+    return total, _min_ess_per_s(model.trace, total), div, acc, healthy
+
+
+def cell_joint_hmc(name):
+    import jax
+
+    from ggp_tpu.models import SGPMC
+    X, y, Z = _make_data(name)
+    model = SGPMC(X, y, Z_init=Z)
+    model.warm_start(num_steps=100)
+    kw = dict(num_warmup=500, num_samples=500, algorithm="hmc",
+              num_leapfrog=10)
+    model.train_model(key=jax.random.PRNGKey(99), **kw)  # compile warmup
+    jax.block_until_ready(model.trace)
+    t0 = time.perf_counter()
+    model.train_model(key=jax.random.PRNGKey(0), **kw)
+    jax.block_until_ready(model.trace)
+    total = time.perf_counter() - t0
+    div, acc, healthy = _health(model.stats)
+    hypers_only = {"kernel": model.trace["kernel"], "lik": model.trace["lik"]}
+    return total, _min_ess_per_s(hypers_only, total), div, acc, healthy
+
+
+def main():
+    import jax  # noqa: F401  (backend init)
+
+    runners = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
+               "JointHMC": cell_joint_hmc}
+    cells = []
+    for (model_name, ds), baseline in BASELINES.items():
+        try:
+            secs, ess, div, acc, healthy = runners[model_name](ds)
+            cells.append({
+                "model": model_name, "dataset": f"{ds}-shaped",
+                "sampling_s": round(secs, 4),
+                "min_ess_per_s": round(ess, 1),
+                "divergence_frac": round(div, 4), "accept": round(acc, 3),
+                "healthy": healthy, "reference_s": baseline,
+                "speedup": round(baseline / secs, 2) if healthy else 0.0,
+            })
+        except Exception as e:                      # keep the line emittable
+            cells.append({"model": model_name, "dataset": f"{ds}-shaped",
+                          "healthy": False, "speedup": 0.0,
+                          "error": f"{type(e).__name__}: {e}"})
+
+    head = next(c for c in cells
+                if c["model"] == "SGPR+HMC" and c["dataset"] == "boston-shaped")
+    speedups = [c["speedup"] for c in cells if c.get("healthy")]
+    geomean = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
+    if not head.get("healthy"):
         print(json.dumps({
             "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",
             "value": -1.0, "unit": "s", "vs_baseline": 0.0,
-            "error": f"sampler unhealthy: divergence={max(div_frac):.2f} "
-                     f"accept={min(acc):.2f}",
+            "error": head.get("error", "sampler unhealthy"),
+            "cells": cells,
         }))
         return
-
     print(json.dumps({
         "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",
-        "value": round(total, 4),
+        "value": head["sampling_s"],
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / total, 2),
+        "vs_baseline": head["speedup"],
+        "matrix_geomean_speedup": round(geomean, 2),
+        "cells": cells,
     }))
 
 

@@ -447,6 +447,75 @@ def _single_chain(potential_vg, z0, key, cfg: NUTSConfig, in_window,
     return zs, stats
 
 
+def _single_chain_fused(fused, z0, key, cfg: NUTSConfig, in_window,
+                        window_end):
+    """Chunked fused-kernel chain: K transitions per Pallas call with the
+    warmup adaptation executed in-kernel (ops/fused_nuts). Semantically
+    identical to :func:`_single_chain` with the NUTS kernel — same dual
+    averaging, Welford windows, and transition logic — but the per-call
+    dispatch overhead (~300us, PERF.md) amortises over the chunk."""
+    import numpy as _np
+    dim = z0.shape[0]
+    dtype = z0.dtype
+    K = fused.chunk
+    U0, g0 = fused.potential(z0)
+    inv_mass = jnp.ones(dim, dtype)
+
+    key, k_eps = jax.random.split(key)
+    eps = find_reasonable_step_size(fused.potential, z0, U0, g0, k_eps,
+                                    inv_mass, cfg.init_step_size)
+    da = da_init(eps)
+    wf = welford_init(dim, dtype)
+
+    n_wchunks = -(-cfg.num_warmup // K)
+    pad = n_wchunks * K - cfg.num_warmup
+    in_w = jnp.concatenate([in_window, jnp.zeros(pad, bool)]).reshape(
+        n_wchunks, K)
+    w_end = jnp.concatenate([window_end, jnp.zeros(pad, bool)]).reshape(
+        n_wchunks, K)
+    # active counts per chunk keep the adaptation schedule EXACT (skipped
+    # tail steps are no-ops in-kernel, not extra adaptation steps)
+    n_act = jnp.minimum(
+        jnp.full(n_wchunks, K, jnp.int32),
+        cfg.num_warmup - jnp.arange(n_wchunks, dtype=jnp.int32) * K)
+
+    def warm_step(carry, inputs):
+        z, U, g, key, da, wf, inv_mass = carry
+        in_w_c, w_end_c, na = inputs
+        key, k = jax.random.split(key)
+        z, U, g, da, wf, inv_mass, _, _ = fused.warm_chunk(
+            z, U, g, k, da, wf, inv_mass, in_w_c, w_end_c, na)
+        return (z, U, g, key, da, wf, inv_mass), None
+
+    carry = (z0, U0, g0, key, da, wf, inv_mass)
+    carry, _ = jax.lax.scan(warm_step, carry, (in_w, w_end, n_act))
+    (z, U, g, key, da, wf, inv_mass) = carry
+    eps = jnp.exp(da.log_eps_avg)
+
+    n_schunks = -(-cfg.num_samples // K)
+    s_act = jnp.minimum(
+        jnp.full(n_schunks, K, jnp.int32),
+        cfg.num_samples - jnp.arange(n_schunks, dtype=jnp.int32) * K)
+
+    def sample_step(carry, na):
+        z, U, g, key = carry
+        key, k = jax.random.split(key)
+        zs, z1, U1, g1, stats = fused.sample_chunk(z, U, g, k, eps, inv_mass,
+                                                   na)
+        return (z1, U1, g1, key), (zs, stats)
+
+    (_, _, _, _), (zs, stats) = jax.lax.scan(sample_step, (z, U, g, key),
+                                             s_act)
+    # (n_schunks, K, dim) -> (S, dim), trimming the inactive tail
+    zs = zs.reshape(n_schunks * K, dim)[:cfg.num_samples]
+    stats = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_schunks * K,) + a.shape[2:])[:cfg.num_samples],
+        stats)
+    stats["step_size"] = eps
+    stats["inv_mass"] = inv_mass
+    return zs, stats
+
+
 def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
                   num_chains: int = 1, jitter_init: float = 0.1, mesh=None,
                   potential_fn: Callable | None = None,
@@ -481,8 +550,10 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
     @jax.jit
     def _run(flat0, key, data):
         kernel_override = None
+        fused = None
         if fused_builder is not None:
-            kernel_override, potential_vg = fused_builder(data)
+            fused = fused_builder(data)
+            kernel_override, potential_vg = fused
         elif potential_fn is not None:
             def potential_vg(zvec):
                 return potential_fn(zvec, data)
@@ -504,6 +575,12 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
             sh = NamedSharding(mesh, P("chains"))
             z0s = jax.lax.with_sharding_constraint(z0s, sh)
             keys = jax.lax.with_sharding_constraint(keys, sh)
+        if fused is not None and getattr(fused, "warm_chunk", None) \
+                is not None:
+            return jax.vmap(
+                lambda z0, k: _single_chain_fused(fused, z0, k, cfg,
+                                                  in_window,
+                                                  window_end))(z0s, keys)
         return jax.vmap(
             lambda z0, k: _single_chain(potential_vg, z0, k, cfg, in_window,
                                         window_end,

@@ -7,17 +7,32 @@ the ~1M-row config (BASELINE.json config 5): minibatch gradients of the
 collapsed bound via subsampled VFE statistics, momentum with friction, and
 the whole trajectory as one ``lax.scan`` under jit, vmappable over chains.
 
-Update rule (M = I):
-    r <- (1 - eps*C) r - eps * grad U~(z) + N(0, 2 C eps - (eps)^2 Bhat)
-    z <- z + eps r
-with U~ the minibatch potential estimate scaled to the full dataset.
+Update rule in premultiplied momentum variables (rho = eps M^-1 r), with a
+diagonal preconditioner ``minv`` (Ma, Chen & Fox 2015 form):
+
+    rho <- (1 - a) rho - eps_t^2 minv grad U~(z) + N(0, 2 a eps_t^2 minv)
+    z   <- z + rho
+
+so the stationary momentum is rho ~ N(0, eps_t^2 minv) (also the refresh
+distribution). ``U~`` is the minibatch potential estimate scaled to the full
+dataset.
+
+Adaptation (absent in round 1, VERDICT weak item 7):
+* geometric step-size decay across warmup from ``step_size`` to
+  ``final_step_size`` — the standard bias/mixing trade: explore with a large
+  step, sample with a small one (discretisation bias is O(eps^2));
+* a Welford diagonal preconditioner estimated over the warmup trajectory and
+  switched in at the end of warmup (the SGHMC analogue of the HMC warmup's
+  inverse-mass window, inference/hmc.py).
+
+Posterior quality vs full-gradient NUTS is asserted by a KS-distance test on
+the marginals (tests/test_sghmc.py), replacing round 1's "finite NLPD" bar.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.flatten_util
@@ -29,12 +44,16 @@ __all__ = ["SGHMCConfig", "run_sghmc"]
 @dataclasses.dataclass(frozen=True)
 class SGHMCConfig:
     step_size: float = 1e-3
-    friction: float = 0.05          # C * eps in the discretisation
+    final_step_size: Optional[float] = None   # decay target (None = constant)
+    friction: float = 0.05                    # 'a' in the update rule
     num_steps: int = 2000
     batch_size: int = 1024
     thin: int = 10                  # keep every thin-th state
     num_warmup: int = 500           # discarded leading states
     resample_momentum_every: int = 50
+    adapt_mass: bool = False        # Welford diagonal preconditioner (opt-in:
+                                    # helps scale-heterogeneous targets, can
+                                    # slow well-scaled ones - see PERF.md)
 
 
 def run_sghmc(logpost_fn: Callable, init_params, key, num_data: int,
@@ -46,45 +65,76 @@ def run_sghmc(logpost_fn: Callable, init_params, key, num_data: int,
     """
     flat0, unravel = jax.flatten_util.ravel_pytree(init_params)
     dim = flat0.shape[0]
-    eps = cfg.step_size
-    alpha = cfg.friction                     # = eps * C
-    noise_std = jnp.sqrt(2.0 * alpha * eps)
+    eps0 = jnp.asarray(cfg.step_size, flat0.dtype)
+    eps_ratio = jnp.asarray(
+        1.0 if cfg.final_step_size is None
+        else cfg.final_step_size / cfg.step_size, flat0.dtype)
+    alpha = cfg.friction
+    warm = max(cfg.num_warmup, 1)
 
     def grad_u(z, idx):
         return jax.grad(lambda v: -logpost_fn(unravel(v), idx))(z)
 
     def one_chain(z0, key):
-        kr, key = jax.random.split(key)
         r0 = jnp.zeros(dim, z0.dtype)
+        minv0 = jnp.ones(dim, z0.dtype)
+        wf0 = (jnp.zeros(dim, z0.dtype), jnp.zeros(dim, z0.dtype),
+               jnp.zeros((), z0.dtype))
 
-        def step(carry, inp):
-            z, r, key = carry
-            t = inp
+        def step(carry, t):
+            z, r, key, minv, wf = carry
+            frac = jnp.minimum(t / warm, 1.0).astype(z.dtype)
+            eps_t = eps0 * eps_ratio ** frac
             key, kb, kn, km = jax.random.split(key, 4)
             idx = jax.random.randint(kb, (cfg.batch_size,), 0, num_data)
             g = grad_u(z, idx)
-            noise = noise_std * jax.random.normal(kn, (dim,), z.dtype)
-            r = (1.0 - alpha) * r - eps * g + noise
-            # periodic momentum refresh guards against divergence
+            scale = eps_t * jnp.sqrt(minv)
+            noise = jnp.sqrt(2.0 * alpha) * scale * \
+                jax.random.normal(kn, (dim,), z.dtype)
+            r = (1.0 - alpha) * r - (eps_t * scale) * g + noise
+            # periodic refresh from the stationary momentum distribution
             refresh = (t % cfg.resample_momentum_every) == 0
             r = jnp.where(refresh,
-                          jnp.sqrt(eps) * jax.random.normal(km, (dim,), z.dtype),
-                          r)
-            z = z + r * 1.0
-            return (z, r, key), z
+                          scale * jax.random.normal(km, (dim,), z.dtype), r)
+            z = z + r
 
-        (_, _, _), zs = jax.lax.scan(
-            step, (z0, r0, key), jnp.arange(1, cfg.num_steps + 1))
+            if cfg.adapt_mass:
+                # Welford over the warmup trajectory; switch in at its end
+                mean, m2, cnt = wf
+                in_warm = t <= cfg.num_warmup
+                cnt1 = cnt + 1.0
+                delta = z - mean
+                mean1 = mean + delta / cnt1
+                m21 = m2 + delta * (z - mean1)
+                wf = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(in_warm, a, b),
+                    (mean1, m21, cnt1), wf)
+                var = wf[1] / jnp.maximum(wf[2] - 1.0, 1.0)
+                var = (wf[2] / (wf[2] + 5.0)) * var + 1e-3 * (5.0 / (wf[2] + 5.0))
+                switch = t == cfg.num_warmup
+                minv = jnp.where(switch, var / jnp.maximum(jnp.max(var), 1e-12),
+                                 minv)
+                # momentum is in premultiplied units: rescale on the switch
+                r = jnp.where(switch, jnp.zeros_like(r), r)
+            return (z, r, key, minv, wf), z
+
+        (_, _, _, minv, _), zs = jax.lax.scan(
+            step, (z0, r0, key, minv0, wf0),
+            jnp.arange(1, cfg.num_steps + 1))
         kept = zs[cfg.num_warmup::cfg.thin]
-        return kept
+        return kept, minv
 
     keys = jax.random.split(key, num_chains)
     jkeys = jax.random.split(jax.random.fold_in(key, 7), num_chains)
     z0s = jnp.stack([flat0 + 0.01 * jax.random.normal(k, flat0.shape,
                                                       flat0.dtype)
                      for k in jkeys])
-    zs = jax.jit(jax.vmap(one_chain))(z0s, keys)      # (C, kept, dim)
+    zs, minv = jax.jit(jax.vmap(one_chain))(z0s, keys)    # (C, kept, dim)
     samples = jax.vmap(jax.vmap(unravel))(zs)
-    stats = {"step_size": eps, "friction": alpha,
-             "num_kept": zs.shape[1]}
+    stats = {"step_size": float(cfg.step_size),
+             "final_step_size": float(cfg.final_step_size
+                                      if cfg.final_step_size is not None
+                                      else cfg.step_size),
+             "friction": alpha, "num_kept": zs.shape[1],
+             "inv_mass": minv}
     return samples, stats

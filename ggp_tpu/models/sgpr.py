@@ -49,19 +49,33 @@ def vfe_stats(kernel: Kernel, kp: dict, Z: jnp.ndarray, X: jnp.ndarray,
     and a ``psum`` over the data axis yields the global stats. Forms
     S_kk = Kmn Knm on the MXU (one large matmul per block).
 
-    When ``GGP_USE_PALLAS=1`` and the kernel is the default Scale(RBF), the
-    fused streaming Pallas kernel (``ggp_tpu.ops.pallas_vfe``) is used —
-    Knm never materialises in HBM.
+    The fused streaming Pallas kernel (``ggp_tpu.ops.pallas_vfe``) is used
+    — Knm never materialises in HBM — when the kernel is Scale(RBF/Matern)
+    in f32 on TPU and EITHER ``GGP_USE_PALLAS=1`` (explicit) OR
+    N >= 100_000 (automatic: that is the regime where the bf16 single-pass
+    S_kk reduction beats XLA, PERF.md; the reduction target is regularised
+    downstream as B = I + A A^T so ~1e-3 relative Gram-of-Gram error is
+    tolerable, and at that N the stats are consumed by SGHMC/sharded paths
+    whose gradient noise dominates it). ``GGP_DISABLE_PALLAS=1`` kills both.
     """
     import os as _os
 
-    from ..kernels.base import RBF, Scale
-    if (_os.environ.get("GGP_USE_PALLAS")
-            and isinstance(kernel, Scale) and isinstance(kernel.base, RBF)
-            and jnp.asarray(X).dtype == jnp.float32):   # pallas path is f32
-        from ..ops.pallas_vfe import rbf_vfe_stats
-        return rbf_vfe_stats(X, y, Z, kp["base"]["log_lengthscale"],
-                             kp["log_outputscale"])
+    from ..kernels.base import RBF, Matern12, Matern32, Matern52, Scale
+    _FAM = {RBF: "rbf", Matern12: "matern12", Matern32: "matern32",
+            Matern52: "matern52"}
+    fam = (_FAM.get(type(kernel.base))
+           if isinstance(kernel, Scale) else None)
+    n = jnp.asarray(X).shape[0]
+    explicit = bool(_os.environ.get("GGP_USE_PALLAS"))
+    auto = n >= 100_000
+    if (fam is not None and (explicit or auto)
+            and jnp.asarray(X).dtype == jnp.float32    # pallas path is f32
+            and not _os.environ.get("GGP_DISABLE_PALLAS")):
+        from ..ops.pallas_vfe import _BF16_REDUCE, stationary_vfe_stats
+        bf16 = True if (auto and not explicit) else _BF16_REDUCE[0]
+        return stationary_vfe_stats(X, y, Z, kp["base"]["log_lengthscale"],
+                                    kp["log_outputscale"], fam=fam,
+                                    bf16=bf16)
     Kmn = kernel.gram(kp, Z, X)                      # (M, Nb)
     return {
         "S_kk": Kmn @ Kmn.T,                         # (M, M)

@@ -1,48 +1,55 @@
-"""Whole-transition NUTS as ONE Pallas TPU kernel (the hot path of
-BayesianSGPR_HMC, reference /root/reference/models/bayesian_sgpr_hmc.py:74-78).
+"""Whole-transition (and whole-chunk) NUTS as Pallas TPU kernels — the hot
+path of BayesianSGPR_HMC (reference /root/reference/models/bayesian_sgpr_hmc.py:74-78).
 
-Why a whole-transition kernel (PERF.md): on this TPU runtime every XLA loop
-iteration containing ANY custom call — a lapack Cholesky or even a trivial
-Pallas call — pays ~80 us fixed overhead. A fused per-EVAL kernel therefore
-cannot beat the autodiff potential (~108 us/eval, ~90 us of it overhead). The
-entire NUTS *transition* — tree building, multinomial sampling, U-turn
-checks, and every leapfrog's collapsed-bound value+grad — runs inside one
-kernel, so the overhead is paid once per transition and amortised over the
-~2^depth bound evaluations.
+Why (PERF.md): on this TPU runtime every XLA loop iteration containing ANY
+custom call — a lapack Cholesky or even a trivial Pallas call — pays a large
+fixed overhead (~80 us for a trivial call; ~300 us/iteration measured for the
+full transition dispatch + host-side randomness + adaptation bookkeeping). A
+fused per-EVAL kernel therefore cannot beat the autodiff potential
+(~108 us/eval). Two levels of fusion fix it:
+
+1. the entire NUTS *transition* — tree building, multinomial sampling,
+   U-turn checks, and every leapfrog's collapsed-bound value+grad — runs
+   inside ONE kernel (~76 us/leapfrog in-kernel, measured);
+2. CHUNKS of ``chunk`` transitions run per kernel call, with the Stan-style
+   warmup adaptation (dual averaging + Welford mass + window switches,
+   mirroring inference/hmc.py exactly) executed IN-KERNEL between
+   transitions, so the per-call overhead amortises over the whole chunk.
 
 Pieces:
 * collapsed-bound value+grad: the exact math of
   ``ops.fused_bound._rbf_vfe_neg_logpost_vg`` (tested against ``jax.grad`` to
-  machine precision) with the ref-based blocked Cholesky/inverse;
+  machine precision) with the fused ref-based blocked Cholesky+inverse;
 * iterative fixed-max-depth multinomial NUTS: a port of
   ``inference.hmc.nuts_kernel`` (same checkpoint-slot/popcount tree logic,
   same divergence threshold, same multinomial acceptance);
 * all randomness is PRECOMPUTED host-side with ``jax.random`` and passed in
   (momentum normals, per-doubling direction/swap uniforms, per-leaf
-  multinomial uniforms indexed by the global leaf counter) — this keeps the
-  kernel deterministic given inputs, testable in interpret mode on CPU (the
-  interpreters stub the TPU PRNG), and on threefry-quality randomness;
+  multinomial uniforms indexed by the global leaf counter) — deterministic
+  given inputs, testable in interpret mode on CPU (the interpreters stub the
+  TPU PRNG), threefry-quality randomness;
 * a single-eval potential kernel for warmup initialisation
   (``find_reasonable_step_size``) so initial energies are consistent with
   the in-kernel potential.
 
 Interpret-mode correctness tests: tests/test_fused_nuts.py. On-TPU
-statistical parity + timing: the bench harness.
+statistical parity + timing: PERF.md / bench.py.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_bound import (_rbf_vfe_neg_logpost_vg, _round_up, chol_u_inplace,
-                          ut_inv_inplace)
+from .fused_bound import (_rbf_vfe_neg_logpost_vg, _round_up,
+                          chol_u_inv_inplace)
 
-__all__ = ["make_fused_nuts", "fused_nuts_supported"]
+__all__ = ["make_fused_nuts", "fused_nuts_supported", "FusedNUTS"]
 
 _LANES = 128
 _DIVERGENCE_THRESHOLD = 1000.0   # matches inference/hmc.py
@@ -79,45 +86,20 @@ def _log_unif(u):
 
 
 # --------------------------------------------------------------------------
-# The transition kernel
+# One NUTS transition on (1,128) rows, inside a kernel
 # --------------------------------------------------------------------------
 
-def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
-                      leafu_ref, x_ref, y_ref, zz_ref,
-                      zout_ref, gout_ref, stat_ref,
-                      Ks, Us, Vs, zc_ref, vc_ref,
-                      *, n, m, d, jitter, max_depth, block):
+def _transition_inkernel(z0, U0v, g0, eps, inv_mass, pot, mom_row,
+                         tree_u, leaf_u, zc_ref, vc_ref, *, max_depth):
+    """Port of inference.hmc.nuts_kernel. ``tree_u(depth) -> (u_dir,
+    u_swap)``, ``leaf_u(k) -> uniform`` index precomputed randomness.
+    Returns (zp, Up, gp, accept_prob, diverging, depth, n_leaves, H0)."""
     f32 = jnp.float32
-    eps = scal_ref[0]
-    U0v = scal_ref[1]
-    z0 = z_ref[:]
-    g0 = g_ref[:]
-    inv_mass = im_ref[:]                       # padding lanes = 1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    dim_mask = (lane < d + 2).astype(f32)
-
-    def ref_chol_inv(K):
-        Ks[:] = K
-        chol_u_inplace(Ks, Us, block=block)
-        ut_inv_inplace(Us, Vs, block=block)
-        return Us[:], Vs[:]
-
-    def pot(zrow):
-        return _rbf_vfe_neg_logpost_vg(zrow, x_ref[:], y_ref[:], zz_ref[:],
-                                       n, m, d, jitter,
-                                       chol_inv=ref_chol_inv)
 
     def kinetic(r):
         return 0.5 * jnp.sum(inv_mass * r * r)
 
-    def leaf_uniform(k):
-        """k-th precomputed leaf uniform: row k>>7, lane k&127."""
-        row = leafu_ref[pl.ds(k >> 7, 1), :]
-        onehot = (lane == (k & 127)).astype(f32)
-        return jnp.sum(row * onehot)
-
-    # momentum r ~ N(0, mass) from a precomputed standard-normal row
-    r0 = mom_ref[:] / jnp.sqrt(inv_mass) * dim_mask
+    r0 = mom_row / jnp.sqrt(inv_mass)
     H0 = U0v + kinetic(r0)
 
     def build_subtree(z, r, U, g, dirf, depth, nl0):
@@ -146,7 +128,7 @@ def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
 
             # progressive multinomial sampling within the subtree
             logw_new = _lae(logw, logw_leaf)
-            take = _log_unif(leaf_uniform(nl0 + i)) < (logw_leaf - logw_new)
+            take = _log_unif(leaf_u(nl0 + i)) < (logw_leaf - logw_new)
             zp = jnp.where(take, z, zp)
             Up = jnp.where(take, U, Up)
             gp = jnp.where(take, g, gp)
@@ -180,9 +162,6 @@ def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
                 jnp.bool_(False), jnp.asarray(0.0, f32))
         return jax.lax.while_loop(cond, body, init)
 
-    # outer doubling loop; carry:
-    # (lz, lr, lU, lg, rz, rr, rU, rg, zp, Up, gp, logw, depth, turning,
-    #  diverging, acc, nl)
     def cond(c):
         depth, turning, diverging = c[12], c[13], c[14]
         return (~turning) & (~diverging) & (depth < max_depth)
@@ -190,9 +169,7 @@ def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
     def body(c):
         (lz, lr, lU, lg, rz, rr, rU, rg, zp, Up, gp, logw, depth, turning,
          diverging, acc, nl) = c
-        urow = treeu_ref[pl.ds(depth, 1), :]
-        u_dir = jnp.sum(urow[0:1, 0:1])
-        u_swap = jnp.sum(urow[0:1, 1:2])
+        u_dir, u_swap = tree_u(depth)
         dirf = jnp.where(u_dir < 0.5, jnp.asarray(1.0, f32),
                          jnp.asarray(-1.0, f32))
         fwd = dirf > 0
@@ -235,8 +212,68 @@ def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
     out = jax.lax.while_loop(cond, body, init)
     (zp, Up, gp, depth, turning, diverging, acc, nl) = (
         out[8], out[9], out[10], out[12], out[13], out[14], out[15], out[16])
-
     accept_prob = acc / jnp.maximum(nl.astype(f32), 1.0)
+    return zp, Up, gp, accept_prob, diverging, depth, nl, H0
+
+
+# --------------------------------------------------------------------------
+# In-kernel warmup adaptation (exact mirror of inference/hmc.py)
+# --------------------------------------------------------------------------
+
+def _da_update_scalars(le, lea, h, mu, t, accept, target):
+    """dual averaging (hmc.py:da_update; gamma=0.05, t0=10, kappa=0.75)."""
+    t1 = t + 1.0
+    h1 = (1.0 - 1.0 / (t1 + 10.0)) * h + (target - accept) / (t1 + 10.0)
+    le1 = mu - jnp.sqrt(t1) / 0.05 * h1
+    w = jnp.exp(-0.75 * jnp.log(t1))
+    lea1 = w * le1 + (1.0 - w) * lea
+    return le1, lea1, h1, mu, t1
+
+
+# --------------------------------------------------------------------------
+# Kernel bodies
+# --------------------------------------------------------------------------
+
+def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block):
+    def ref_chol_inv(K):
+        Ks[:] = K
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block)
+        return Us[:], Vs[:]
+
+    def pot(zrow):
+        return _rbf_vfe_neg_logpost_vg(zrow, x_ref[:], y_ref[:], zz_ref[:],
+                                       n, m, d, jitter,
+                                       chol_inv=ref_chol_inv)
+
+    return pot
+
+
+def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
+                      leafu_ref, x_ref, y_ref, zz_ref,
+                      zout_ref, gout_ref, stat_ref,
+                      Ks, Us, Vs, Ds, zc_ref, vc_ref,
+                      *, n, m, d, jitter, max_depth, block):
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    dim_mask = (lane < d + 2).astype(f32)
+    pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
+                    block)
+
+    def tree_u(depth):
+        urow = treeu_ref[pl.ds(depth, 1), :]
+        return jnp.sum(urow[0:1, 0:1]), jnp.sum(urow[0:1, 1:2])
+
+    def leaf_u(k):
+        row = leafu_ref[pl.ds(k >> 7, 1), :]
+        onehot = (lane == (k & 127)).astype(f32)
+        return jnp.sum(row * onehot)
+
+    zp, Up, gp, accept_prob, diverging, depth, nl, H0 = _transition_inkernel(
+        z_ref[:], scal_ref[1], g_ref[:], scal_ref[0], im_ref[:], pot,
+        mom_ref[:] * dim_mask, tree_u, leaf_u, zc_ref, vc_ref,
+        max_depth=max_depth)
+
+    zero = jnp.asarray(0.0, f32)
     zout_ref[:] = zp
     gout_ref[:] = gp
     row = jnp.where(lane == 0, Up, zero)
@@ -248,16 +285,166 @@ def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
     stat_ref[:] = row
 
 
-def _potential_kernel_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
-                           Ks, Us, Vs, *, n, m, d, jitter, block):
-    def ref_chol_inv(K):
-        Ks[:] = K
-        chol_u_inplace(Ks, Us, block=block)
-        ut_inv_inplace(Us, Vs, block=block)
-        return Us[:], Vs[:]
+def _warm_chunk_kernel_body(scal_ref, flags_ref, z_ref, g_ref, im_ref,
+                            wfm_ref, wfm2_ref, mom_ref, treeu_ref, leafu_ref,
+                            x_ref, y_ref, zz_ref,
+                            zout_ref, gout_ref, imout_ref, wfmout_ref,
+                            wfm2out_ref, stat_ref,
+                            Ks, Us, Vs, Ds, zc_ref, vc_ref,
+                            *, n, m, d, jitter, max_depth, block, chunk,
+                            leaf_rows, target_accept, adapt_mass):
+    """``chunk`` warmup transitions with in-kernel Stan adaptation.
 
-    U, g = _rbf_vfe_neg_logpost_vg(z_ref[:], x_ref[:], y_ref[:], zz_ref[:],
-                                   n, m, d, jitter, chol_inv=ref_chol_inv)
+    scal_ref (SMEM f32, 8): [U, log_eps, log_eps_avg, h_avg, mu, t_da,
+    wf_count, n_active]. flags_ref (SMEM i32, 2*chunk): in_window then
+    window_end per step. Randomness slabs are indexed per step.
+    """
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    dim_mask = (lane < d + 2).astype(f32)
+    pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
+                    block)
+    n_active = scal_ref[7].astype(jnp.int32)
+
+    def step(t, carry):
+        (z, U, g, le, lea, h, mu, tda, wfm, wfm2, wfc, inv_mass,
+         acc_sum, div_sum) = carry
+
+        def run(_):
+            def tree_u(depth):
+                urow = treeu_ref[pl.ds(t * max_depth + depth, 1), :]
+                return jnp.sum(urow[0:1, 0:1]), jnp.sum(urow[0:1, 1:2])
+
+            def leaf_u(k):
+                kk = t * (leaf_rows * _LANES) + k
+                row = leafu_ref[pl.ds(kk >> 7, 1), :]
+                onehot = (lane == (kk & 127)).astype(f32)
+                return jnp.sum(row * onehot)
+
+            mom = mom_ref[pl.ds(t, 1), :] * dim_mask
+            eps = jnp.exp(le)
+            zp, Up, gp, accept, div, _, _, _ = _transition_inkernel(
+                z, U, g, eps, inv_mass, pot, mom, tree_u, leaf_u,
+                zc_ref, vc_ref, max_depth=max_depth)
+            le1, lea1, h1, mu1, tda1 = _da_update_scalars(
+                le, lea, h, mu, tda, accept, target_accept)
+            wfm1, wfm21, wfc1, im1 = wfm, wfm2, wfc, inv_mass
+            if adapt_mass:
+                in_w = flags_ref[t] > 0
+                w_end = flags_ref[chunk + t] > 0
+                cnt1 = wfc + 1.0
+                delta = zp - wfm
+                mean1 = wfm + delta / cnt1
+                m21 = wfm2 + delta * (zp - mean1)
+                wfm1 = jnp.where(in_w, mean1, wfm)
+                wfm21 = jnp.where(in_w, m21, wfm2)
+                wfc1 = jnp.where(in_w, cnt1, wfc)
+                var = wfm21 / jnp.maximum(wfc1 - 1.0, 1.0)
+                var = ((wfc1 / (wfc1 + 5.0)) * var
+                       + 1e-3 * (5.0 / (wfc1 + 5.0)))
+                im1 = jnp.where(w_end, var, inv_mass)
+                wfm1 = jnp.where(w_end, jnp.zeros_like(wfm1), wfm1)
+                wfm21 = jnp.where(w_end, jnp.zeros_like(wfm21), wfm21)
+                wfc1 = jnp.where(w_end, jnp.asarray(0.0, f32), wfc1)
+                # window end restarts dual averaging at the current eps
+                # (hmc.py: da_init(exp(da.log_eps)))
+                lea1 = jnp.where(w_end, le1, lea1)
+                mu1 = jnp.where(w_end, jnp.log(10.0) + le1, mu1)
+                h1 = jnp.where(w_end, jnp.asarray(0.0, f32), h1)
+                tda1 = jnp.where(w_end, jnp.asarray(0.0, f32), tda1)
+            return (zp, Up, gp, le1, lea1, h1, mu1, tda1, wfm1, wfm21,
+                    wfc1, im1, acc_sum + accept, div_sum + div.astype(f32))
+
+        return jax.lax.cond(t < n_active, run, lambda _: carry, 0)
+
+    zero = jnp.asarray(0.0, f32)
+    init = (z_ref[:], scal_ref[0], g_ref[:], scal_ref[1], scal_ref[2],
+            scal_ref[3], scal_ref[4], scal_ref[5], wfm_ref[:], wfm2_ref[:],
+            scal_ref[6], im_ref[:], zero, zero)
+    (z, U, g, le, lea, h, mu, tda, wfm, wfm2, wfc, inv_mass, acc_sum,
+     div_sum) = jax.lax.fori_loop(0, chunk, step, init)
+
+    zout_ref[:] = z
+    gout_ref[:] = g
+    imout_ref[:] = inv_mass
+    wfmout_ref[:] = wfm
+    wfm2out_ref[:] = wfm2
+    row = jnp.where(lane == 0, U, zero)
+    row = jnp.where(lane == 1, le, row)
+    row = jnp.where(lane == 2, lea, row)
+    row = jnp.where(lane == 3, h, row)
+    row = jnp.where(lane == 4, mu, row)
+    row = jnp.where(lane == 5, tda, row)
+    row = jnp.where(lane == 6, wfc, row)
+    row = jnp.where(lane == 7, acc_sum, row)
+    row = jnp.where(lane == 8, div_sum, row)
+    stat_ref[:] = row
+
+
+def _sample_chunk_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref,
+                              treeu_ref, leafu_ref, x_ref, y_ref, zz_ref,
+                              zsout_ref, statout_ref, gout_ref, zfin_ref,
+                              ufin_ref,
+                              Ks, Us, Vs, Ds, zc_ref, vc_ref,
+                              *, n, m, d, jitter, max_depth, block, chunk,
+                              leaf_rows):
+    """``chunk`` sampling transitions at fixed eps; per-draw outputs.
+
+    scal_ref (SMEM f32, 4): [U, eps, n_active, pad]."""
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    dim_mask = (lane < d + 2).astype(f32)
+    pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
+                    block)
+    eps = scal_ref[1]
+    n_active = scal_ref[2].astype(jnp.int32)
+
+    zsout_ref[:] = jnp.zeros((chunk, _LANES), f32)
+    statout_ref[:] = jnp.zeros((chunk, _LANES), f32)
+
+    def step(t, carry):
+        z, U, g = carry
+
+        def run(_):
+            def tree_u(depth):
+                urow = treeu_ref[pl.ds(t * max_depth + depth, 1), :]
+                return jnp.sum(urow[0:1, 0:1]), jnp.sum(urow[0:1, 1:2])
+
+            def leaf_u(k):
+                kk = t * (leaf_rows * _LANES) + k
+                row = leafu_ref[pl.ds(kk >> 7, 1), :]
+                onehot = (lane == (kk & 127)).astype(f32)
+                return jnp.sum(row * onehot)
+
+            mom = mom_ref[pl.ds(t, 1), :] * dim_mask
+            zp, Up, gp, accept, div, depth, nl, H0 = _transition_inkernel(
+                z, U, g, eps, im_ref[:], pot, mom, tree_u, leaf_u,
+                zc_ref, vc_ref, max_depth=max_depth)
+            zsout_ref[pl.ds(t, 1), :] = zp
+            zero = jnp.asarray(0.0, f32)
+            row = jnp.where(lane == 0, Up, zero)
+            row = jnp.where(lane == 1, accept, row)
+            row = jnp.where(lane == 2, div.astype(f32), row)
+            row = jnp.where(lane == 3, depth.astype(f32), row)
+            row = jnp.where(lane == 4, nl.astype(f32), row)
+            row = jnp.where(lane == 5, H0, row)
+            statout_ref[pl.ds(t, 1), :] = row
+            return (zp, Up, gp)
+
+        return jax.lax.cond(t < n_active, run, lambda _: carry, 0)
+
+    z, U, g = jax.lax.fori_loop(0, chunk, step,
+                                (z_ref[:], scal_ref[0], g_ref[:]))
+    gout_ref[:] = g
+    zfin_ref[:] = z
+    ufin_ref[:] = jnp.where(lane == 0, U, jnp.asarray(0.0, f32))
+
+
+def _potential_kernel_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
+                           Ks, Us, Vs, Ds, *, n, m, d, jitter, block):
+    pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
+                    block)
+    U, g = pot(z_ref[:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     uout_ref[:] = jnp.where(lane == 0, U, 0.0)
     gout_ref[:] = g
@@ -267,24 +454,33 @@ def _potential_kernel_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
 # Host-side factory
 # --------------------------------------------------------------------------
 
+class FusedNUTS(NamedTuple):
+    """Builder result. Iterable as (transition, potential) for the simple
+    per-transition integration; ``warm_chunk``/``sample_chunk`` drive the
+    chunked fast path (inference.hmc._single_chain_fused)."""
+    transition: Callable
+    potential: Callable
+    warm_chunk: Callable
+    sample_chunk: Callable
+    chunk: int
+
+    def __iter__(self):     # legacy 2-tuple unpacking
+        return iter((self.transition, self.potential))
+
+
 def fused_nuts_supported(n: int, d: int, m: int, *, max_n: int = 2048,
                          max_m: int = 256) -> bool:
     """Size envelope: everything must fit VMEM (X, the (Np x Mp)
-    intermediates, and 3 (Mp x Mp) scratch buffers)."""
+    intermediates, and the (Mp x Mp) scratch buffers)."""
     return (d + 2 <= _LANES) and (n <= max_n) and (m <= max_m)
 
 
 def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
                     block: int = 16, interpret: bool = False,
-                    max_n: int = 2048, max_m: int = 256):
-    """Factory for the fused transition + matching single-eval potential.
-
-    Returns ``builder(Z) -> (transition_kernel, potential_vg)`` where
-    ``transition_kernel`` has the ``inference.hmc.nuts_kernel`` call
-    signature ``(potential_vg_ignored, z, U, g, key, eps, inv_mass)`` and
-    ``potential_vg(zvec) -> (U, grad)``; or None if the problem exceeds the
-    VMEM envelope.
-    """
+                    max_n: int = 2048, max_m: int = 256, chunk: int = 16,
+                    target_accept: float = 0.8, adapt_mass: bool = True):
+    """Factory. Returns ``builder(Z) -> FusedNUTS`` or None if the problem
+    exceeds the VMEM envelope."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = X.shape
@@ -296,59 +492,90 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
     yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
     jitter = float(jitter)
     leaf_rows = max(1, (1 << max_depth) // _LANES)
+    f32 = jnp.float32
+
+    def _pad_row(v, fill=0.0):
+        return jnp.full((1, _LANES), fill, f32).at[0, :dim].set(
+            v.astype(f32))
+
+    def _rand(key, k_steps):
+        k1, k2, k3 = jax.random.split(key, 3)
+        mom = jax.random.normal(k1, (k_steps, _LANES), f32)
+        treeu = jax.random.uniform(k2, (k_steps * max_depth, _LANES), f32)
+        leafu = jax.random.uniform(k3, (k_steps * leaf_rows, _LANES), f32)
+        return mom, treeu, leafu
 
     def builder(Z):
         m = Z.shape[0]
         if m > max_m:
             raise ValueError(f"M={m} exceeds fused-NUTS envelope {max_m}")
         Mp = _round_up(m, _LANES)
+        common = dict(n=n, m=m, d=d, jitter=jitter, block=block)
 
         def _scratch():
-            return [pltpu.VMEM((Mp, Mp), jnp.float32) for _ in range(3)]
+            return ([pltpu.VMEM((Mp, Mp), jnp.float32) for _ in range(3)]
+                    + [pltpu.VMEM((Mp, _LANES), jnp.float32)])
 
-        kb = partial(_nuts_kernel_body, n=n, m=m, d=d, jitter=jitter,
-                     max_depth=max_depth, block=block)
+        def _ckpts():
+            return [pltpu.VMEM((max_depth + 1, _LANES), jnp.float32)
+                    for _ in range(2)]
+
         trans_call = pl.pallas_call(
-            kb,
-            out_shape=(jax.ShapeDtypeStruct((1, _LANES), jnp.float32),) * 3,
+            partial(_nuts_kernel_body, max_depth=max_depth, **common),
+            out_shape=(jax.ShapeDtypeStruct((1, _LANES), f32),) * 3,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
-            scratch_shapes=_scratch() + [
-                pltpu.VMEM((max_depth + 1, _LANES), jnp.float32),
-                pltpu.VMEM((max_depth + 1, _LANES), jnp.float32),
-            ],
+            scratch_shapes=_scratch() + _ckpts(),
             interpret=interpret,
         )
-        pb = partial(_potential_kernel_body, n=n, m=m, d=d, jitter=jitter,
-                     block=block)
+        warm_call = pl.pallas_call(
+            partial(_warm_chunk_kernel_body, max_depth=max_depth,
+                    chunk=chunk, leaf_rows=leaf_rows,
+                    target_accept=target_accept, adapt_mass=adapt_mass,
+                    **common),
+            out_shape=(jax.ShapeDtypeStruct((1, _LANES), f32),) * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
+            scratch_shapes=_scratch() + _ckpts(),
+            interpret=interpret,
+        )
+        sample_call = pl.pallas_call(
+            partial(_sample_chunk_kernel_body, max_depth=max_depth,
+                    chunk=chunk, leaf_rows=leaf_rows, **common),
+            out_shape=(jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                       jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                       jax.ShapeDtypeStruct((1, _LANES), f32),
+                       jax.ShapeDtypeStruct((1, _LANES), f32),
+                       jax.ShapeDtypeStruct((1, _LANES), f32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 5,
+            scratch_shapes=_scratch() + _ckpts(),
+            interpret=interpret,
+        )
         pot_call = pl.pallas_call(
-            pb,
-            out_shape=(jax.ShapeDtypeStruct((1, _LANES), jnp.float32),) * 2,
+            partial(_potential_kernel_body, **common),
+            out_shape=(jax.ShapeDtypeStruct((1, _LANES), f32),) * 2,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
             scratch_shapes=_scratch(),
             interpret=interpret,
         )
-        Zp = jnp.zeros((Mp, _LANES), jnp.float32).at[:m, :d].set(
-            Z.astype(jnp.float32))
+        Zp = jnp.zeros((Mp, _LANES), f32).at[:m, :d].set(Z.astype(f32))
 
         def potential_vg(zvec):
-            zrow = jnp.zeros((1, _LANES), jnp.float32).at[0, :dim].set(
-                zvec.astype(jnp.float32))
+            zrow = jnp.zeros((1, _LANES), f32).at[0, :dim].set(
+                zvec.astype(f32))
             urow, grow = pot_call(zrow, Xp, yp, Zp)
             return urow[0, 0].astype(zvec.dtype), grow[0, :dim].astype(zvec.dtype)
 
-        def transition_kernel(_potential_vg, z, U, g, key, eps, inv_mass):
-            f32 = jnp.float32
-            zrow = jnp.zeros((1, _LANES), f32).at[0, :dim].set(z.astype(f32))
-            grow = jnp.zeros((1, _LANES), f32).at[0, :dim].set(g.astype(f32))
-            imrow = jnp.ones((1, _LANES), f32).at[0, :dim].set(
-                inv_mass.astype(f32))
-            k1, k2, k3 = jax.random.split(key, 3)
-            mom = jax.random.normal(k1, (1, _LANES), f32)
-            treeu = jax.random.uniform(k2, (max_depth, _LANES), f32)
-            leafu = jax.random.uniform(k3, (leaf_rows, _LANES), f32)
+        def transition(_potential_vg, z, U, g, key, eps, inv_mass):
+            zrow = _pad_row(z)
+            grow = _pad_row(g)
+            imrow = _pad_row(inv_mass, fill=1.0)
+            mom, treeu, leafu = _rand(key, 1)
             scal = jnp.stack([jnp.asarray(eps, f32), jnp.asarray(U, f32)])
             zo, go, st = trans_call(scal, zrow, grow, imrow, mom, treeu,
                                     leafu, Xp, yp, Zp)
@@ -362,6 +589,58 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
             return (zo[0, :dim].astype(z.dtype), st[0, 0].astype(z.dtype),
                     go[0, :dim].astype(z.dtype), stats)
 
-        return transition_kernel, potential_vg
+        def warm_chunk(z, U, g, key, da, wf, inv_mass, in_w, w_end,
+                       n_active):
+            """One chunk of warmup transitions + adaptation. da/wf are the
+            hmc.py DAState/WelfordState pytrees over (dim,) vectors;
+            in_w/w_end are (chunk,) bools; n_active <= chunk."""
+            mom, treeu, leafu = _rand(key, chunk)
+            scal = jnp.stack([
+                jnp.asarray(U, f32), da.log_eps.astype(f32),
+                da.log_eps_avg.astype(f32), da.h_avg.astype(f32),
+                da.mu.astype(f32), da.t.astype(f32),
+                wf.count.astype(f32), jnp.asarray(n_active, f32)])
+            flags = jnp.concatenate([in_w.astype(jnp.int32),
+                                     w_end.astype(jnp.int32)])
+            zo, go, imo, wfmo, wfm2o, st = warm_call(
+                scal, flags, _pad_row(z), _pad_row(g),
+                _pad_row(inv_mass, 1.0), _pad_row(wf.mean),
+                _pad_row(wf.m2), mom, treeu, leafu, Xp, yp, Zp)
+            from ..inference.hmc import DAState, WelfordState  # noqa
+            da1 = DAState(st[0, 1].astype(da.log_eps.dtype),
+                          st[0, 2].astype(da.log_eps.dtype),
+                          st[0, 3].astype(da.log_eps.dtype),
+                          st[0, 4].astype(da.log_eps.dtype),
+                          st[0, 5].astype(da.log_eps.dtype))
+            wf1 = WelfordState(wfmo[0, :dim].astype(wf.mean.dtype),
+                               wfm2o[0, :dim].astype(wf.m2.dtype),
+                               st[0, 6].astype(wf.count.dtype))
+            return (zo[0, :dim].astype(z.dtype), st[0, 0].astype(z.dtype),
+                    go[0, :dim].astype(z.dtype), da1, wf1,
+                    imo[0, :dim].astype(inv_mass.dtype),
+                    st[0, 7], st[0, 8])
+
+        def sample_chunk(z, U, g, key, eps, inv_mass, n_active):
+            mom, treeu, leafu = _rand(key, chunk)
+            scal = jnp.stack([jnp.asarray(U, f32), jnp.asarray(eps, f32),
+                              jnp.asarray(n_active, f32),
+                              jnp.asarray(0.0, f32)])
+            zs, st, go, zfin, ufin = sample_call(
+                scal, _pad_row(z), _pad_row(g), _pad_row(inv_mass, 1.0),
+                mom, treeu, leafu, Xp, yp, Zp)
+            stats = {
+                "accept_prob": st[:, 1].astype(z.dtype),
+                "diverging": st[:, 2] > 0.5,
+                "depth": st[:, 3].astype(jnp.int32),
+                "n_leapfrog": st[:, 4].astype(jnp.int32),
+                "energy": st[:, 5].astype(z.dtype),
+            }
+            return (zs[:, :dim].astype(z.dtype),
+                    zfin[0, :dim].astype(z.dtype),
+                    ufin[0, 0].astype(z.dtype),
+                    go[0, :dim].astype(z.dtype), stats)
+
+        return FusedNUTS(transition, potential_vg, warm_chunk, sample_chunk,
+                         chunk)
 
     return builder

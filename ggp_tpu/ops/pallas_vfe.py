@@ -32,7 +32,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rbf_vfe_stats", "pallas_available", "set_bf16_reduce", "BLOCK_N"]
+__all__ = ["rbf_vfe_stats", "stationary_vfe_stats", "pallas_available",
+           "set_bf16_reduce", "BLOCK_N", "FAMILIES"]
+
+# stationary families sharing the streamed distance pipeline; each entry is
+# (k(d2, os), dk/d(d2)(d2, os)) — Matern gradients written in d2 so the
+# r->0 singularity only appears for Matern-1/2 (guarded like the XLA path's
+# grad-safe sqrt, kernels/base.py:dist)
+FAMILIES = ("rbf", "matern12", "matern32", "matern52")
 
 BLOCK_N = 512
 
@@ -66,8 +73,42 @@ def _round_up(x, m):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _k_of_d2(d2, os, fam):
+    if fam == "rbf":
+        return os * jnp.exp(-0.5 * d2)
+    r = jnp.sqrt(d2)
+    if fam == "matern12":
+        return os * jnp.exp(-r)
+    if fam == "matern32":
+        s = jnp.sqrt(3.0) * r
+        return os * (1.0 + s) * jnp.exp(-s)
+    if fam == "matern52":
+        s = jnp.sqrt(5.0) * r
+        return os * (1.0 + s + (5.0 / 3.0) * d2) * jnp.exp(-s)
+    raise ValueError(fam)
+
+
+def _dk_dd2(d2, k, os, fam):
+    if fam == "rbf":
+        return -0.5 * k
+    r = jnp.sqrt(d2)
+    # Matern kernels are functions of r: match the XLA path's grad-safe
+    # sqrt semantics (kernels/base.py:dist), which zeroes the gradient at
+    # coincident points (d2 == 0) — Z initialised from training rows hits
+    # this on purpose.
+    pos = (d2 > 0.0).astype(d2.dtype)
+    if fam == "matern12":
+        return -os * jnp.exp(-r) / (2.0 * jnp.maximum(r, 1e-12)) * pos
+    if fam == "matern32":
+        return -1.5 * os * jnp.exp(-jnp.sqrt(3.0) * r) * pos
+    if fam == "matern52":
+        s = jnp.sqrt(5.0) * r
+        return -(5.0 / 6.0) * os * (1.0 + s) * jnp.exp(-s) * pos
+    raise ValueError(fam)
+
+
 def _fwd_kernel(nvalid_ref, os_ref, xs_ref, y_ref, zs_ref,
-                skk_ref, sky_ref):
+                skk_ref, sky_ref, *, fam, bf16):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -89,25 +130,25 @@ def _fwd_kernel(nvalid_ref, os_ref, xs_ref, y_ref, zs_ref,
     zn = jnp.sum(zs * zs, axis=1, keepdims=True).T           # (1, M)
     cross = jnp.dot(xs, zs.T, preferred_element_type=jnp.float32)
     d2 = jnp.maximum(xn + zn - 2.0 * cross, 0.0)
-    k = os_ref[0] * jnp.exp(-0.5 * d2)                       # (BN, M)
+    k = _k_of_d2(d2, os_ref[0], fam)                         # (BN, M)
     k = jnp.where(valid, k, 0.0)
 
     # bf16 inputs to the dominant M x M reduction (f32 accumulate): single
     # MXU pass instead of the multi-pass f32 emulation — the S_kk target is
     # regularised downstream (B = I + AA^T), so ~1e-3 relative error in the
     # Gram-of-Gram is tolerable when enabled.
-    kr = k.astype(jnp.bfloat16) if _BF16_REDUCE[0] else k
+    kr = k.astype(jnp.bfloat16) if bf16 else k
     skk_ref[:] += jnp.dot(kr.T, kr, preferred_element_type=jnp.float32)
     sky_ref[:] += jnp.dot(k.T, jnp.where(valid, y, 0.0),
                           preferred_element_type=jnp.float32)
 
 
-def _fwd_call(Xs, y2, Zs, outputscale, n_valid, block_n):
+def _fwd_call(Xs, y2, Zs, outputscale, n_valid, block_n, fam, bf16):
     Np, D = Xs.shape
     M = Zs.shape[0]
     grid = (Np // block_n,)
     skk, sky = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, fam=fam, bf16=bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -137,7 +178,7 @@ def _fwd_call(Xs, y2, Zs, outputscale, n_valid, block_n):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(nvalid_ref, os_ref, xs_ref, y_ref, zs_ref, g_ref, dsky_ref,
-                dz_ref, dls_ref, dos_ref):
+                dz_ref, dls_ref, dos_ref, *, fam):
     """g_ref = dskk + dskk^T (precomputed host-side), dsky (M, 1).
 
     w := dL/d(d2) = -0.5 * k * dk, with dk = y dsky^T + k g.
@@ -165,15 +206,15 @@ def _bwd_kernel(nvalid_ref, os_ref, xs_ref, y_ref, zs_ref, g_ref, dsky_ref,
     zn = jnp.sum(zs * zs, axis=1, keepdims=True).T
     cross = jnp.dot(xs, zs.T, preferred_element_type=jnp.float32)
     d2 = jnp.maximum(xn + zn - 2.0 * cross, 0.0)
-    k = os_ref[0] * jnp.exp(-0.5 * d2)
+    k = _k_of_d2(d2, os_ref[0], fam)
     k = jnp.where(valid, k, 0.0)
 
     dk = jnp.dot(jnp.where(valid, y, 0.0), dsky_ref[:].T,
                  preferred_element_type=jnp.float32) \
         + jnp.dot(k, g_ref[:], preferred_element_type=jnp.float32)
-    kdk = k * dk
-    dos_ref[:] += (jnp.sum(kdk) / os_ref[0]).reshape(1, 1)
-    w = -0.5 * kdk                                          # (BN, M)
+    # dL/dos = sum dk * (k/os): every family scales linearly in os
+    dos_ref[:] += (jnp.sum(k * dk) / os_ref[0]).reshape(1, 1)
+    w = jnp.where(valid, _dk_dd2(d2, k, os_ref[0], fam), 0.0) * dk  # (BN, M)
 
     colsum_w = jnp.sum(w, axis=0, keepdims=True)            # (1, M)
     wtx = jnp.dot(w.T, xs, preferred_element_type=jnp.float32)   # (M, D)
@@ -188,12 +229,12 @@ def _bwd_kernel(nvalid_ref, os_ref, xs_ref, y_ref, zs_ref, g_ref, dsky_ref,
     dls_ref[0, :] += term
 
 
-def _bwd_call(Xs, y2, Zs, outputscale, n_valid, g_sym, dsky, block_n):
+def _bwd_call(Xs, y2, Zs, outputscale, n_valid, g_sym, dsky, block_n, fam):
     Np, D = Xs.shape
     M = Zs.shape[0]
     grid = (Np // block_n,)
     dz, dls, dos = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, fam=fam),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -226,14 +267,21 @@ def _bwd_call(Xs, y2, Zs, outputscale, n_valid, g_sym, dsky, block_n):
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def rbf_vfe_stats(X, y, Z, log_ls, log_os, block_n=BLOCK_N):
-    """Fused VFE statistics for the Scale(RBF-ARD) kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def stationary_vfe_stats(X, y, Z, log_ls, log_os, block_n=BLOCK_N,
+                         fam="rbf", bf16=None):
+    """Fused VFE statistics for Scale(<stationary>) kernels (RBF + the
+    Matern family share the streamed distance pipeline; SURVEY §7.1).
 
     Returns the same dict as ``ggp_tpu.models.sgpr.vfe_stats``. Differentiable
     w.r.t. Z, log_ls, log_os (X and y are data).
     """
-    return _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n)
+    return _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n, fam, bf16)
+
+
+def rbf_vfe_stats(X, y, Z, log_ls, log_os, block_n=BLOCK_N):
+    """RBF alias of :func:`stationary_vfe_stats`."""
+    return stationary_vfe_stats(X, y, Z, log_ls, log_os, block_n, "rbf")
 
 
 def _prep(X, y, Z, log_ls, log_os, block_n):
@@ -248,10 +296,12 @@ def _prep(X, y, Z, log_ls, log_os, block_n):
     return Xs, y2, Zs, ls, outputscale
 
 
-def _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n):
+def _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n, fam, bf16=None):
+    if bf16 is None:
+        bf16 = _BF16_REDUCE[0]
     N = X.shape[0]
     Xs, y2, Zs, ls, outputscale = _prep(X, y, Z, log_ls, log_os, block_n)
-    skk, sky = _fwd_call(Xs, y2, Zs, outputscale, N, block_n)
+    skk, sky = _fwd_call(Xs, y2, Zs, outputscale, N, block_n, fam, bf16)
     dtype = X.dtype
     return {
         "S_kk": skk.astype(dtype),
@@ -261,12 +311,12 @@ def _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n):
     }
 
 
-def _stats_fwd(X, y, Z, log_ls, log_os, block_n):
-    out = _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n)
+def _stats_fwd(X, y, Z, log_ls, log_os, block_n, fam, bf16):
+    out = _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n, fam, bf16)
     return out, (X, y, Z, log_ls, log_os)
 
 
-def _stats_bwd(block_n, res, ct):
+def _stats_bwd(block_n, fam, bf16, res, ct):
     X, y, Z, log_ls, log_os = res
     N, D = X.shape
     Xs, y2, Zs, ls, outputscale = _prep(X, y, Z, log_ls, log_os, block_n)
@@ -274,7 +324,7 @@ def _stats_bwd(block_n, res, ct):
     g_sym = dskk + dskk.T
     dsky = ct["S_ky"].astype(jnp.float32)[:, None]
     dz_s, dls_term, dos = _bwd_call(Xs, y2, Zs, outputscale, N, g_sym, dsky,
-                                    block_n)
+                                    block_n, fam)
     # chain rules back to natural parameters
     dZ = (dz_s / ls[None, :]).astype(Z.dtype)               # zs = Z/ls
     # d(log ls): d2 depends on ls via xs,zs: d d2/d log_ls_d = -2*(xs-zs)_d^2
@@ -291,4 +341,4 @@ def _stats_bwd(block_n, res, ct):
     return (None, None, dZ, dlog_ls, dlog_os)
 
 
-rbf_vfe_stats.defvjp(_stats_fwd, _stats_bwd)
+stationary_vfe_stats.defvjp(_stats_fwd, _stats_bwd)

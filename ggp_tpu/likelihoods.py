@@ -24,6 +24,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _require_or_default_key(key, where: str):
+    """Default-key guard (round-1 review, weak item 8): the SVI loops thread
+    fresh keys, but a DIRECT caller omitting ``key`` silently got the same
+    PRNGKey(0) noise on every call — deterministic MC estimates that look
+    stochastic. Keep the convenient default, but warn loudly once."""
+    if key is None:
+        import warnings
+        warnings.warn(
+            f"{where}: no PRNG key passed - falling back to a FIXED "
+            f"PRNGKey(0), so repeated calls reuse identical MC noise. "
+            f"Thread a fresh key for genuinely stochastic estimates.",
+            stacklevel=3)
+        import jax as _jax
+        return _jax.random.PRNGKey(0)
+    return key
+
+
 __all__ = [
     "Likelihood",
     "GaussianLikelihood",
@@ -121,9 +138,8 @@ class Softmax(Likelihood):
         return jnp.take_along_axis(logp, y[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
     def variational_expectation(self, params, mu, var, y, key=None):
-        # mu, var: (..., C). MC estimate with fixed antithetic draws.
-        if key is None:
-            key = jax.random.PRNGKey(0)
+        # mu, var: (..., C). MC estimate with antithetic draws.
+        key = _require_or_default_key(key, "Softmax.variational_expectation")
         eps = jax.random.normal(key, (self.num_mc // 2,) + mu.shape, mu.dtype)
         eps = jnp.concatenate([eps, -eps], axis=0)
         f = mu[None] + jnp.sqrt(jnp.maximum(var, 1e-12))[None] * eps
@@ -131,8 +147,7 @@ class Softmax(Likelihood):
         return jnp.mean(lp, axis=0)
 
     def predictive(self, params, mu, var, key=None):
-        if key is None:
-            key = jax.random.PRNGKey(0)
+        key = _require_or_default_key(key, "Softmax.predictive")
         eps = jax.random.normal(key, (self.num_mc,) + mu.shape, mu.dtype)
         f = mu[None] + jnp.sqrt(jnp.maximum(var, 1e-12))[None] * eps
         p = jnp.mean(jax.nn.softmax(f, axis=-1), axis=0)

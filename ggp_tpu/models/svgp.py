@@ -169,7 +169,11 @@ class StochasticVariationalGP:
                 return mean[:, 0], var[:, 0]
             return mean, var
         if isinstance(self.likelihood, Softmax):
-            return self.likelihood.predictive(self.params["lik"], mean, var)
+            # explicit fixed key: the MC class-probability estimate is a
+            # deterministic approximation by choice here; pass key= for
+            # stochastic estimates
+            return self.likelihood.predictive(self.params["lik"], mean, var,
+                                              key=jax.random.PRNGKey(0))
         m, v = self.likelihood.predictive(self.params["lik"], mean[:, 0],
                                           var[:, 0])
         return m, v

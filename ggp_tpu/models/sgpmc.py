@@ -144,6 +144,44 @@ class SGPMC:
         self.Z = params["Z"]
         return losses
 
+    def _fused_builder(self, algorithm, num_leapfrog):
+        """Whole-transition/whole-chunk Pallas kernels for the whitened
+        JointHMC target (ops.fused_nuts target="sgpmc") — NUTS or the
+        reference's fixed-leapfrog HMC protocol. Default-on on TPU for the
+        Scale(RBF-ARD) x Gaussian x Zero-mean x Gamma(2,1) configuration
+        (GGP_FUSED_TRANSITION=0 disables)."""
+        import os
+
+        from ..kernels.base import RBF, Scale
+        from ..means import Zero
+        from ..ops.fused_nuts import fused_nuts_supported, make_fused_nuts
+        from ..priors import Gamma
+
+        if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
+            return None
+        if jax.default_backend() != "tpu" or self.mesh is not None:
+            return None
+        if not (isinstance(self.kernel, Scale)
+                and type(self.kernel.base) is RBF and self.kernel.base.ard
+                and type(self.likelihood) is GaussianLikelihood
+                and type(self.mean_fn) is Zero):
+            return None
+        prs = [p for p in jax.tree_util.tree_leaves(
+            self.hyper_prior_tree,
+            is_leaf=lambda x: hasattr(x, "logpdf_unconstrained"))]
+        if not all(p == Gamma(2.0, 1.0) for p in prs):
+            return None
+        n, d = self.train_x.shape
+        M = self.Z.shape[0]
+        if not fused_nuts_supported(n, d, M) or d + 2 + M > 128:
+            return None
+        builder = make_fused_nuts(self.train_x, self.train_y, self.jitter,
+                                  target="sgpmc", algorithm=algorithm,
+                                  num_leapfrog=num_leapfrog)
+        if builder is None:
+            return None
+        return lambda data: builder(data[2])      # data = (X, y, Z)
+
     def train_model(self, num_warmup: int = 500, num_samples: int = 500,
                     num_chains: int = 1, key=None, algorithm: str = "nuts",
                     num_leapfrog: int = 10):
@@ -156,8 +194,9 @@ class SGPMC:
         if self._sampler is None or self._sampler_key != skey:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              algorithm=algorithm, num_leapfrog=num_leapfrog)
-            self._sampler = build_sampler(self._logpost, self.state, cfg,
-                                          num_chains, mesh=self.mesh)
+            self._sampler = build_sampler(
+                self._logpost, self.state, cfg, num_chains, mesh=self.mesh,
+                fused_builder=self._fused_builder(algorithm, num_leapfrog))
             self._sampler_key = skey
         samples, stats = self._sampler(
             self.state, key, (self.train_x, self.train_y, self.Z))

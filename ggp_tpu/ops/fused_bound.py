@@ -467,3 +467,124 @@ def fused_structure_matches(kernel, likelihood, prior_tree) -> bool:
             and kernel.base.ard
             and type(likelihood) is GaussianLikelihood
             and prior_tree == prior_tree_rbf())
+
+
+def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
+                          chol_inv=_default_chol_inv):
+    """Potential U = -(whitened-SGPMC log posterior) and dU/dstate for the
+    Scale(RBF-ARD) x Gaussian x Zero-mean JointHMC target
+    (models/sgpmc.py:_logpost; reference gpflow SGPMC, models/sgp_hmc.py:32-91).
+
+    State lanes (ravel order of {"kernel","lik","v"}): [log_lengthscale (d),
+    log_outputscale, log_noise, v (m)]; dim = d + 2 + m <= 128.
+    Shapes: state_pad (1,128), Xp (Np,128) zero-padded, yrow (1,Np) with Np a
+    lane multiple of 128, Zp (Mp,128). Priors: Gamma(2,1) on every positive
+    hyper (the SGPMC default tree) + the built-in N(0,I) on v.
+
+    Adjoints: with A = L^-1 Kms, e = y - A^T v, msk the var clamp/col mask,
+      Abar   = (v e^T + A msk) / s2
+      Kms_b  = L^-T Abar
+      Kmm_b  = -sym(L^-T Phi(Abar A^T) L^-1)     [Phi = tril, half diag]
+    then the same RBF chain rules as the VFE potential. Verified against
+    jax.grad of SGPMC._logpost (tests/test_fused_nuts.py).
+    """
+    dt = Xp.dtype
+    Np, Mp = Xp.shape[0], Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    ls_mask = (lane < d).astype(dt)
+    log_os = state_pad[0, d]
+    log_noise = state_pad[0, d + 1]
+    inv_ls = jnp.exp(-state_pad) * ls_mask
+    sf2 = jnp.exp(log_os)
+    s2 = jnp.exp(log_noise)
+
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    eyeM = (rowm == colm).astype(dt)
+    mcol_mask = (colm < m).astype(dt)
+    ncol_mask = (laneN < n).astype(dt)                        # (1,Np)
+    one11 = jnp.ones((1, 1), dt)
+
+    # v occupies state lanes [d+2, d+2+m): shift into (1,Mp) via one MXU
+    # permutation (Mosaic cannot lane-shift values directly);
+    # perm[in,out] = (in == out + d + 2)
+    perm = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
+            == (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+                + (d + 2))).astype(dt)                        # (128,128)
+    vrow = _dg(state_pad, perm, 1, 0) * mcol_mask             # (1,Mp=128)
+
+    Zs = Zp * inv_ls
+    Xs = Xp * inv_ls
+    Zs2 = Zs * Zs
+    Xs2 = Xs * Xs
+    zn = jnp.sum(Zs2, axis=1, keepdims=True)                  # (Mp,1)
+    xn = jnp.sum(Xs2, axis=1, keepdims=True)                  # (Np,1)
+    znT = _dg(one11, zn, 1, 1)                                # (1,Mp)
+    xnT = _dg(one11, xn, 1, 1)                                # (1,Np)
+    r2_mm = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+    Kmm = sf2 * jnp.exp(-0.5 * r2_mm)
+    mrow_mask = (rowm < m).astype(dt)
+    Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)
+    jit_scale = jnp.maximum(sf2, 1.0)
+    Kmm_j = Kmm + (jitter * jit_scale) * eyeM
+    r2_ms = jnp.maximum(zn + xnT - 2.0 * _dg(Zs, Xs, 1, 1), 0.0)  # (Mp,Np)
+    Kms = sf2 * jnp.exp(-0.5 * r2_ms) * mrow_mask * ncol_mask
+
+    U, V = chol_inv(Kmm_j)                                    # U=L^T, V=L^-T
+    A = _dg(V, Kms, 0, 0)                                     # L^-1 Kms (Mp,Np)
+    mean = _dg(vrow, A, 1, 0)                                 # (1,Np)
+    e = (yrow - mean) * ncol_mask
+    var_raw = sf2 - jnp.sum(A * A, axis=0, keepdims=True)     # (1,Np)
+    msk = (var_raw > 1e-12).astype(dt) * ncol_mask
+    var = jnp.maximum(var_raw, 1e-12) * ncol_mask
+
+    see = jnp.sum(e * e)
+    svar = jnp.sum(var)
+    F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+         - 0.5 * (see + svar) / s2
+         - 0.5 * jnp.sum(vrow * vrow))
+    # Gamma(2,1) priors on the d+2 positive hypers: lp = 2u - e^u each
+    F = F + jnp.sum((2.0 * state_pad - jnp.exp(state_pad)) * ls_mask)
+    F = F + (2.0 * log_os - sf2) + (2.0 * log_noise - s2)
+
+    # ---- adjoints ----
+    g_v = _dg(e, A, 1, 1) / s2 - vrow                         # (1,Mp)
+    g_v = g_v * mcol_mask
+    vcol = _dg(vrow, one11, 0, 0)                             # (Mp,1)
+    Abar = (vcol * e + A * msk) / s2                          # (Mp,Np)
+    Kms_b = _dg(V, Abar, 1, 0)                                # (Mp,Np)
+    T = _dg(Abar, A, 1, 1)                                    # (Mp,Mp)
+    Phi = T * ((rowm > colm).astype(dt) + 0.5 * eyeM)
+    T1 = _dg(V, Phi, 1, 0)
+    Kmm_b = -_dg(T1, V, 1, 1)
+    Kmm_bT = _dg(eyeM, Kmm_b, 1, 1)                           # transpose
+    Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
+
+    dF_ds2 = (-0.5 * n / s2 + 0.5 * (see + svar) / (s2 * s2))
+    dlog_noise = dF_ds2 * s2 + (2.0 - s2)
+    dlog_os = (jnp.sum(Kmm_b * Kmm) + jnp.sum(Kms_b * Kms)
+               + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
+               + jnp.sum(msk) * sf2 * (-0.5 / s2)             # kdiag term
+               + (2.0 - sf2))
+
+    Pmm = Kmm_b * Kmm
+    Pms = Kms_b * Kms
+    rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+    cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+    rs_ms = jnp.sum(Pms, axis=1, keepdims=True)               # (Mp,1)
+    cs_ms = jnp.sum(Pms, axis=0, keepdims=True)               # (1,Np)
+    dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+           - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+           + _dg(rs_ms, Zs2, 0, 0) + cs_ms @ Xs2
+           - 2.0 * jnp.sum(Zs * _dg(Pms, Xs, 1, 0), axis=0, keepdims=True))
+    g_ls = (dls + (2.0 - jnp.exp(state_pad))) * ls_mask
+
+    g = g_ls
+    g = jnp.where(lane == d, dlog_os, g)
+    g = jnp.where(lane == d + 1, dlog_noise, g)
+    # v gradient back into lanes [d+2, d+2+m): inverse permutation
+    g_v_shift = _dg(g_v, perm, 1, 1)                          # (1,128)
+    g = g + g_v_shift
+    g = g * (lane < d + 2 + m).astype(dt)
+    return -F, -g

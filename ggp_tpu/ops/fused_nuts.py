@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_bound import (_rbf_vfe_neg_logpost_vg, _round_up,
-                          chol_u_inv_inplace)
+                          _sgpmc_neg_logpost_vg, chol_u_inv_inplace)
 
 __all__ = ["make_fused_nuts", "fused_nuts_supported", "FusedNUTS"]
 
@@ -241,44 +241,102 @@ def _da_update_scalars(le, lea, h, mu, t, accept, target):
 # Kernel bodies
 # --------------------------------------------------------------------------
 
-def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block):
+_CORES = {"vfe": _rbf_vfe_neg_logpost_vg, "sgpmc": _sgpmc_neg_logpost_vg}
+
+
+def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block,
+              core="vfe"):
+    core_fn = _CORES[core]
+
     def ref_chol_inv(K):
         Ks[:] = K
         chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block)
         return Us[:], Vs[:]
 
     def pot(zrow):
-        return _rbf_vfe_neg_logpost_vg(zrow, x_ref[:], y_ref[:], zz_ref[:],
-                                       n, m, d, jitter,
-                                       chol_inv=ref_chol_inv)
+        return core_fn(zrow, x_ref[:], y_ref[:], zz_ref[:], n, m, d, jitter,
+                       chol_inv=ref_chol_inv)
 
     return pot
+
+
+def _hmc_transition_inkernel(z0, U0v, g0, eps, inv_mass, pot, mom_row,
+                             mh_u, *, num_leapfrog):
+    """Fixed-leapfrog HMC transition (port of inference.hmc.hmc_kernel —
+    the reference JointHMC protocol, models/sgp_hmc.py:67-69)."""
+    f32 = jnp.float32
+
+    def kinetic(r):
+        return 0.5 * jnp.sum(inv_mass * r * r)
+
+    r0 = mom_row / jnp.sqrt(inv_mass)
+    H0 = U0v + kinetic(r0)
+
+    def step(_, c):
+        z, r, U, g = c
+        r_half = r - 0.5 * eps * g
+        z = z + eps * inv_mass * r_half
+        U, g = pot(z)
+        r = r_half - 0.5 * eps * g
+        return (z, r, U, g)
+
+    z, r, U, g = jax.lax.fori_loop(0, num_leapfrog, step, (z0, r0, U0v, g0))
+    H1 = U + kinetic(r)
+    delta = jnp.where(jnp.isnan(H1), jnp.asarray(jnp.inf, f32), H1 - H0)
+    accept_prob = jnp.minimum(1.0, jnp.exp(-delta))
+    acc = mh_u < accept_prob
+    zp = jnp.where(acc, z, z0)
+    Up = jnp.where(acc, U, U0v)
+    gp = jnp.where(acc, g, g0)
+    diverging = delta > _DIVERGENCE_THRESHOLD
+    return (zp, Up, gp, accept_prob, diverging, jnp.int32(0),
+            jnp.int32(num_leapfrog), H0)
+
+
+def _run_transition(z, U0, g, eps, inv_mass, pot, t, mom_ref, treeu_ref,
+                    leafu_ref, zc_ref, vc_ref, dim_mask, *, algo, max_depth,
+                    num_leapfrog, leaf_rows):
+    """One transition at chunk position ``t`` (randomness slabs indexed
+    per-step); NUTS or fixed-leapfrog HMC."""
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    def tree_u(depth):
+        urow = treeu_ref[pl.ds(t * max_depth + depth, 1), :]
+        return jnp.sum(urow[0:1, 0:1]), jnp.sum(urow[0:1, 1:2])
+
+    def leaf_u(k):
+        kk = t * (leaf_rows * _LANES) + k
+        row = leafu_ref[pl.ds(kk >> 7, 1), :]
+        onehot = (lane == (kk & 127)).astype(f32)
+        return jnp.sum(row * onehot)
+
+    mom = mom_ref[pl.ds(t, 1), :] * dim_mask
+    if algo == "hmc":
+        return _hmc_transition_inkernel(z, U0, g, eps, inv_mass, pot, mom,
+                                        tree_u(0)[0],
+                                        num_leapfrog=num_leapfrog)
+    return _transition_inkernel(z, U0, g, eps, inv_mass, pot, mom, tree_u,
+                                leaf_u, zc_ref, vc_ref, max_depth=max_depth)
 
 
 def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
                       leafu_ref, x_ref, y_ref, zz_ref,
                       zout_ref, gout_ref, stat_ref,
                       Ks, Us, Vs, Ds, zc_ref, vc_ref,
-                      *, n, m, d, jitter, max_depth, block):
+                      *, n, m, d, dim, jitter, max_depth, block, core,
+                      algo, num_leapfrog, leaf_rows):
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    dim_mask = (lane < d + 2).astype(f32)
+    dim_mask = (lane < dim).astype(f32)
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
-                    block)
+                    block, core)
 
-    def tree_u(depth):
-        urow = treeu_ref[pl.ds(depth, 1), :]
-        return jnp.sum(urow[0:1, 0:1]), jnp.sum(urow[0:1, 1:2])
-
-    def leaf_u(k):
-        row = leafu_ref[pl.ds(k >> 7, 1), :]
-        onehot = (lane == (k & 127)).astype(f32)
-        return jnp.sum(row * onehot)
-
-    zp, Up, gp, accept_prob, diverging, depth, nl, H0 = _transition_inkernel(
+    zp, Up, gp, accept_prob, diverging, depth, nl, H0 = _run_transition(
         z_ref[:], scal_ref[1], g_ref[:], scal_ref[0], im_ref[:], pot,
-        mom_ref[:] * dim_mask, tree_u, leaf_u, zc_ref, vc_ref,
-        max_depth=max_depth)
+        jnp.int32(0), mom_ref, treeu_ref, leafu_ref, zc_ref, vc_ref,
+        dim_mask, algo=algo, max_depth=max_depth,
+        num_leapfrog=num_leapfrog, leaf_rows=leaf_rows)
 
     zero = jnp.asarray(0.0, f32)
     zout_ref[:] = zp
@@ -298,8 +356,9 @@ def _warm_chunk_kernel_body(scal_ref, flags_ref, z_ref, g_ref, im_ref,
                             zout_ref, gout_ref, imout_ref, wfmout_ref,
                             wfm2out_ref, stat_ref,
                             Ks, Us, Vs, Ds, zc_ref, vc_ref,
-                            *, n, m, d, jitter, max_depth, block, chunk,
-                            leaf_rows, target_accept, adapt_mass):
+                            *, n, m, d, dim, jitter, max_depth, block, chunk,
+                            leaf_rows, target_accept, adapt_mass, core,
+                            algo, num_leapfrog):
     """``chunk`` warmup transitions with in-kernel Stan adaptation.
 
     scal_ref (SMEM f32, 8): [U, log_eps, log_eps_avg, h_avg, mu, t_da,
@@ -308,9 +367,9 @@ def _warm_chunk_kernel_body(scal_ref, flags_ref, z_ref, g_ref, im_ref,
     """
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    dim_mask = (lane < d + 2).astype(f32)
+    dim_mask = (lane < dim).astype(f32)
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
-                    block)
+                    block, core)
     n_active = scal_ref[7].astype(jnp.int32)
 
     def step(t, carry):
@@ -318,21 +377,12 @@ def _warm_chunk_kernel_body(scal_ref, flags_ref, z_ref, g_ref, im_ref,
          acc_sum, div_sum) = carry
 
         def run(_):
-            def tree_u(depth):
-                urow = treeu_ref[pl.ds(t * max_depth + depth, 1), :]
-                return jnp.sum(urow[0:1, 0:1]), jnp.sum(urow[0:1, 1:2])
-
-            def leaf_u(k):
-                kk = t * (leaf_rows * _LANES) + k
-                row = leafu_ref[pl.ds(kk >> 7, 1), :]
-                onehot = (lane == (kk & 127)).astype(f32)
-                return jnp.sum(row * onehot)
-
-            mom = mom_ref[pl.ds(t, 1), :] * dim_mask
             eps = jnp.exp(le)
-            zp, Up, gp, accept, div, _, _, _ = _transition_inkernel(
-                z, U, g, eps, inv_mass, pot, mom, tree_u, leaf_u,
-                zc_ref, vc_ref, max_depth=max_depth)
+            zp, Up, gp, accept, div, _, _, _ = _run_transition(
+                z, U, g, eps, inv_mass, pot, t, mom_ref, treeu_ref,
+                leafu_ref, zc_ref, vc_ref, dim_mask, algo=algo,
+                max_depth=max_depth, num_leapfrog=num_leapfrog,
+                leaf_rows=leaf_rows)
             le1, lea1, h1, mu1, tda1 = _da_update_scalars(
                 le, lea, h, mu, tda, accept, target_accept)
             wfm1, wfm21, wfc1, im1 = wfm, wfm2, wfc, inv_mass
@@ -393,16 +443,16 @@ def _sample_chunk_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref,
                               zsout_ref, statout_ref, gout_ref, zfin_ref,
                               ufin_ref,
                               Ks, Us, Vs, Ds, zc_ref, vc_ref,
-                              *, n, m, d, jitter, max_depth, block, chunk,
-                              leaf_rows):
+                              *, n, m, d, dim, jitter, max_depth, block,
+                              chunk, leaf_rows, core, algo, num_leapfrog):
     """``chunk`` sampling transitions at fixed eps; per-draw outputs.
 
     scal_ref (SMEM f32, 4): [U, eps, n_active, pad]."""
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    dim_mask = (lane < d + 2).astype(f32)
+    dim_mask = (lane < dim).astype(f32)
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
-                    block)
+                    block, core)
     eps = scal_ref[1]
     n_active = scal_ref[2].astype(jnp.int32)
 
@@ -413,20 +463,11 @@ def _sample_chunk_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref,
         z, U, g = carry
 
         def run(_):
-            def tree_u(depth):
-                urow = treeu_ref[pl.ds(t * max_depth + depth, 1), :]
-                return jnp.sum(urow[0:1, 0:1]), jnp.sum(urow[0:1, 1:2])
-
-            def leaf_u(k):
-                kk = t * (leaf_rows * _LANES) + k
-                row = leafu_ref[pl.ds(kk >> 7, 1), :]
-                onehot = (lane == (kk & 127)).astype(f32)
-                return jnp.sum(row * onehot)
-
-            mom = mom_ref[pl.ds(t, 1), :] * dim_mask
-            zp, Up, gp, accept, div, depth, nl, H0 = _transition_inkernel(
-                z, U, g, eps, im_ref[:], pot, mom, tree_u, leaf_u,
-                zc_ref, vc_ref, max_depth=max_depth)
+            zp, Up, gp, accept, div, depth, nl, H0 = _run_transition(
+                z, U, g, eps, im_ref[:], pot, t, mom_ref, treeu_ref,
+                leafu_ref, zc_ref, vc_ref, dim_mask, algo=algo,
+                max_depth=max_depth, num_leapfrog=num_leapfrog,
+                leaf_rows=leaf_rows)
             zsout_ref[pl.ds(t, 1), :] = zp
             zero = jnp.asarray(0.0, f32)
             row = jnp.where(lane == 0, Up, zero)
@@ -448,9 +489,10 @@ def _sample_chunk_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref,
 
 
 def _potential_kernel_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
-                           Ks, Us, Vs, Ds, *, n, m, d, jitter, block):
+                           Ks, Us, Vs, Ds, *, n, m, d, jitter, block,
+                           core="vfe"):
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
-                    block)
+                    block, core)
     U, g = pot(z_ref[:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     uout_ref[:] = jnp.where(lane == 0, U, 0.0)
@@ -485,24 +527,36 @@ def fused_nuts_supported(n: int, d: int, m: int, *, max_n: int = 2048,
 def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
                     block: int = 16, interpret: bool = False,
                     max_n: int = 2048, max_m: int = 256, chunk: int = 16,
-                    target_accept: float = 0.8, adapt_mass: bool = True):
+                    target_accept: float = 0.8, adapt_mass: bool = True,
+                    target: str = "vfe", algorithm: str = "nuts",
+                    num_leapfrog: int = 10):
     """Factory. Returns ``builder(Z) -> FusedNUTS`` or None if the problem
-    exceeds the VMEM envelope."""
+    exceeds the VMEM envelope.
+
+    ``target``: "vfe" (BayesianSGPR_HMC collapsed bound over hypers) or
+    "sgpmc" (whitened JointHMC over (hypers, v) — state dim d+2+M).
+    ``algorithm``: "nuts" or fixed-leapfrog "hmc" (the reference JointHMC
+    protocol, models/sgp_hmc.py:67-69)."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = X.shape
     if not fused_nuts_supported(n, d, 0, max_n=max_n, max_m=max_m):
         return None
-    dim = d + 2
-    Np = _round_up(n, 8)
-    Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
-    yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
+    if target == "sgpmc":
+        Np = _round_up(n, _LANES)
+        Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
+        yp = jnp.zeros((1, Np), jnp.float32).at[0, :n].set(y)
+    else:
+        Np = _round_up(n, 8)
+        Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
+        yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
     jitter = float(jitter)
     leaf_rows = max(1, (1 << max_depth) // _LANES)
     f32 = jnp.float32
 
     def _pad_row(v, fill=0.0):
-        return jnp.full((1, _LANES), fill, f32).at[0, :dim].set(
+        # pads to the caller's state length (dim is builder-scoped)
+        return jnp.full((1, _LANES), fill, f32).at[0, :v.shape[-1]].set(
             v.astype(f32))
 
     def _rand(key, k_steps):
@@ -516,8 +570,15 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
         m = Z.shape[0]
         if m > max_m:
             raise ValueError(f"M={m} exceeds fused-NUTS envelope {max_m}")
+        dim = d + 2 + (m if target == "sgpmc" else 0)
+        if dim > _LANES:
+            raise ValueError(f"state dim {dim} exceeds the (1,128) row")
         Mp = _round_up(m, _LANES)
-        common = dict(n=n, m=m, d=d, jitter=jitter, block=block)
+        common = dict(n=n, m=m, d=d, dim=dim, jitter=jitter, block=block,
+                      core=target, algo=algorithm,
+                      num_leapfrog=num_leapfrog, leaf_rows=leaf_rows)
+        pot_common = dict(n=n, m=m, d=d, jitter=jitter, block=block,
+                          core=target)
 
         def _scratch():
             return ([pltpu.VMEM((Mp, Mp), jnp.float32) for _ in range(3)]
@@ -538,9 +599,8 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
         )
         warm_call = pl.pallas_call(
             partial(_warm_chunk_kernel_body, max_depth=max_depth,
-                    chunk=chunk, leaf_rows=leaf_rows,
-                    target_accept=target_accept, adapt_mass=adapt_mass,
-                    **common),
+                    chunk=chunk, target_accept=target_accept,
+                    adapt_mass=adapt_mass, **common),
             out_shape=(jax.ShapeDtypeStruct((1, _LANES), f32),) * 6,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
@@ -550,7 +610,7 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
         )
         sample_call = pl.pallas_call(
             partial(_sample_chunk_kernel_body, max_depth=max_depth,
-                    chunk=chunk, leaf_rows=leaf_rows, **common),
+                    chunk=chunk, **common),
             out_shape=(jax.ShapeDtypeStruct((chunk, _LANES), f32),
                        jax.ShapeDtypeStruct((chunk, _LANES), f32),
                        jax.ShapeDtypeStruct((1, _LANES), f32),
@@ -563,7 +623,7 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
             interpret=interpret,
         )
         pot_call = pl.pallas_call(
-            partial(_potential_kernel_body, **common),
+            partial(_potential_kernel_body, **pot_common),
             out_shape=(jax.ShapeDtypeStruct((1, _LANES), f32),) * 2,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,

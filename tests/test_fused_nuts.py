@@ -159,3 +159,60 @@ def test_chunked_fused_sampler_end_to_end(problem):
     assert acc.shape == (1, 10)
     assert np.all((acc >= 0) & (acc <= 1))
     assert float(np.asarray(stats["step_size"])) > 0
+
+
+def test_sgpmc_fused_potential_matches_autodiff(problem):
+    """target="sgpmc": in-kernel whitened-JointHMC potential == jax.grad of
+    SGPMC._logpost (Gaussian, Zero mean, Gamma(2,1) priors) in value+grad."""
+    from ggp_tpu.models.sgpmc import SGPMC
+
+    X, y, Z, d = problem
+    m = Z.shape[0]
+    mod = SGPMC(X, y, Z_init=Z, jitter=1e-6)
+    rng = np.random.default_rng(3)
+    state = {"v": jnp.asarray(rng.normal(size=(m,)) * 0.5, jnp.float32),
+             "kernel": {"base": {"log_lengthscale":
+                                 jnp.asarray(rng.normal(size=(d,)) * 0.3,
+                                             jnp.float32)},
+                        "log_outputscale": jnp.asarray(0.2, jnp.float32)},
+             "lik": {"log_noise": jnp.asarray(-1.0, jnp.float32)},
+             "mean": {}}
+    flat, unravel = jax.flatten_util.ravel_pytree(state)
+
+    def ref(v):
+        return -mod._logpost(unravel(v), (X, y, Z))
+
+    U_ref, g_ref = jax.value_and_grad(ref)(flat)
+    builder = make_fused_nuts(X, y, 1e-6, target="sgpmc", interpret=True)
+    fused = builder(Z)
+    U_f, g_f = jax.jit(fused.potential)(flat)
+    np.testing.assert_allclose(float(U_f), float(U_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sgpmc_fused_hmc_transitions(problem):
+    """target="sgpmc" + algorithm="hmc" (the reference JointHMC protocol):
+    chains move, accept sane, sample_chunk works."""
+    X, y, Z, d = problem
+    m = Z.shape[0]
+    builder = make_fused_nuts(X, y, 1e-6, target="sgpmc", algorithm="hmc",
+                              num_leapfrog=5, max_depth=4, chunk=4,
+                              interpret=True)
+    fused = builder(Z)
+    dim = d + 2 + m
+    z = jnp.zeros(dim, jnp.float32).at[d + 1].set(-1.0)
+    U, g = fused.potential(z)
+    assert np.isfinite(float(U))
+    inv_mass = jnp.ones(dim, jnp.float32)
+    zs, z1, U1, g1, stats = fused.sample_chunk(
+        z, U, g, jax.random.PRNGKey(0), jnp.asarray(0.05, jnp.float32),
+        inv_mass, 4)
+    assert np.all(np.isfinite(np.asarray(zs)))
+    acc = np.asarray(stats["accept_prob"])
+    assert np.all((acc >= 0) & (acc <= 1))
+    assert np.all(np.asarray(stats["n_leapfrog"]) == 5)
+    assert len({tuple(r) for r in np.round(np.asarray(zs), 5)}) >= 2
+    # carried state consistency
+    U1_check, _ = fused.potential(z1)
+    np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-4)

@@ -104,7 +104,7 @@ class BayesianSparseGPR_HMC:
             return None
         return make_rbf_vfe_potential(self.train_x, self.train_y, self.jitter)
 
-    def _fused_transition(self, max_depth):
+    def _fused_transition(self, max_depth, num_chains=1):
         """Pallas whole-transition NUTS kernel (ops.fused_nuts) — the default
         hot path on TPU for the Scale(RBF-ARD) target: one kernel per NUTS
         transition instead of one custom call per leapfrog (PERF.md's ~80us/
@@ -120,6 +120,11 @@ class BayesianSparseGPR_HMC:
         if os.environ.get("GGP_FAST_ELBO"):
             return None
         if _jax.default_backend() != "tpu" or self.mesh is not None:
+            return None
+        if num_chains != 1 and not os.environ.get("GGP_FUSED_MULTICHAIN"):
+            # vmap-of-pallas serialises chains through a grid dim; the XLA
+            # path batches the linalg across chains (PERF.md: 8-chain HMC
+            # 1076 ESS/s) — keep it for multi-chain unless opted in
             return None
         if not fused_structure_matches(self.kernel, self.likelihood,
                                        self.prior_tree):
@@ -138,7 +143,7 @@ class BayesianSparseGPR_HMC:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              max_depth=max_depth, algorithm=algorithm,
                              num_leapfrog=num_leapfrog)
-            fused = (self._fused_transition(max_depth)
+            fused = (self._fused_transition(max_depth, num_chains)
                      if algorithm == "nuts" else None)
             pot = None if fused is not None else self._fused_potential()
             if chunk_size:

@@ -144,7 +144,7 @@ class SGPMC:
         self.Z = params["Z"]
         return losses
 
-    def _fused_builder(self, algorithm, num_leapfrog):
+    def _fused_builder(self, algorithm, num_leapfrog, num_chains=1):
         """Whole-transition/whole-chunk Pallas kernels for the whitened
         JointHMC target (ops.fused_nuts target="sgpmc") — NUTS or the
         reference's fixed-leapfrog HMC protocol. Default-on on TPU for the
@@ -161,6 +161,8 @@ class SGPMC:
             return None
         if jax.default_backend() != "tpu" or self.mesh is not None:
             return None
+        if num_chains != 1 and not os.environ.get("GGP_FUSED_MULTICHAIN"):
+            return None          # see bayesian_sgpr_hmc._fused_transition
         if not (isinstance(self.kernel, Scale)
                 and type(self.kernel.base) is RBF and self.kernel.base.ard
                 and type(self.likelihood) is GaussianLikelihood
@@ -196,7 +198,8 @@ class SGPMC:
                              algorithm=algorithm, num_leapfrog=num_leapfrog)
             self._sampler = build_sampler(
                 self._logpost, self.state, cfg, num_chains, mesh=self.mesh,
-                fused_builder=self._fused_builder(algorithm, num_leapfrog))
+                fused_builder=self._fused_builder(algorithm, num_leapfrog,
+                                                  num_chains))
             self._sampler_key = skey
         samples, stats = self._sampler(
             self.state, key, (self.train_x, self.train_y, self.Z))

@@ -458,6 +458,11 @@ def _single_chain_fused(fused, z0, key, cfg: NUTSConfig, in_window,
     dim = z0.shape[0]
     dtype = z0.dtype
     K = fused.chunk
+    if getattr(fused, "algorithm", cfg.algorithm) != cfg.algorithm:
+        raise ValueError(
+            f"fused kernel was built for algorithm="
+            f"{fused.algorithm!r} but the sampler config asks for "
+            f"{cfg.algorithm!r}")
     U0, g0 = fused.potential(z0)
     inv_mass = jnp.ones(dim, dtype)
 

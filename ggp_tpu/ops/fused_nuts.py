@@ -512,6 +512,7 @@ class FusedNUTS(NamedTuple):
     warm_chunk: Callable
     sample_chunk: Callable
     chunk: int
+    algorithm: str = "nuts"
 
     def __iter__(self):     # legacy 2-tuple unpacking
         return iter((self.transition, self.potential))
@@ -708,6 +709,6 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
                     go[0, :dim].astype(z.dtype), stats)
 
         return FusedNUTS(transition, potential_vg, warm_chunk, sample_chunk,
-                         chunk)
+                         chunk, algorithm)
 
     return builder

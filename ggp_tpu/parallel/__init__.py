@@ -1,3 +1,4 @@
+from .distributed import global_mesh, initialize_distributed, is_distributed
 from .mesh import Mesh, NamedSharding, P, chain_sharding, data_sharding, make_mesh
 from .sharded import (
     make_sharded_train_step,

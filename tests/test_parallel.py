@@ -199,3 +199,43 @@ def test_full_adaptive_trainer_chains_x_data_sharded():
     s1, s2 = f_sh.std(0) + 1e-3, f_plain.std(0) + 1e-3
     assert np.all(np.abs(m1 - m2) / np.sqrt(s1 ** 2 + s2 ** 2) < 4.0), \
         (m1, m2, s1, s2)
+
+
+def test_distributed_two_process_smoke(tmp_path):
+    """Two real processes join via jax.distributed.initialize and agree on
+    the global device count — the multi-host code path (SURVEY §5.8) on one
+    machine."""
+    import subprocess
+    import sys
+
+    script = r'''
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from ggp_tpu.parallel.distributed import initialize_distributed
+info = initialize_distributed(coordinator_address="localhost:29571",
+                              num_processes=2,
+                              process_id=int(sys.argv[1]))
+assert info["num_processes"] == 2
+assert info["process_id"] == int(sys.argv[1])
+print("proc", info["process_id"], "global", info["global_devices"], flush=True)
+'''
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT,
+                              cwd="/root/repo",
+                              env={**__import__("os").environ,
+                                   "JAX_PLATFORMS": "cpu",
+                                   "XLA_FLAGS": ""})
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"proc {i} global" in out

@@ -14,7 +14,8 @@ import jax as _jax
 # breaks PSD-ness. Force f32 matmul accumulation (still MXU, multi-pass).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import config, kernels, likelihoods, priors
+from . import config, kernels, likelihoods, means, priors
 from .likelihoods import BernoulliProbit, GaussianLikelihood, PoissonLogCox, Softmax
+from .means import Constant, Linear, Zero
 
 __version__ = "0.1.0"

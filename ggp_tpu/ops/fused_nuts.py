@@ -526,7 +526,7 @@ def fused_nuts_supported(n: int, d: int, m: int, *, max_n: int = 2048,
 
 
 def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
-                    block: int = 16, interpret: bool = False,
+                    block: int = 32, interpret: bool = False,
                     max_n: int = 2048, max_m: int = 256, chunk: int = 16,
                     target_accept: float = 0.8, adapt_mass: bool = True,
                     target: str = "vfe", algorithm: str = "nuts",

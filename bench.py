@@ -157,27 +157,55 @@ def cell_joint_hmc(name):
     return total, _min_ess_per_s(hypers_only, total), div, acc, healthy
 
 
-def main():
-    import jax  # noqa: F401  (backend init)
+RUNNERS = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
+           "JointHMC": cell_joint_hmc}
+# headline cells get more slack (alternating schedule = several compiles);
+# a hung link is recovered by killing the stuck client, which the
+# per-cell-process design does for free
+CELL_TIMEOUT_S = {"SGPR+HMC": 660, "GPR+HMC": 420, "JointHMC": 480}
 
-    runners = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
-               "JointHMC": cell_joint_hmc}
-    cells = []
-    for (model_name, ds), baseline in BASELINES.items():
-        try:
-            secs, ess, div, acc, healthy = runners[model_name](ds)
-            cells.append({
-                "model": model_name, "dataset": f"{ds}-shaped",
-                "sampling_s": round(secs, 4),
-                "min_ess_per_s": round(ess, 1),
-                "divergence_frac": round(div, 4), "accept": round(acc, 3),
-                "healthy": healthy, "reference_s": baseline,
-                "speedup": round(baseline / secs, 2) if healthy else 0.0,
-            })
-        except Exception as e:                      # keep the line emittable
-            cells.append({"model": model_name, "dataset": f"{ds}-shaped",
-                          "healthy": False, "speedup": 0.0,
-                          "error": f"{type(e).__name__}: {e}"})
+
+def run_cell(model_name, ds):
+    baseline = BASELINES[(model_name, ds)]
+    secs, ess, div, acc, healthy = RUNNERS[model_name](ds)
+    return {
+        "model": model_name, "dataset": f"{ds}-shaped",
+        "sampling_s": round(secs, 4),
+        "min_ess_per_s": round(ess, 1),
+        "divergence_frac": round(div, 4), "accept": round(acc, 3),
+        "healthy": healthy, "reference_s": baseline,
+        "speedup": round(baseline / secs, 2) if healthy else 0.0,
+    }
+
+
+def _run_cell_subprocess(model_name, ds):
+    """Each cell runs in its OWN process with a hard timeout: the remote
+    TPU link intermittently hangs (CLAUDE.md) and a hung compile must
+    degrade that one cell, not wedge the whole benchmark. A fresh process
+    per cell also gives each a clean TPU client."""
+    import subprocess
+    import sys
+    budget = CELL_TIMEOUT_S[model_name]
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--cell", model_name, ds],
+            capture_output=True, timeout=budget, cwd=_REPO_ROOT)
+        line = out.stdout.decode().strip().splitlines()[-1]
+        return json.loads(line)
+    except subprocess.TimeoutExpired:
+        return {"model": model_name, "dataset": f"{ds}-shaped",
+                "healthy": False, "speedup": 0.0,
+                "error": f"cell timed out after {budget}s "
+                         f"(TPU link hang?)"}
+    except Exception as e:
+        return {"model": model_name, "dataset": f"{ds}-shaped",
+                "healthy": False, "speedup": 0.0,
+                "error": f"{type(e).__name__}: {e}"}
+
+
+def main():
+    cells = [_run_cell_subprocess(model_name, ds)
+             for (model_name, ds) in BASELINES]
 
     head = next(c for c in cells
                 if c["model"] == "SGPR+HMC" and c["dataset"] == "boston-shaped")
@@ -201,5 +229,19 @@ def main():
     }))
 
 
+_REPO_ROOT = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) == 4 and sys.argv[1] == "--cell":
+        import jax  # noqa: F401  (backend init)
+        try:
+            print(json.dumps(run_cell(sys.argv[2], sys.argv[3])))
+        except Exception as e:
+            print(json.dumps({"model": sys.argv[2],
+                              "dataset": f"{sys.argv[3]}-shaped",
+                              "healthy": False, "speedup": 0.0,
+                              "error": f"{type(e).__name__}: {e}"}))
+    else:
+        main()

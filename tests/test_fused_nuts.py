@@ -216,3 +216,45 @@ def test_sgpmc_fused_hmc_transitions(problem):
     # carried state consistency
     U1_check, _ = fused.potential(z1)
     np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-4)
+
+
+def test_statistical_parity_vs_xla(problem):
+    """End-to-end posterior parity: the fused chunked sampler and the XLA
+    NUTS sampler agree on posterior means (within MC error) and spreads on
+    the same target — the CI-level version of the TPU parity runs recorded
+    in PERF.md."""
+    from ggp_tpu.inference.hmc import NUTSConfig, build_sampler
+    from ggp_tpu.kernels import default_rbf
+    from ggp_tpu.models.sgpr import sgpr_elbo
+    from ggp_tpu.priors import log_prior, prior_tree_rbf
+
+    X, y, Z, d = problem
+    kern = default_rbf(ard=True)
+    ptree = prior_tree_rbf()
+    init = {"kernel": kern.init_params(d),
+            "log_noise": jnp.asarray(-1.0, jnp.float32)}
+
+    def logpost(p, Z_):
+        return (sgpr_elbo(kern, {**p, "Z": Z_}, X, y, 1e-6)
+                + log_prior(ptree, p))
+
+    cfg = NUTSConfig(num_warmup=150, num_samples=150, max_depth=5)
+    builder = make_fused_nuts(X, y, 1e-6, max_depth=5, chunk=8,
+                              interpret=True)
+    sf, stf = build_sampler(logpost, init, cfg,
+                            fused_builder=builder)(init,
+                                                   jax.random.PRNGKey(0), Z)
+    sx, stx = build_sampler(logpost, init, cfg)(init, jax.random.PRNGKey(1),
+                                                Z)
+
+    def flat(s):
+        return np.concatenate([np.asarray(v).reshape(150, -1)
+                               for v in jax.tree_util.tree_leaves(s)], -1)
+
+    f, x = flat(sf), flat(sx)
+    md = np.abs(f.mean(0) - x.mean(0)) / (x.std(0) + 1e-6)
+    sr = f.std(0) / (x.std(0) + 1e-6)
+    assert np.all(md < 1.2), md
+    assert np.all((sr > 0.5) & (sr < 2.0)), sr
+    for st in (stf, stx):
+        assert float(np.mean(np.asarray(st["accept_prob"]))) > 0.6

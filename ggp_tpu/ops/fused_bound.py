@@ -349,13 +349,18 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     UB, VB = chol_inv(B)
     Binv = _dg(VB, VB, 1, 1)                                  # VB VB^T = B^-1
     u = _dg(An, yp, 0, 0)                                     # (Mp,1) A y
-    v = Binv @ u
+    # value-critical quantities go through the FACTOR (two triangular
+    # applications) rather than the formed inverse: c = VB^T u, v = VB c,
+    # u^T B^-1 u = ||c||^2 — a nonnegative square, better conditioned at
+    # small noise where cond(B) ~ 1/sigma^2 (PERF.md divergence caveat)
+    c_u = _dg(VB, u, 0, 0)                                    # (Mp,1)
+    v = VB @ c_u
     w = _dg(V, v, 1, 0)                                       # L^-T v
     alpha = (yp - An @ v) / s2                                # (Np,1)
 
     diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)       # (Mp,1)
     logdetB = 2.0 * jnp.sum(jnp.log(diagUB))
-    uv = jnp.sum(u * v)
+    uv = jnp.sum(c_u * c_u)
     yy = jnp.sum(yp * yp)
     trB = jnp.sum(B * eyeM)
     trBinv = jnp.sum(Binv * eyeM)

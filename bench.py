@@ -178,7 +178,7 @@ def run_cell(model_name, ds):
     }
 
 
-def _run_cell_subprocess(model_name, ds):
+def _run_cell_subprocess(model_name, ds, max_timeout=None):
     """Each cell runs in its OWN process with a hard timeout: the remote
     TPU link intermittently hangs (CLAUDE.md) and a hung compile must
     degrade that one cell, not wedge the whole benchmark. A fresh process
@@ -186,6 +186,8 @@ def _run_cell_subprocess(model_name, ds):
     import subprocess
     import sys
     budget = CELL_TIMEOUT_S[model_name]
+    if max_timeout is not None:
+        budget = min(budget, max_timeout)
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--cell", model_name, ds],
@@ -204,8 +206,23 @@ def _run_cell_subprocess(model_name, ds):
 
 
 def main():
-    cells = [_run_cell_subprocess(model_name, ds)
-             for (model_name, ds) in BASELINES]
+    # global wall budget: the headline cell runs first and gets priority;
+    # when the budget runs out (slow remote-compile sessions), remaining
+    # cells are marked skipped rather than risking the driver's patience —
+    # the JSON line is always emitted in bounded time
+    import os
+    budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 1800))
+    t_start = time.perf_counter()
+    cells = []
+    for (model_name, ds) in BASELINES:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 90:
+            cells.append({"model": model_name, "dataset": f"{ds}-shaped",
+                          "healthy": False, "speedup": 0.0,
+                          "error": "skipped: global bench budget exhausted"})
+            continue
+        cells.append(_run_cell_subprocess(model_name, ds,
+                                          max_timeout=remaining))
 
     head = next(c for c in cells
                 if c["model"] == "SGPR+HMC" and c["dataset"] == "boston-shaped")

@@ -9,3 +9,14 @@ from .linalg import (
     safe_cholesky,
     tri_solve,
 )
+
+# Pallas / custom-call-free layer (round 2): imported lazily by consumers to
+# keep `import ggp_tpu` light; exposed here for discoverability.
+from .fused_bound import (  # noqa: E402
+    block_chol_u,
+    block_ut_inv,
+    chol_u_inv_inplace,
+    make_rbf_vfe_potential,
+)
+from .fused_nuts import FusedNUTS, fused_nuts_supported, make_fused_nuts  # noqa: E402
+from .pallas_vfe import rbf_vfe_stats, stationary_vfe_stats  # noqa: E402

@@ -1,9 +1,19 @@
 """Headline benchmark + sampler-runtime matrix.
 
-Headline (unchanged protocol since round 1 for comparability): total NUTS
-sampling seconds of BayesianSGPR_HMC's alternating schedule on a
-Boston-shaped problem, vs the reference's pymc3 CPU measurement
-(sampler_runtimes.csv row "SGPR+HMC", Boston: 14.57 s — SURVEY §6).
+Headline: total NUTS sampling seconds of BayesianSGPR_HMC's alternating
+schedule on a Boston-shaped problem, vs the reference's pymc3 CPU
+measurement (sampler_runtimes.csv row "SGPR+HMC", Boston: 14.57 s —
+SURVEY §6). Protocol note (ADVICE r2): the sampling schedule/keys are
+unchanged since round 1, but from round 2 on each timed segment reports the
+MIN over 2 identical repeats (remote-link dispatch variance, CLAUDE.md);
+round-1 records were single-run. Per-rep wall times are emitted under
+"rep_times" in every cell so records can be compared like-for-like.
+
+Round 3 (VERDICT r2 item 1): all cell subprocesses share a persistent JAX
+compilation cache under .jax_cache/ so retries and later cells skip
+recompilation, and unhealthy/timed-out cells are retried once while the
+global budget allows — the round-2 record lost both JointHMC cells to
+cold-compile timeouts on a slow link session.
 
 Matrix (VERDICT r1 item 7): the reference's sampler_runtimes.csv grid
 {SGPR+HMC, GPR+HMC, JointHMC} x {Boston-shaped, WineRed-shaped}, each cell
@@ -24,9 +34,19 @@ speedup under "matrix_geomean_speedup".
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache shared by all cell subprocesses
+    (must run BEFORE jax import; children inherit the environment)."""
+    cache_dir = os.path.join(_REPO_ROOT, ".jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # reference CPU sampling seconds (sampler_runtimes.csv:1-4)
 BASELINES = {
@@ -90,19 +110,22 @@ def cell_sgpr_hmc(name):
         model.sample_hypers(tune, n, key=jax.random.PRNGKey(99))
         jax.block_until_ready(model.trace)
     key = jax.random.PRNGKey(0)
-    total, div_frac, acc_all, traces = 0.0, [], [], []
+    total, div_frac, acc_all, traces, rep_times = 0.0, [], [], [], []
     for i, (tune, n) in enumerate(rounds):
         key, sub = jax.random.split(key)
         # min over 2 identical timed runs: the remote-link dispatch latency
         # has large session variance (CLAUDE.md); the sampler is
-        # deterministic given the key so min is a fair per-round time
-        best = float("inf")
+        # deterministic given the key so min is a fair per-round time.
+        # Per-rep times are reported so round-1 single-run records stay
+        # comparable (ADVICE r2).
+        reps = []
         for _rep in range(2):
             t0 = time.perf_counter()
             model.sample_hypers(tune, n, key=sub)
             jax.block_until_ready(model.trace)
-            best = min(best, time.perf_counter() - t0)
-        total += best
+            reps.append(round(time.perf_counter() - t0, 4))
+        rep_times.append(reps)
+        total += min(reps)
         d, a, _ = _health(model.stats)
         div_frac.append(d)
         acc_all.append(a)
@@ -112,7 +135,8 @@ def cell_sgpr_hmc(name):
             # of the reference's alternation isn't in its sampling seconds)
     healthy = max(div_frac) <= 0.1 and float(np.mean(acc_all)) >= 0.5
     ess = _min_ess_per_s(traces[-1], total)
-    return total, ess, max(div_frac), float(np.mean(acc_all)), healthy
+    return total, ess, max(div_frac), float(np.mean(acc_all)), healthy, \
+        rep_times
 
 
 def cell_gpr_hmc(name):
@@ -124,15 +148,17 @@ def cell_gpr_hmc(name):
     model.train_model(num_warmup=50, num_samples=10, num_chains=1,
                       key=jax.random.PRNGKey(99))      # compile warmup
     jax.block_until_ready(model.trace)
-    total = float("inf")
+    reps = []
     for _rep in range(2):
         t0 = time.perf_counter()
         model.train_model(num_warmup=50, num_samples=10, num_chains=1,
                           key=jax.random.PRNGKey(0))
         jax.block_until_ready(model.trace)
-        total = min(total, time.perf_counter() - t0)
+        reps.append(round(time.perf_counter() - t0, 4))
+    total = min(reps)
     div, acc, healthy = _health(model.stats)
-    return total, _min_ess_per_s(model.trace, total), div, acc, healthy
+    return (total, _min_ess_per_s(model.trace, total), div, acc, healthy,
+            [reps])
 
 
 def cell_joint_hmc(name):
@@ -146,15 +172,17 @@ def cell_joint_hmc(name):
               num_leapfrog=10)
     model.train_model(key=jax.random.PRNGKey(99), **kw)  # compile warmup
     jax.block_until_ready(model.trace)
-    total = float("inf")
+    reps = []
     for _rep in range(2):
         t0 = time.perf_counter()
         model.train_model(key=jax.random.PRNGKey(0), **kw)
         jax.block_until_ready(model.trace)
-        total = min(total, time.perf_counter() - t0)
+        reps.append(round(time.perf_counter() - t0, 4))
+    total = min(reps)
     div, acc, healthy = _health(model.stats)
     hypers_only = {"kernel": model.trace["kernel"], "lik": model.trace["lik"]}
-    return total, _min_ess_per_s(hypers_only, total), div, acc, healthy
+    return (total, _min_ess_per_s(hypers_only, total), div, acc, healthy,
+            [reps])
 
 
 RUNNERS = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
@@ -167,10 +195,11 @@ CELL_TIMEOUT_S = {"SGPR+HMC": 660, "GPR+HMC": 420, "JointHMC": 480}
 
 def run_cell(model_name, ds):
     baseline = BASELINES[(model_name, ds)]
-    secs, ess, div, acc, healthy = RUNNERS[model_name](ds)
+    secs, ess, div, acc, healthy, rep_times = RUNNERS[model_name](ds)
     return {
         "model": model_name, "dataset": f"{ds}-shaped",
         "sampling_s": round(secs, 4),
+        "rep_times": rep_times,
         "min_ess_per_s": round(ess, 1),
         "divergence_frac": round(div, 4), "accept": round(acc, 3),
         "healthy": healthy, "reference_s": baseline,
@@ -210,7 +239,7 @@ def main():
     # when the budget runs out (slow remote-compile sessions), remaining
     # cells are marked skipped rather than risking the driver's patience —
     # the JSON line is always emitted in bounded time
-    import os
+    _enable_compile_cache()
     budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 1800))
     t_start = time.perf_counter()
     cells = []
@@ -223,6 +252,23 @@ def main():
             continue
         cells.append(_run_cell_subprocess(model_name, ds,
                                           max_timeout=remaining))
+
+    # retry pass (VERDICT r2 item 1): a timed-out/unhealthy cell gets ONE
+    # more attempt while budget remains — with the persistent compile cache
+    # now warm, a retry costs execution time only, so a transient link hang
+    # or a cold-compile timeout no longer forfeits the cell in the record
+    for i, cell in enumerate(cells):
+        if cell.get("healthy"):
+            continue
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 120:
+            break
+        retry = _run_cell_subprocess(cell["model"],
+                                     cell["dataset"].removesuffix("-shaped"),
+                                     max_timeout=remaining)
+        retry["retried"] = True
+        if retry.get("healthy"):
+            cells[i] = retry
 
     head = next(c for c in cells
                 if c["model"] == "SGPR+HMC" and c["dataset"] == "boston-shaped")
@@ -252,6 +298,7 @@ _REPO_ROOT = __import__("os").path.dirname(__import__("os").path.abspath(__file_
 if __name__ == "__main__":
     import sys
     if len(sys.argv) == 4 and sys.argv[1] == "--cell":
+        _enable_compile_cache()
         import jax  # noqa: F401  (backend init)
         try:
             print(json.dumps(run_cell(sys.argv[2], sys.argv[3])))

@@ -463,6 +463,19 @@ def _single_chain_fused(fused, z0, key, cfg: NUTSConfig, in_window,
             f"fused kernel was built for algorithm="
             f"{fused.algorithm!r} but the sampler config asks for "
             f"{cfg.algorithm!r}")
+    # target_accept/adapt_mass are compiled into the warm-chunk kernel at
+    # build time — a mismatch would silently adapt to the wrong target
+    # (ADVICE r2), so validate like algorithm above
+    if abs(getattr(fused, "target_accept", cfg.target_accept)
+           - cfg.target_accept) > 1e-9:
+        raise ValueError(
+            f"fused kernel was built with target_accept="
+            f"{fused.target_accept} but the sampler config asks for "
+            f"{cfg.target_accept}")
+    if getattr(fused, "adapt_mass", cfg.adapt_mass) != cfg.adapt_mass:
+        raise ValueError(
+            f"fused kernel was built with adapt_mass={fused.adapt_mass} "
+            f"but the sampler config asks for {cfg.adapt_mass}")
     U0, g0 = fused.potential(z0)
     inv_mass = jnp.ones(dim, dtype)
 

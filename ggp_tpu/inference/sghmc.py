@@ -91,7 +91,7 @@ def run_sghmc(logpost_fn: Callable, init_params, key, num_data: int,
             scale = eps_t * jnp.sqrt(minv)
             noise = jnp.sqrt(2.0 * alpha) * scale * \
                 jax.random.normal(kn, (dim,), z.dtype)
-            r = (1.0 - alpha) * r - (eps_t * scale) * g + noise
+            r = (1.0 - alpha) * r - (scale * scale) * g + noise
             # periodic refresh from the stationary momentum distribution
             refresh = (t % cfg.resample_momentum_every) == 0
             r = jnp.where(refresh,

@@ -67,12 +67,18 @@ def vfe_stats(kernel: Kernel, kp: dict, Z: jnp.ndarray, X: jnp.ndarray,
            if isinstance(kernel, Scale) else None)
     n = jnp.asarray(X).shape[0]
     explicit = bool(_os.environ.get("GGP_USE_PALLAS"))
-    auto = n >= 100_000
+    # automatic big-N switch only where it wins: compiled Pallas on TPU
+    # (on CPU interpret-mode Pallas is far slower than XLA at exactly these
+    # sizes, and bf16 would silently downgrade precision — ADVICE r2)
+    auto = n >= 100_000 and jax.default_backend() == "tpu"
     if (fam is not None and (explicit or auto)
             and jnp.asarray(X).dtype == jnp.float32    # pallas path is f32
             and not _os.environ.get("GGP_DISABLE_PALLAS")):
         from ..ops.pallas_vfe import _BF16_REDUCE, stationary_vfe_stats
-        bf16 = True if (auto and not explicit) else _BF16_REDUCE[0]
+        # respect an explicit set_bf16_reduce(False); default True for the
+        # automatic big-N branch where the single-pass MXU reduce is the win
+        bf16 = _BF16_REDUCE[0] if _BF16_REDUCE[0] is not None else (
+            auto and not explicit)
         return stationary_vfe_stats(X, y, Z, kp["base"]["log_lengthscale"],
                                     kp["log_outputscale"], fam=fam,
                                     bf16=bf16)

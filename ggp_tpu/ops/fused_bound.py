@@ -46,8 +46,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["block_chol_u", "block_ut_inv", "chol_u_inplace", "ut_inv_inplace",
-           "chol_u_inv_inplace",
-           "make_rbf_vfe_potential", "fused_potential_is_eligible"]
+           "chol_u_inv_inplace", "ut_t_solve_vec", "ut_solve_vec",
+           "make_rbf_vfe_potential", "make_gpr_potential",
+           "fused_potential_is_eligible"]
 
 _LANES = 128
 
@@ -285,6 +286,53 @@ def ut_inv_inplace(U_ref, V_ref, block: int = 16) -> None:
     jax.lax.fori_loop(0, nb, step, 0)
 
 
+def ut_t_solve_vec(U, Uinv, b, block: int = 32):
+    """Solve U^T c = b for one column b (Mp,1); U upper-triangular.
+
+    Blocked forward substitution with the diagonal-block inverses taken from
+    ``Uinv = U^-1`` (the inverse of a block-triangular matrix has exactly
+    ``(U_jj)^-1`` on its block diagonal). Unlike ``Uinv^T @ b``, the
+    substitution recurrence uses the FACTOR for all off-diagonal coupling,
+    which is the numerically sound direction at large cond(U) — this is what
+    cut the residual extreme-conditioning HMC divergences (PERF.md caveat;
+    VERDICT r2 item 5). Mosaic-safe: static sublane slices, one-hot MXU
+    contractions, no dynamic indexing on values.
+    """
+    Mp = U.shape[0]
+    dt = U.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    c = jnp.zeros_like(b)
+    for i0 in range(0, Mp, block):
+        # t[r] = sum_k U[k, r] c[k]; c is zero at unsolved rows so only
+        # k < i0 contributes — the already-solved prefix
+        t = _dg(U, c, 0, 0)                                   # (Mp,1)
+        rhs = (b - t)[i0:i0 + block]                          # (block,1)
+        E = ((rowb + i0) == col).astype(dt)                   # (block,Mp)
+        Dblk = _dg(Uinv[i0:i0 + block, :], E, 1, 1)           # (U_ii)^-1
+        cb = _dg(Dblk, rhs, 0, 0)                             # (U_ii)^-T rhs
+        c = c + _dg(E, cb, 0, 0)                              # scatter rows
+    return c
+
+
+def ut_solve_vec(U, Uinv, b, block: int = 32):
+    """Solve U v = b for one column b (Mp,1); blocked back substitution
+    (bottom-up companion of :func:`ut_t_solve_vec`)."""
+    Mp = U.shape[0]
+    dt = U.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    v = jnp.zeros_like(b)
+    for i0 in range(Mp - block, -1, -block):
+        t = _dg(U, v, 1, 0)                                   # U v (Mp,1)
+        rhs = (b - t)[i0:i0 + block]
+        E = ((rowb + i0) == col).astype(dt)
+        Dblk = _dg(Uinv[i0:i0 + block, :], E, 1, 1)           # (U_ii)^-1
+        vb = Dblk @ rhs
+        v = v + _dg(E, vb, 0, 0)
+    return v
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -349,13 +397,16 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     UB, VB = chol_inv(B)
     Binv = _dg(VB, VB, 1, 1)                                  # VB VB^T = B^-1
     u = _dg(An, yp, 0, 0)                                     # (Mp,1) A y
-    # value-critical quantities go through the FACTOR (two triangular
-    # applications) rather than the formed inverse: c = VB^T u, v = VB c,
-    # u^T B^-1 u = ||c||^2 — a nonnegative square, better conditioned at
-    # small noise where cond(B) ~ 1/sigma^2 (PERF.md divergence caveat)
-    c_u = _dg(VB, u, 0, 0)                                    # (Mp,1)
-    v = VB @ c_u
-    w = _dg(V, v, 1, 0)                                       # L^-T v
+    # value- and gradient-critical VECTORS go through triangular SOLVES
+    # against the factors (blocked substitution, ut_t_solve_vec /
+    # ut_solve_vec) rather than multiplies by the formed inverses:
+    # c = UB^-T u, v = UB^-1 c, w = U^-1 v, u^T B^-1 u = ||c||^2 — a
+    # nonnegative square, and substitution keeps the off-diagonal coupling
+    # in the factor, which matters at small noise where cond(B) ~ 1/sigma^2
+    # (PERF.md divergence caveat; VERDICT r2 item 5)
+    c_u = ut_t_solve_vec(UB, VB, u)                           # (Mp,1)
+    v = ut_solve_vec(UB, VB, c_u)
+    w = ut_solve_vec(U, V, v)                                 # L^-T v
     alpha = (yp - An @ v) / s2                                # (Np,1)
 
     diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)       # (Mp,1)
@@ -414,6 +465,158 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     return -(F + lp), -g
 
 
+def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
+                                      chol_inv, loop_blocks, NB):
+    """Streaming variant of :func:`_rbf_vfe_neg_logpost_vg` for N past the
+    VMEM-resident envelope (VERDICT r2 item 2): X and y live in HBM packed
+    into ONE (Np, 128) array — X in lanes [0, d), y in lane 127 (Mosaic
+    cannot DMA-slice a 1-lane column, and packing halves the DMA count) —
+    visited in (NB, 128) row blocks through ``loop_blocks(body, carry)``, a
+    kernel-supplied iterator that double-buffers the HBM->VMEM DMA so block
+    b+1 streams in while block b computes. ``body(t, XYb, carry)``.
+
+    Identical math to the resident version, reorganised into two additive
+    passes over row blocks:
+      pass 1:  B = I + sum_b A_b^T A_b,  u = sum_b A_b^T y_b,  yy
+      (M x M epilogue: factorisations, solves, Y1, dKmm — unchanged)
+      pass 2:  ||alpha||^2, sum(Pnm), row/col-sum dls terms, cross terms
+    Knm_b is recomputed in pass 2 (MXU-cheap) instead of cached (VMEM-
+    expensive). All accumulators are O(M^2) or O(1) — HBM traffic per eval
+    is exactly two reads of X/y.
+    """
+    dt = Zp.dtype
+    Mp = Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    ls_mask = (lane < d).astype(dt)
+    log_os = theta_pad[0, d]
+    log_noise = theta_pad[0, d + 1]
+    inv_ls = jnp.exp(-theta_pad) * ls_mask                    # (1,128)
+    sf2 = jnp.exp(log_os)
+    s2 = jnp.exp(log_noise)
+    sigma = jnp.sqrt(s2)
+
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (NB, 1), 0)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    mrow_mask = (rowm < m).astype(dt)
+    mcol_mask = (colm < m).astype(dt)
+    eyeM = (rowm == colm).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+
+    Zs = Zp * inv_ls
+    Zs2 = Zs * Zs
+    zn = jnp.sum(Zs2, axis=1, keepdims=True)                  # (Mp,1)
+    znT = _dg(one11, zn, 1, 1)                                # (1,Mp)
+    r2_mm = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+    Kmm = sf2 * jnp.exp(-0.5 * r2_mm)
+    Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)
+    jit_scale = jnp.maximum(sf2, 1.0)
+    Kmm_j = Kmm + (jitter * jit_scale) * eyeM
+    U, V = chol_inv(Kmm_j)                                    # U = L^T, V = L^-T
+
+    ey = (lane == (_LANES - 1)).astype(dt)                    # y lane one-hot
+
+    def _block_An(t, XYb):
+        """Per-block scaled inputs, y column, and A^T rows (both passes)."""
+        rowg = rowb + t * NB
+        nmask = (rowg < n).astype(dt)                         # (NB,1)
+        yb = _dg(XYb, ey, 1, 1) * nmask                       # (NB,1)
+        Xs_b = XYb * inv_ls                                   # ls_mask zeroes y
+        xn_b = jnp.sum(Xs_b * Xs_b, axis=1, keepdims=True)    # (NB,1)
+        r2 = jnp.maximum(xn_b + znT - 2.0 * _dg(Xs_b, Zs, 1, 1), 0.0)
+        Knm_b = sf2 * jnp.exp(-0.5 * r2) * nmask * mcol_mask  # (NB,Mp)
+        An_b = _dg(Knm_b, V, 1, 0) / sigma
+        return Xs_b, yb, Knm_b, An_b
+
+    def fwd_body(t, XYb, carry):
+        Bacc, u, yy = carry
+        _, yb, _, An_b = _block_An(t, XYb)
+        return (Bacc + _dg(An_b, An_b, 0, 0),
+                u + _dg(An_b, yb, 0, 0),
+                yy + jnp.sum(yb * yb))
+
+    Bacc, u, yy = loop_blocks(fwd_body, (
+        jnp.zeros((Mp, Mp), dt), jnp.zeros((Mp, 1), dt),
+        jnp.zeros((), dt)))
+    B = Bacc + eyeM
+
+    UB, VB = chol_inv(B)
+    Binv = _dg(VB, VB, 1, 1)
+    # vector solves against the factors (see the resident version)
+    c_u = ut_t_solve_vec(UB, VB, u)
+    v = ut_solve_vec(UB, VB, c_u)
+    w = ut_solve_vec(U, V, v)                                 # L^-T v
+
+    diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)
+    logdetB = 2.0 * jnp.sum(jnp.log(diagUB))
+    uv = jnp.sum(c_u * c_u)
+    trB = jnp.sum(B * eyeM)
+    trBinv = jnp.sum(Binv * eyeM)
+    kdiag_sum = n * sf2
+    t_term = kdiag_sum - s2 * (trB - Mp)
+    F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+         - 0.5 * logdetB - 0.5 * (yy - uv) / s2 - 0.5 * t_term / s2)
+
+    # ---- adjoints ----
+    Y1 = _dg(eyeM - Binv, V, 1, 1)                            # (I-B^-1) L^-1
+    wT = _dg(one11, w, 1, 1)                                  # (1,Mp)
+
+    def adj_body(t, XYb, carry):
+        alpha2, osum, dls_nm, cs_nm, cross = carry
+        Xs_b, yb, Knm_b, An_b = _block_An(t, XYb)
+        alpha_b = (yb - An_b @ v) / s2                        # (NB,1)
+        dKnm_b = (An_b @ Y1 + alpha_b * wT) / sigma
+        Pnm_b = dKnm_b * Knm_b
+        Xs2_b = Xs_b * Xs_b
+        return (alpha2 + jnp.sum(alpha_b * alpha_b),
+                osum + jnp.sum(Pnm_b),
+                dls_nm + _dg(jnp.sum(Pnm_b, axis=1, keepdims=True),
+                             Xs2_b, 0, 0),
+                cs_nm + jnp.sum(Pnm_b, axis=0, keepdims=True),
+                cross + jnp.sum(Xs_b * (Pnm_b @ Zs), axis=0,
+                                keepdims=True))
+
+    alpha2, osum, dls_nm, cs_nm, cross = loop_blocks(adj_body, (
+        jnp.zeros((), dt), jnp.zeros((), dt),
+        jnp.zeros((1, _LANES), dt), jnp.zeros((1, Mp), dt),
+        jnp.zeros((1, _LANES), dt)))
+
+    T0 = 2.0 * eyeM - B - Binv
+    dKmm = (-(w * wT) / (2.0 * s2)
+            + 0.5 * _dg(_dg(V, T0, 1, 0), V, 1, 1))
+    trW = (n - Mp + trBinv) / s2
+    dF_ds2 = 0.5 * alpha2 - 0.5 * trW + t_term / (2.0 * s2 * s2)
+    dlog_noise = dF_ds2 * s2
+    dlog_os = (jnp.sum(dKmm * Kmm) + osum
+               + jitter * sf2 * (sf2 > 1.0) * jnp.sum(dKmm * eyeM)
+               - n * sf2 / (2.0 * s2))
+
+    Pmm = dKmm * Kmm
+    rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+    cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+    dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+           - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+           + dls_nm + cs_nm @ Zs2 - 2.0 * cross)
+
+    # ---- priors (identical to the resident version) ----
+    lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
+    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
+
+    def _hc(uu):
+        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
+
+    lp = lp_ls + _hc(log_os) + _hc(log_noise)
+    g_ls = (2.0 - jnp.exp(theta_pad)) * ls_mask
+    g_os = 0.5 - jax.nn.sigmoid(log_os)
+    g_noise = 0.5 - jax.nn.sigmoid(log_noise)
+
+    g = dls + g_ls
+    g = jnp.where(lane == d, dlog_os + g_os, g)
+    g = jnp.where(lane == d + 1, dlog_noise + g_noise, g)
+    g = g * (lane < d + 2).astype(dt)
+    return -(F + lp), -g
+
+
 def make_rbf_vfe_potential(X, y, jitter: float, max_n: int = 32768):
     """Factory: ``potential_fn(zvec, Z) -> (U, grad)`` for ``build_sampler``.
 
@@ -440,6 +643,31 @@ def make_rbf_vfe_potential(X, y, jitter: float, max_n: int = 32768):
         theta_pad = jnp.zeros((1, _LANES), dt).at[0, :d + 2].set(zvec)
         Upot, g = _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d,
                                           jitter)
+        return Upot, g[0, :d + 2]
+
+    return potential_fn
+
+
+def make_gpr_potential(X, y, jitter: float):
+    """Factory: ``potential_fn(zvec) -> (U, grad)`` for the dense GPR_HMC
+    target (companion of :func:`make_rbf_vfe_potential`; used by the Pallas
+    whole-transition path via the "gpr" core and directly testable at XLA
+    level). Returns None outside the envelope (N > 512 or D+2 > 128)."""
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+    n, d = X.shape
+    if d + 2 > _LANES or n > 512:
+        return None
+    dt = X.dtype
+    Np = _round_up(n, _LANES)
+    Xp = jnp.zeros((Np, _LANES), dt).at[:n, :d].set(X)
+    yp = jnp.zeros((Np, 1), dt).at[:n, 0].set(y)
+    jitter = float(jitter)
+
+    def potential_fn(zvec):
+        theta_pad = jnp.zeros((1, _LANES), dt).at[0, :d + 2].set(zvec)
+        Upot, g = _gpr_neg_logpost_vg(theta_pad, Xp, yp, None, n, 0, d,
+                                      jitter)
         return Upot, g[0, :d + 2]
 
     return potential_fn
@@ -472,6 +700,90 @@ def fused_structure_matches(kernel, likelihood, prior_tree) -> bool:
             and kernel.base.ard
             and type(likelihood) is GaussianLikelihood
             and prior_tree == prior_tree_rbf())
+
+
+def _gpr_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
+                        chol_inv=_default_chol_inv):
+    """Potential U = -(dense GP marginal log-lik + log prior) and dU/dtheta
+    for the GPR_HMC target (reference models/gpr_hmc.py:47-57: pm.gp.Marginal
+    with ls ~ Gamma(2,1), sig_f/sig_n ~ HalfCauchy(1)).
+
+    Matches ``-(gp_marginal_loglik + log_prior(prior_tree_rbf()))``
+    (models/gpr_hmc.py:33-39): K = Knn + (s2 + jitter) I with the model's
+    ABSOLUTE jitter policy (s2 on the diagonal already conditions K).
+    ``Zp``/``m`` are accepted for signature uniformity with the other cores
+    and ignored. State lanes: [log_lengthscale (d), log_outputscale,
+    log_noise]. Gradient: Kbar = (a a^T - K^-1)/2 with a = K^-1 y via two
+    triangular solves, then the RBF-ARD chain rules.
+    """
+    del Zp, m
+    dt = Xp.dtype
+    Np = Xp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    ls_mask = (lane < d).astype(dt)
+    log_os = theta_pad[0, d]
+    log_noise = theta_pad[0, d + 1]
+    inv_ls = jnp.exp(-theta_pad) * ls_mask
+    sf2 = jnp.exp(log_os)
+    s2 = jnp.exp(log_noise)
+
+    rown = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+    coln = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    n_row = (rown < n).astype(dt)
+    n_col = (coln < n).astype(dt)
+    eyeN = (rown == coln).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+
+    Xs = Xp * inv_ls
+    Xs2 = Xs * Xs
+    xn = jnp.sum(Xs2, axis=1, keepdims=True)                  # (Np,1)
+    xnT = _dg(one11, xn, 1, 1)                                # (1,Np)
+    r2 = jnp.maximum(xn + xnT - 2.0 * _dg(Xs, Xs, 1, 1), 0.0)
+    Kcore = sf2 * jnp.exp(-0.5 * r2) * n_row * n_col          # zero pad
+    K = Kcore + ((s2 + jitter) * n_row + (1.0 - n_row)) * eyeN
+
+    U, V = chol_inv(K)                                        # U=L^T, V=L^-T
+    # wide solve panels: at Np=512 a block-32 substitution costs 16 panels
+    # x several small MXU ops per vector — measurably slower in-kernel;
+    # 4 panels keep the substitution structure at ~1/4 the op count
+    sb = max(32, Np // 4)
+    t = ut_t_solve_vec(U, V, yp, block=sb)                    # L^-1 y
+    a = ut_solve_vec(U, V, t, block=sb)                       # K^-1 y
+    quad = jnp.sum(t * t)
+    diagU = jnp.sum(U * eyeN, axis=1, keepdims=True)          # (Np,1)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.where(n_row > 0, diagU, 1.0)))
+    F = -0.5 * (quad + logdet
+                + n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt)))
+
+    # ---- adjoints ----
+    Kinv = _dg(V, V, 1, 1)                                    # V V^T
+    aT = _dg(one11, a, 1, 1)                                  # (1,Np)
+    Kbar = 0.5 * (a * aT - Kinv)                              # dF/dK
+    dlog_noise = s2 * jnp.sum((Kbar * eyeN) * n_row)
+    P = Kbar * Kcore
+    dlog_os = jnp.sum(P)
+    rs = jnp.sum(P, axis=1, keepdims=True)                    # (Np,1)
+    cs = jnp.sum(P, axis=0, keepdims=True)                    # (1,Np)
+    dls = (_dg(rs, Xs2, 0, 0) + cs @ Xs2
+           - 2.0 * jnp.sum(Xs * (P @ Xs), axis=0, keepdims=True))  # (1,128)
+
+    # ---- priors (Gamma(2,1) on ls, HalfCauchyOnStd(1) on os/noise) ----
+    lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
+    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
+
+    def _hc(uu):
+        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
+
+    lp = lp_ls + _hc(log_os) + _hc(log_noise)
+    g_ls = (2.0 - jnp.exp(theta_pad)) * ls_mask
+    g_os = 0.5 - jax.nn.sigmoid(log_os)
+    g_noise = 0.5 - jax.nn.sigmoid(log_noise)
+
+    g = dls + g_ls
+    g = jnp.where(lane == d, dlog_os + g_os, g)
+    g = jnp.where(lane == d + 1, dlog_noise + g_noise, g)
+    g = g * (lane < d + 2).astype(dt)
+    return -(F + lp), -g
 
 
 def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,

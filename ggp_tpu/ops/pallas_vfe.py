@@ -44,8 +44,10 @@ FAMILIES = ("rbf", "matern12", "matern32", "matern52")
 BLOCK_N = 512
 
 # module-level switch (affects compile): bf16 single-pass MXU for the S_kk
-# reduction vs multi-pass f32 emulation
-_BF16_REDUCE = [bool(_os.environ.get("GGP_PALLAS_BF16"))]
+# reduction vs multi-pass f32 emulation. Tri-state: None = unset (callers
+# like models.sgpr.vfe_stats may then auto-pick per-size); an explicit
+# set_bf16_reduce()/GGP_PALLAS_BF16 always wins (ADVICE r2).
+_BF16_REDUCE = [True if _os.environ.get("GGP_PALLAS_BF16") else None]
 
 
 def set_bf16_reduce(on: bool) -> None:
@@ -298,7 +300,7 @@ def _prep(X, y, Z, log_ls, log_os, block_n):
 
 def _stats_fwd_impl(X, y, Z, log_ls, log_os, block_n, fam, bf16=None):
     if bf16 is None:
-        bf16 = _BF16_REDUCE[0]
+        bf16 = bool(_BF16_REDUCE[0])
     N = X.shape[0]
     Xs, y2, Zs, ls, outputscale = _prep(X, y, Z, log_ls, log_os, block_n)
     skk, sky = _fwd_call(Xs, y2, Zs, outputscale, N, block_n, fam, bf16)

@@ -130,6 +130,22 @@ class Dataset:
             import pandas as pd
             return pd.read_csv(path, **kw).values
 
+    def _load_excel(self, path, usecols=None) -> np.ndarray:
+        """pd.read_excel(...).values with a stdlib fallback: pandas' Excel
+        engines (openpyxl/xlrd) are optional dependencies that may be
+        absent; ggp_tpu.utils.xlsx parses the same zip-XML (.xlsx) / OLE2+
+        BIFF8 (.xls) byte formats directly (fixture-tested,
+        tests/test_real_data.py)."""
+        try:
+            import pandas as pd
+            vals = pd.read_excel(path).values
+            if usecols is not None:
+                vals = vals[:, :usecols]
+            return vals.astype(np.float64)
+        except ImportError:
+            from .xlsx import excel_values
+            return excel_values(path, usecols=usecols).astype(np.float64)
+
     def read_data(self):
         raise NotImplementedError
 
@@ -168,8 +184,7 @@ class Concrete(_UciCsv):
     filename = "Concrete_Data.xls"
 
     def read_data(self):
-        import pandas as pd
-        data = pd.read_excel(self._require_file()).values.astype(np.float64)
+        data = self._load_excel(self._require_file())
         return data[:, :-1], data[:, -1]
 
 
@@ -182,8 +197,7 @@ class Energy(_UciCsv):
 
     def read_data(self):
         # first heating-load target only (reference: utils/dataset.py:147-155)
-        import pandas as pd
-        data = pd.read_excel(self._require_file()).values[:, :9].astype(np.float64)
+        data = self._load_excel(self._require_file(), usecols=9)
         return data[:, :-1], data[:, -1]
 
 
@@ -215,8 +229,7 @@ class Power(_UciCsv):
     filename = "CCPP/Folds5x2_pp.xlsx"
 
     def read_data(self):
-        import pandas as pd
-        data = pd.read_excel(self._require_file()).values.astype(np.float64)
+        data = self._load_excel(self._require_file())
         return data[:, :-1], data[:, -1]
 
 

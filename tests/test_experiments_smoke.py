@@ -20,6 +20,7 @@ def test_regression_single_run_sgpr(tmp_path, monkeypatch):
     assert np.isfinite(r["test_rmse"]) and np.isfinite(r["test_nlpd"])
 
 
+@pytest.mark.slow
 def test_regression_single_run_fixedz(tmp_path, monkeypatch):
     import ggp_tpu.utils.experiment_tools as et
     monkeypatch.setattr(et, "LOG_DIR", str(tmp_path))
@@ -64,6 +65,7 @@ def test_aggregate_results_roundtrip(tmp_path, monkeypatch):
     assert np.isfinite(agg.iloc[0]["nlpd_se"])
 
 
+@pytest.mark.slow
 def test_trace_summary_csv_all_hmc_models(tmp_path, monkeypatch):
     """Every sampler-backed model writes a per-run trace CSV with
     ESS/R-hat/divergences per hyper (reference writes pm.summary CSVs for
@@ -90,6 +92,7 @@ def test_trace_summary_csv_all_hmc_models(tmp_path, monkeypatch):
         assert txt.startswith("param,mean,sd,ess,rhat")
 
 
+@pytest.mark.slow
 def test_demo_2d_regression_tiny(tmp_path, monkeypatch):
     import ggp_tpu.config as cfg
     monkeypatch.setattr(cfg, "RESULTS_DIR", str(tmp_path))
@@ -137,6 +140,7 @@ def test_co2_baseline_tiny(tmp_path, monkeypatch):
                 assert np.isfinite(v), k
 
 
+@pytest.mark.slow
 def test_classification_banana_tiny():
     from classification_banana import banana_svgp
     out = banana_svgp(M=12, num_epochs=60, plot=False)

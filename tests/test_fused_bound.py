@@ -49,6 +49,7 @@ def test_block_ut_inv(rng, n):
                                rtol=0, atol=1e-10)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndm", [(40, 8, 3), (404, 100, 13), (37, 20, 1)])
 def test_fused_potential_matches_autodiff(rng, ndm):
     n, m, d = ndm
@@ -86,6 +87,49 @@ def test_fused_potential_matches_autodiff(rng, ndm):
                                rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("nd", [(40, 3), (300, 13), (37, 1)])
+def test_gpr_potential_matches_autodiff(rng, nd):
+    """Dense GPR core (VERDICT r2 item 4): value+grad parity against
+    jax.value_and_grad of -(gp_marginal_loglik + log_prior), the function it
+    replaces in the GPR_HMC NUTS loop (reference models/gpr_hmc.py:47-57)."""
+    from ggp_tpu.models.gpr_hmc import gp_marginal_loglik
+    from ggp_tpu.ops.fused_bound import make_gpr_potential
+    n, d = nd
+    X = jnp.asarray(rng.normal(size=(n, d)))
+    y = jnp.asarray(rng.normal(size=(n,)))
+    kern = default_rbf(ard=True)
+    ptree = prior_tree_rbf()
+    jitter = 1e-6
+    hypers = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(d,)) * 0.5)},
+                   "log_outputscale": jnp.asarray(0.4)},
+        "log_noise": jnp.asarray(-1.2),
+    }
+    zvec, unravel = jax.flatten_util.ravel_pytree(hypers)
+
+    def ref(v):
+        th = unravel(v)
+        return -(gp_marginal_loglik(kern, th, X, y, jitter)
+                 + log_prior(ptree, th))
+
+    U_ref, g_ref = jax.value_and_grad(ref)(zvec)
+    pot = make_gpr_potential(X, y, jitter)
+    U_f, g_f = jax.jit(pot)(zvec)
+    assert g_f.shape == zvec.shape
+    np.testing.assert_allclose(float(U_f), float(U_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_gpr_potential_envelope():
+    from ggp_tpu.ops.fused_bound import make_gpr_potential
+    X = jnp.zeros((600, 2))
+    assert make_gpr_potential(X, jnp.zeros(600), 1e-6) is None
+
+
+@pytest.mark.slow
 def test_fused_potential_f32(rng):
     """f32 parity at realistic (post-warm-start, small-noise) hypers — the
     regime where sgpr_elbo_fast's stats formulation broke (PERF.md)."""

@@ -14,6 +14,9 @@ import pytest
 from ggp_tpu.ops.fused_bound import make_rbf_vfe_potential
 from ggp_tpu.ops.fused_nuts import fused_nuts_supported, make_fused_nuts
 
+# interpret-mode Pallas is minutes-per-test on CPU (VERDICT r2 item 10)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def problem():
@@ -28,8 +31,14 @@ def problem():
 
 
 def test_supported_envelope():
+    from ggp_tpu.ops.fused_nuts import MAX_N_RESIDENT, MAX_N_STREAM
     assert fused_nuts_supported(404, 13, 100)
-    assert not fused_nuts_supported(10_000, 13, 100)
+    # streaming (VERDICT r2 item 2) lifts the vfe envelope past resident N
+    assert fused_nuts_supported(10_000, 13, 100)
+    assert fused_nuts_supported(MAX_N_STREAM, 13, 100)
+    assert not fused_nuts_supported(MAX_N_STREAM + 1, 13, 100)
+    # targets without streaming cap at the resident envelope
+    assert not fused_nuts_supported(10_000, 13, 100, max_n=MAX_N_RESIDENT)
     assert not fused_nuts_supported(404, 130, 100)
     assert not fused_nuts_supported(404, 13, 500)
 
@@ -159,6 +168,68 @@ def test_chunked_fused_sampler_end_to_end(problem):
     assert acc.shape == (1, 10)
     assert np.all((acc >= 0) & (acc <= 1))
     assert float(np.asarray(stats["step_size"])) > 0
+
+
+def test_streaming_potential_matches_resident(problem, monkeypatch):
+    """N-streaming path (VERDICT r2 item 2): with the resident threshold
+    forced low, the HBM double-buffered block-streaming potential must equal
+    the XLA potential, and transitions must move. Uses a small stream block
+    so CI stays cheap while exercising multi-block accumulation + masking
+    (n=48 pads to 2 blocks of 32)."""
+    import ggp_tpu.ops.fused_nuts as fn
+
+    X, y, Z, d = problem
+    monkeypatch.setattr(fn, "MAX_N_RESIDENT", 16)
+    builder = fn.make_fused_nuts(X, y, 1e-6, max_depth=4, interpret=True,
+                                 stream_block=32)
+    fused = builder(Z)
+    pot_xla = make_rbf_vfe_potential(X, y, 1e-6)
+    zvec = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U_k, g_k = jax.jit(fused.potential)(zvec)
+    U_x, g_x = jax.jit(lambda v: pot_xla(v, Z))(zvec)
+    np.testing.assert_allclose(float(U_k), float(U_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-4)
+
+    U0, g0 = fused.potential(zvec)
+    inv_mass = jnp.ones(d + 2, jnp.float32)
+    z1, U1, g1, stats = fused.transition(
+        None, zvec, U0, g0, jax.random.PRNGKey(3),
+        jnp.asarray(0.05, jnp.float32), inv_mass)
+    assert np.all(np.isfinite(np.asarray(z1)))
+    assert int(stats["n_leapfrog"]) >= 1
+    U1_check, _ = fused.potential(z1)
+    np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-5)
+
+
+def test_gpr_fused_potential_and_transition(problem):
+    """target="gpr" (VERDICT r2 item 4): the in-kernel dense-marginal
+    potential matches the XLA-level make_gpr_potential, and a NUTS
+    transition on it moves with sane stats."""
+    from ggp_tpu.ops.fused_bound import make_gpr_potential
+
+    X, y, Z, d = problem
+    builder = make_fused_nuts(X, y, 1e-6, max_depth=4, target="gpr",
+                              interpret=True)
+    fused = builder(jnp.zeros((1, d), jnp.float32))
+    pot_xla = make_gpr_potential(X, y, 1e-6)
+    zvec = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U_k, g_k = jax.jit(fused.potential)(zvec)
+    U_x, g_x = jax.jit(pot_xla)(zvec)
+    np.testing.assert_allclose(float(U_k), float(U_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-4)
+
+    U0, g0 = fused.potential(zvec)
+    inv_mass = jnp.ones(d + 2, jnp.float32)
+    z1, U1, g1, stats = fused.transition(
+        None, zvec, U0, g0, jax.random.PRNGKey(3),
+        jnp.asarray(0.05, jnp.float32), inv_mass)
+    assert np.all(np.isfinite(np.asarray(z1)))
+    assert 0.0 <= float(stats["accept_prob"]) <= 1.0
+    assert int(stats["n_leapfrog"]) >= 1
+    U1_check, _ = fused.potential(z1)
+    np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-5)
 
 
 def test_sgpmc_fused_potential_matches_autodiff(problem):

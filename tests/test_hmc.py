@@ -89,6 +89,7 @@ def test_rhat_detects_nonconvergence():
     assert split_rhat(bad) > 1.5
 
 
+@pytest.mark.slow
 def test_chunked_sampler_matches_statistics():
     """build_sampler_chunked: bounded-length program invocations; posterior
     statistics must match the monolithic sampler on a known target."""

@@ -53,6 +53,7 @@ def test_gpr_hmc_noise_floor_clamp(data):
     assert float(vars_[0].min()) > 0.009
 
 
+@pytest.mark.slow
 def test_bayesian_sgpr_hmc_fixed_z(data):
     X, y = data
     m = BayesianSparseGPR_HMC(X, y, Z_init=X[::4])
@@ -65,6 +66,7 @@ def test_bayesian_sgpr_hmc_fixed_z(data):
     assert 0.2 < np.median(ls) < 5.0     # true 1.0
 
 
+@pytest.mark.slow
 def test_bayesian_sgpr_hmc_alternating(data):
     """Alternating Adam-on-Z / NUTS-on-theta schedule
     (reference: models/bayesian_sgpr_hmc.py:88-158)."""
@@ -82,6 +84,7 @@ def test_bayesian_sgpr_hmc_alternating(data):
     assert float(rmse(means.mean(0), y)) < 0.5
 
 
+@pytest.mark.slow
 def test_all_in_hmc_joint_sampling(data):
     X, y = data
     m = all_in_HMC(X, y, Z_init=X[::8])
@@ -94,6 +97,7 @@ def test_all_in_hmc_joint_sampling(data):
     assert float(rmse(means.mean(0), y)) < 0.6
 
 
+@pytest.mark.slow
 def test_sgpmc_gaussian(data):
     X, y = data
     m = train_sgp_hmc((X, y), Z_init=X[::4], num_warmup=200, num_samples=200,
@@ -106,6 +110,7 @@ def test_sgpmc_gaussian(data):
     assert 0.01 < noise < 0.5            # true 0.09
 
 
+@pytest.mark.slow
 def test_sgpmc_bernoulli_probit():
     """Non-Gaussian likelihood through the same sampler (the reference's
     SGPMC only ran Gaussian; classification was scoped via README.md:5-11)."""
@@ -123,6 +128,7 @@ def test_sgpmc_bernoulli_probit():
     assert acc > 0.7
 
 
+@pytest.mark.slow
 def test_sgpmc_linear_mean_and_co2_spec(rng):
     """SGPMC with the faithful CO2 spec: Linear mean (N(0,3) priors,
     reference experiments/co2_sgpmc.py:60-63) + the per-component-prior

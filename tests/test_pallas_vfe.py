@@ -151,6 +151,43 @@ def test_matern_family_stats_parity(rng):
                                        rtol=2e-3, atol=2e-3, err_msg=fam)
 
 
+def test_auto_gate_cpu_stays_xla(monkeypatch):
+    """ADVICE r2: the automatic N>=100k Pallas/bf16 switch must only fire on
+    TPU — on CPU it would swap XLA matmuls for interpret-mode Pallas and
+    silently downgrade precision. Asserted by poisoning the Pallas entry."""
+    import jax.numpy as jnp
+
+    from ggp_tpu.kernels import default_rbf
+    from ggp_tpu.models import sgpr
+    from ggp_tpu.ops import pallas_vfe
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("Pallas path taken on CPU")
+
+    monkeypatch.setattr(pallas_vfe, "stationary_vfe_stats", boom)
+    kern = default_rbf(ard=True)
+    kp = kern.init_params(1)
+    rng2 = np.random.default_rng(5)
+    X = jnp.asarray(rng2.normal(size=(100_000, 1)), jnp.float32)
+    y = jnp.asarray(rng2.normal(size=(100_000,)), jnp.float32)
+    stats = sgpr.vfe_stats(kern, kp, X[:4], X, y)
+    assert np.isfinite(np.asarray(stats["S_kk"])).all()
+
+
+def test_bf16_reduce_tristate():
+    """set_bf16_reduce(False) must be respected by the auto branch
+    (tri-state default None = unset; ADVICE r2)."""
+    from ggp_tpu.ops import pallas_vfe
+    old = pallas_vfe._BF16_REDUCE[0]
+    try:
+        pallas_vfe.set_bf16_reduce(False)
+        assert pallas_vfe._BF16_REDUCE[0] is False
+        pallas_vfe.set_bf16_reduce(True)
+        assert pallas_vfe._BF16_REDUCE[0] is True
+    finally:
+        pallas_vfe._BF16_REDUCE[0] = old
+
+
 def test_auto_gate_large_n(monkeypatch):
     """vfe_stats auto-selects the Pallas path (bf16 reduce) at N >= 100k.
     Verified by structure: the stats match the XLA path within bf16

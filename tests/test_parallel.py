@@ -156,6 +156,7 @@ def test_chain_sharded_placement():
     assert len(sharding.device_set) == 8, sharding
 
 
+@pytest.mark.slow
 def test_full_adaptive_trainer_chains_x_data_sharded():
     """VERDICT r1 item 3: the PRODUCTION sampler (windowed warmup adaptation,
     dual averaging, Welford mass, NUTS) runs (chains x data)-sharded via the

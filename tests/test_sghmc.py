@@ -4,6 +4,7 @@ gradients and runs the subsampled-VFE large-scale path."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ggp_tpu.inference.sghmc import SGHMCConfig, run_sghmc
 
@@ -64,6 +65,33 @@ def test_sghmc_sgpr_hypers():
     assert 0.005 < np.median(noise) < 0.5       # true 0.04
 
 
+def test_sghmc_adapt_mass_variance():
+    """Stationary-distribution check for the preconditioned update
+    (ADVICE r2, medium): the gradient coefficient must be eps_t^2 * minv
+    (= scale^2), not eps_t^2 * sqrt(minv) — with the latter the per-dim
+    posterior variance comes out scaled by sqrt(minv) (e.g. 0.2x at
+    minv=0.04 for the small dim below), which this anisotropic-Gaussian
+    variance assertion catches."""
+    var = np.asarray([1.0, 0.04], np.float32)
+    jvar = jnp.asarray(var)
+
+    def logpost(p, idx):
+        del idx  # exact gradient: isolates the update rule itself
+        return -0.5 * jnp.sum(p["z"] ** 2 / jvar)
+
+    cfg = SGHMCConfig(step_size=2e-2, friction=0.1, num_steps=16000,
+                      batch_size=1, num_warmup=4000, thin=4,
+                      resample_momentum_every=50, adapt_mass=True)
+    samples, stats = run_sghmc(logpost, {"z": jnp.zeros(2, jnp.float32)},
+                               jax.random.PRNGKey(3), 1, cfg, num_chains=4)
+    z = np.asarray(samples["z"]).reshape(-1, 2)
+    # preconditioner must have adapted toward the target scales
+    minv = np.asarray(stats["inv_mass"])[0]
+    assert minv[1] < 0.5 * minv[0]
+    ratio = z.var(axis=0) / var
+    assert np.all(ratio > 0.6) and np.all(ratio < 1.6), ratio
+
+
 def _ks_distance(a, b):
     """Two-sample Kolmogorov-Smirnov distance (max ECDF gap)."""
     a = np.sort(np.asarray(a).ravel())
@@ -74,6 +102,7 @@ def _ks_distance(a, b):
     return float(np.max(np.abs(Fa - Fb)))
 
 
+@pytest.mark.slow
 def test_sghmc_posterior_matches_full_hmc():
     """Posterior-quality bar (VERDICT r1 item 10): SGHMC marginals over GP
     hypers must match full-gradient NUTS on the same target within KS

@@ -104,6 +104,7 @@ def test_elbo_gradient_finite(data):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
 def test_elbo_fast_parity():
     """Custom-VJP fused bound (2 batched custom calls, closed-form backward)
     matches the autodiff path on a WELL-CONDITIONED problem — its documented

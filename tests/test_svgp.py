@@ -115,6 +115,7 @@ def test_bayesian_svgp_hyper_dim_layout(data):
     np.testing.assert_allclose(float(log_noise), 0.4)   # exp(0.2)^2
 
 
+@pytest.mark.slow
 def test_bayesian_svgp_classification():
     """BayesianSVGP with Bernoulli-probit (BASELINE config 4): hyper_dim
     drops the noise slot; mixture probabilities classify well."""

@@ -34,7 +34,8 @@ from ggp_tpu.utils.metrics import nlpd_mixture, rmse
 
 def main(dataset="synthetic-large", split=0, M=100, warm_iters=1000,
          num_steps=3000, batch_size=2048, step_size=2e-4,
-         final_step_size=None, sample_z=False, num_chains=2, n_rows=None):
+         final_step_size=None, sample_z=False, num_chains=2, n_rows=None,
+         control_variate=False):
     data = get_regression_data(dataset, split=split)
     X = jnp.asarray(data.X_train, jnp.float32)
     y = jnp.asarray(data.Y_train, jnp.float32)
@@ -83,10 +84,21 @@ def main(dataset="synthetic-large", split=0, M=100, warm_iters=1000,
                       final_step_size=final_step_size or step_size / 2,
                       friction=0.05, num_steps=num_steps,
                       batch_size=batch_size, num_warmup=num_steps // 3,
-                      thin=10)
+                      thin=10, control_variate=control_variate)
+
+    def logpost_full(state):
+        # SVRG anchor: exact full-data gradient, recomputed every
+        # cfg.anchor_refresh_every steps (inference/sghmc.py)
+        Z_ = state["Z"] if sample_z else Z
+        stats_f = vfe_stats(kern, state["kernel"], Z_, X, y)
+        ll = sgpr_elbo_from_stats(kern, {**state, "Z": Z_}, stats_f, N, 1e-5)
+        return ll + log_prior(prior, state)
+
     t0 = time.time()
     samples, stats = run_sghmc(logpost, init, jax.random.PRNGKey(0), N, cfg,
-                               num_chains=num_chains)
+                               num_chains=num_chains,
+                               full_logpost_fn=(logpost_full
+                                                if control_variate else None))
     jax.block_until_ready(samples)
     dt = time.time() - t0
     kept = stats["num_kept"] * num_chains
@@ -127,8 +139,13 @@ if __name__ == "__main__":
     p.add_argument("--num_chains", type=int, default=2)
     p.add_argument("--n_rows", type=int, default=None,
                    help="tile data up to this many rows (stress test)")
+    p.add_argument("--control_variate", action="store_true",
+                   help="SVRG anchor gradients (cuts the noise-marginal "
+                        "minibatch bias; full-data gradient every "
+                        "anchor_refresh_every steps)")
     a = p.parse_args()
     main(dataset=a.dataset, M=a.M, num_steps=a.num_steps,
          batch_size=a.batch_size, step_size=a.step_size,
          final_step_size=a.final_step_size, sample_z=a.sample_z,
-         num_chains=a.num_chains, n_rows=a.n_rows)
+         num_chains=a.num_chains, n_rows=a.n_rows,
+         control_variate=a.control_variate)

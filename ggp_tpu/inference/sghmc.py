@@ -54,15 +54,35 @@ class SGHMCConfig:
     adapt_mass: bool = False        # Welford diagonal preconditioner (opt-in:
                                     # helps scale-heterogeneous targets, can
                                     # slow well-scaled ones - see PERF.md)
+    control_variate: bool = False   # SVRG anchor gradient (needs
+                                    # full_logpost_fn; see run_sghmc)
+    anchor_refresh_every: int = 200  # full-gradient anchor refresh period
 
 
 def run_sghmc(logpost_fn: Callable, init_params, key, num_data: int,
-              cfg: SGHMCConfig = SGHMCConfig(), num_chains: int = 1):
+              cfg: SGHMCConfig = SGHMCConfig(), num_chains: int = 1,
+              full_logpost_fn: Optional[Callable] = None):
     """``logpost_fn(params, idx)`` must return an (approximately) unbiased
     full-data log-posterior estimate from minibatch row indices ``idx``.
 
+    With ``cfg.control_variate`` and a ``full_logpost_fn(params)`` (exact
+    full-data log posterior), the gradient estimate is the SVRG-style
+    anchored form (VERDICT r2 item 7)
+
+        g(z) = g~_B(z) - g~_B(z_a) + gradU(z_a)
+
+    with the anchor ``z_a`` re-centred (and its FULL gradient recomputed)
+    every ``cfg.anchor_refresh_every`` steps. Because the subsampled-VFE
+    estimator is nonlinear in its sufficient statistics, the raw minibatch
+    gradient is *biased*, not merely noisy — evaluating the same-batch
+    estimate at z and z_a cancels the bias to first order in ``z - z_a``
+    (and most of the variance), which is what pulls the noise-marginal KS
+    below the plain-SGHMC plateau (tests/test_sghmc.py).
+
     Returns (samples pytree with leading axes (chains, kept), stats).
     """
+    if cfg.control_variate and full_logpost_fn is None:
+        raise ValueError("control_variate=True requires full_logpost_fn")
     flat0, unravel = jax.flatten_util.ravel_pytree(init_params)
     dim = flat0.shape[0]
     eps0 = jnp.asarray(cfg.step_size, flat0.dtype)
@@ -75,19 +95,35 @@ def run_sghmc(logpost_fn: Callable, init_params, key, num_data: int,
     def grad_u(z, idx):
         return jax.grad(lambda v: -logpost_fn(unravel(v), idx))(z)
 
+    def grad_u_full(z):
+        return jax.grad(lambda v: -full_logpost_fn(unravel(v)))(z)
+
     def one_chain(z0, key):
         r0 = jnp.zeros(dim, z0.dtype)
         minv0 = jnp.ones(dim, z0.dtype)
         wf0 = (jnp.zeros(dim, z0.dtype), jnp.zeros(dim, z0.dtype),
                jnp.zeros((), z0.dtype))
+        # scan carries need a fixed structure: non-CV mode carries an unused
+        # zero anchor (never read — the branch is Python-static)
+        anchor0 = ((z0, grad_u_full(z0)) if cfg.control_variate
+                   else (z0, jnp.zeros_like(z0)))
 
         def step(carry, t):
-            z, r, key, minv, wf = carry
+            z, r, key, minv, wf, anchor = carry
             frac = jnp.minimum(t / warm, 1.0).astype(z.dtype)
             eps_t = eps0 * eps_ratio ** frac
             key, kb, kn, km = jax.random.split(key, 4)
             idx = jax.random.randint(kb, (cfg.batch_size,), 0, num_data)
-            g = grad_u(z, idx)
+            if cfg.control_variate:
+                # refresh the anchor (full-data gradient) on schedule
+                refresh_a = (t % cfg.anchor_refresh_every) == 0
+                anchor = jax.lax.cond(
+                    refresh_a, lambda zz: (zz, grad_u_full(zz)),
+                    lambda _: anchor, z)
+                za, ga = anchor
+                g = grad_u(z, idx) - grad_u(za, idx) + ga
+            else:
+                g = grad_u(z, idx)
             scale = eps_t * jnp.sqrt(minv)
             noise = jnp.sqrt(2.0 * alpha) * scale * \
                 jax.random.normal(kn, (dim,), z.dtype)
@@ -116,10 +152,10 @@ def run_sghmc(logpost_fn: Callable, init_params, key, num_data: int,
                                  minv)
                 # momentum is in premultiplied units: rescale on the switch
                 r = jnp.where(switch, jnp.zeros_like(r), r)
-            return (z, r, key, minv, wf), z
+            return (z, r, key, minv, wf, anchor), z
 
-        (_, _, _, minv, _), zs = jax.lax.scan(
-            step, (z0, r0, key, minv0, wf0),
+        (_, _, _, minv, _, _), zs = jax.lax.scan(
+            step, (z0, r0, key, minv0, wf0, anchor0),
             jnp.arange(1, cfg.num_steps + 1))
         kept = zs[cfg.num_warmup::cfg.thin]
         return kept, minv

@@ -164,3 +164,22 @@ def test_sghmc_posterior_matches_full_hmc():
         # (a broken sampler lands at 0.5-1.0) without flaking on MC noise
         assert ks < 0.25, f"{label}: KS={ks:.3f}"
         assert abs(a.mean() - b.mean()) < 3.0 * (a.std() + b.std()) / 2.0
+
+    # SVRG control-variate gradients (VERDICT r2 item 7): anchoring the
+    # minibatch estimate at a full-gradient point cancels the
+    # nonlinear-in-stats bias to first order — the noise marginal drops
+    # from KS ~0.23 (plain, above) to ~0.05. Bar: <= 0.12 on ALL marginals
+    # (deterministic given the fixed keys; measured 0.063/0.114/0.046).
+    cfg_cv = SGHMCConfig(step_size=2e-2, final_step_size=1e-2, friction=0.1,
+                         num_steps=12000, batch_size=224, num_warmup=3000,
+                         thin=4, resample_momentum_every=40,
+                         control_variate=True, anchor_refresh_every=200)
+    sgc, _ = run_sghmc(logpost_batch, init, jax.random.PRNGKey(1), N, cfg_cv,
+                       num_chains=2, full_logpost_fn=logpost_full)
+    names_cv = [np.asarray(sgc["kernel"]["base"]["log_lengthscale"]),
+                np.asarray(sgc["kernel"]["log_outputscale"]),
+                np.asarray(sgc["log_noise"])]
+    for a, b, label in zip(names_ref, names_cv,
+                           ["lengthscale", "outputscale", "noise"]):
+        ks = _ks_distance(a, b)
+        assert ks <= 0.12, f"CV {label}: KS={ks:.3f}"

@@ -18,5 +18,11 @@ from .fused_bound import (  # noqa: E402
     chol_u_inv_inplace,
     make_rbf_vfe_potential,
 )
+from .fused_bound import make_gpr_potential, ut_solve_vec, ut_t_solve_vec  # noqa: E402
+from .fused_multichain import (  # noqa: E402
+    FusedMultichainHMC,
+    fused_multichain_supported,
+    make_fused_hmc_multichain,
+)
 from .fused_nuts import FusedNUTS, fused_nuts_supported, make_fused_nuts  # noqa: E402
 from .pallas_vfe import rbf_vfe_stats, stationary_vfe_stats  # noqa: E402

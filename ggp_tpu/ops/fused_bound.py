@@ -206,6 +206,42 @@ def _mini_chol_inv(Dblk, block):
     return ud, jnp.concatenate(vrows, axis=0)
 
 
+def _mini_chol_inv_v2(Dblk, block):
+    """Scalar-free variant of :func:`_mini_chol_inv`: pivot values are kept
+    as (1,1)/(B,1) tiles extracted by masked sums, so every op in the
+    unrolled loops stays on the vector unit — no scalar-register round
+    trips (the batched multichain kernels use the same style; A/B'd in
+    PERF.md round 3)."""
+    dt = Dblk.dtype
+    colB = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    rowB = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    P = Dblk
+    rows = []
+    for i in range(block):
+        onehot = (colB == i).astype(dt)
+        ri = P[i:i + 1, :]
+        d = jnp.sum(ri * onehot, axis=1, keepdims=True)       # (1,1)
+        dis = jnp.where(d > 0,
+                        jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
+                        jnp.asarray(jnp.nan, dt))
+        ui = ri * dis * (colB >= i).astype(dt)
+        rows.append(ui)
+        cu = jnp.sum(P * onehot, axis=1, keepdims=True)       # (B,1)
+        P = P - jnp.where(rowB > i, cu * dis, jnp.asarray(0.0, dt)) * ui
+    ud = jnp.concatenate(rows, axis=0)
+
+    vrows: list = [None] * block
+    R = (rowB == colB).astype(dt)
+    for k in range(block - 1, -1, -1):
+        onehot = (colB == k).astype(dt)
+        ukk = jnp.sum(ud[k:k + 1, :] * onehot, axis=1, keepdims=True)
+        vk = R[k:k + 1, :] / ukk
+        vrows[k] = vk
+        ck = jnp.sum(ud * onehot, axis=1, keepdims=True)
+        R = R - jnp.where(rowB < k, ck, jnp.asarray(0.0, dt)) * vk
+    return ud, jnp.concatenate(vrows, axis=0)
+
+
 def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16) -> None:
     """Fused in-kernel U = chol(K)^T and V = U^-1 (MXU-dominant form).
 
@@ -236,7 +272,11 @@ def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16) -> None:
         p = K_ref[pl.ds(j0, block), :]
         Ej = ((rowb + j0) == col).astype(dt)                  # (block, Mp)
         Dblk = _dg(p, Ej, 1, 1)                               # p[:, j0:j0+B]
-        ud, udinv = _mini_chol_inv(Dblk, block)
+        import os as _os
+        if _os.environ.get("GGP_MINI_V1"):
+            ud, udinv = _mini_chol_inv(Dblk, block)
+        else:
+            ud, udinv = _mini_chol_inv_v2(Dblk, block)
         # U panel = ud^-T p, masked to lanes >= j0
         Up = _dg(udinv, p, 0, 0) * (col >= j0).astype(dt)
         U_ref[pl.ds(j0, block), :] = Up
@@ -404,9 +444,11 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     # nonnegative square, and substitution keeps the off-diagonal coupling
     # in the factor, which matters at small noise where cond(B) ~ 1/sigma^2
     # (PERF.md divergence caveat; VERDICT r2 item 5)
-    c_u = ut_t_solve_vec(UB, VB, u)                           # (Mp,1)
-    v = ut_solve_vec(UB, VB, c_u)
-    w = ut_solve_vec(U, V, v)                                 # L^-T v
+    sb = max(32, Mp // 2)        # 2 panels at M<=128: substitution keeps
+    # the dominant off-diagonal coupling in the factor at half the op count
+    c_u = ut_t_solve_vec(UB, VB, u, block=sb)                 # (Mp,1)
+    v = ut_solve_vec(UB, VB, c_u, block=sb)
+    w = ut_solve_vec(U, V, v, block=sb)                       # L^-T v
     alpha = (yp - An @ v) / s2                                # (Np,1)
 
     diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)       # (Mp,1)

@@ -199,7 +199,7 @@ RUNNERS = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
 # headline cells get more slack (alternating schedule = several compiles);
 # a hung link is recovered by killing the stuck client, which the
 # per-cell-process design does for free
-CELL_TIMEOUT_S = {"SGPR+HMC": 660, "GPR+HMC": 420, "JointHMC": 700}
+CELL_TIMEOUT_S = {"SGPR+HMC": 900, "GPR+HMC": 420, "JointHMC": 700}
 
 
 def run_cell(model_name, ds):
@@ -253,7 +253,7 @@ def main():
     # cells are marked skipped rather than risking the driver's patience —
     # the JSON line is always emitted in bounded time
     _enable_compile_cache()
-    budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 2400))
+    budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 3000))
     t_start = time.perf_counter()
     cells = []
     for (model_name, ds) in BASELINES:

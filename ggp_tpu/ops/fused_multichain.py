@@ -410,6 +410,8 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
     statout (C,8): lanes [acc_sum, div_sum]."""
     f32 = jnp.float32
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _DA_LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    dmask = (lane < d + 2).astype(f32)
     sel = _chain_sel(C)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
                             jitter, block, C)
@@ -426,7 +428,9 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
             le, lea, h, mu = (pick(da, 0), pick(da, 1), pick(da, 2),
                               pick(da, 3))
             tda, wfc = pick(da, 4), pick(da, 5)
-            mom = mom_ref[pl.ds(t * C, C), :]
+            # mask padding-lane momenta: otherwise z's pad lanes random-walk
+            # and pollute the Welford mass estimate across windows
+            mom = mom_ref[pl.ds(t * C, C), :] * dmask
             mh_u = _dg(sel, mh_ref[pl.ds(t, 1), :], 1, 1)   # (C,1)
             eps = jnp.exp(le)
             zp, Up, gp, accept, div = _hmc_transition_batched(
@@ -509,7 +513,7 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
         z, g, U = carry
 
         def run(_):
-            mom = mom_ref[pl.ds(t * C, C), :]
+            mom = mom_ref[pl.ds(t * C, C), :] * (lane < d + 2).astype(f32)
             mh_u = _dg(sel, mh_ref[pl.ds(t, 1), :], 1, 1)
             zp, Up, gp, accept, div = _hmc_transition_batched(
                 z, jnp.sum(U * (lane8 == 0).astype(f32), axis=1,

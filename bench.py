@@ -61,7 +61,23 @@ BASELINES = {
     ("GPR+HMC", "winered"): 478.54,
     ("SGPR+HMC", "winered"): 32.83,
 }
-SHAPES = {"boston": (506, 13), "winered": (1599, 11)}
+# GGP_BENCH_FULL=1: the reference's COMPLETE sampler_runtimes.csv grid
+# (3 models x 5 datasets). Kept opt-in because 9 extra cells of cold
+# Mosaic compiles can exceed a fresh environment's wall budget; the
+# full-grid record lives in PERF.md.
+FULL_EXTRA = {
+    ("SGPR+HMC", "concrete"): 23.72,
+    ("SGPR+HMC", "energy"): 39.8,
+    ("SGPR+HMC", "yacht"): 8.63,
+    ("JointHMC", "concrete"): 65.67,
+    ("JointHMC", "energy"): 50.43,
+    ("JointHMC", "yacht"): 29.42,
+    ("GPR+HMC", "concrete"): 252.16,
+    ("GPR+HMC", "energy"): 89.92,
+    ("GPR+HMC", "yacht"): 10.19,
+}
+SHAPES = {"boston": (506, 13), "winered": (1599, 11),
+          "concrete": (1030, 8), "energy": (768, 8), "yacht": (308, 6)}
 BASELINE_SECONDS = BASELINES[("SGPR+HMC", "boston")]
 
 
@@ -203,7 +219,7 @@ CELL_TIMEOUT_S = {"SGPR+HMC": 900, "GPR+HMC": 420, "JointHMC": 700}
 
 
 def run_cell(model_name, ds):
-    baseline = BASELINES[(model_name, ds)]
+    baseline = {**BASELINES, **FULL_EXTRA}[(model_name, ds)]
     secs, ess, div, acc, healthy, rep_times = RUNNERS[model_name](ds)
     return {
         "model": model_name, "dataset": f"{ds}-shaped",
@@ -254,9 +270,13 @@ def main():
     # the JSON line is always emitted in bounded time
     _enable_compile_cache()
     budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 3000))
+    grid = dict(BASELINES)
+    if os.environ.get("GGP_BENCH_FULL"):
+        grid.update(FULL_EXTRA)
+        budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 7200))
     t_start = time.perf_counter()
     cells = []
-    for (model_name, ds) in BASELINES:
+    for (model_name, ds) in grid:
         remaining = budget - (time.perf_counter() - t_start)
         if remaining < 90:
             cells.append({"model": model_name, "dataset": f"{ds}-shaped",

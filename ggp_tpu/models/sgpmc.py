@@ -162,8 +162,10 @@ class SGPMC:
             return None
         if jax.default_backend() != "tpu" or self.mesh is not None:
             return None
-        if num_chains != 1 and not os.environ.get("GGP_FUSED_MULTICHAIN"):
-            return None          # see bayesian_sgpr_hmc._fused_transition
+        if num_chains != 1:
+            if algorithm != "hmc":
+                return None      # NUTS chains can't lock-step
+            return self._fused_multichain(num_chains, num_leapfrog)
         if not (isinstance(self.kernel, Scale)
                 and type(self.kernel.base) is RBF and self.kernel.base.ard
                 and type(self.likelihood) is GaussianLikelihood
@@ -183,6 +185,41 @@ class SGPMC:
         builder = make_fused_nuts(self.train_x, self.train_y, self.jitter,
                                   target="sgpmc", algorithm=algorithm,
                                   num_leapfrog=num_leapfrog)
+        if builder is None:
+            return None
+        return lambda data: builder(data[2])      # data = (X, y, Z)
+
+    def _fused_multichain(self, num_chains, num_leapfrog):
+        """Chain-batched fused HMC for the whitened JointHMC target
+        (ops.fused_multichain target="sgpmc"): C lock-step chains per
+        Pallas call, one batched Kmm factorisation per leapfrog for all
+        chains. Structure gates mirror _fused_builder."""
+        from ..kernels.base import RBF, Scale
+        from ..means import Zero
+        from ..ops.fused_multichain import (fused_multichain_supported,
+                                            make_fused_hmc_multichain)
+        from ..priors import Gamma
+
+        if not (isinstance(self.kernel, Scale)
+                and type(self.kernel.base) is RBF and self.kernel.base.ard
+                and type(self.likelihood) is GaussianLikelihood
+                and type(self.mean_fn) is Zero):
+            return None
+        prs = [p for p in jax.tree_util.tree_leaves(
+            self.hyper_prior_tree,
+            is_leaf=lambda x: hasattr(x, "logpdf_unconstrained"))]
+        if not all(p == Gamma(2.0, 1.0) for p in prs):
+            return None
+        n, d = self.train_x.shape
+        M = self.Z.shape[0]
+        if (not fused_multichain_supported(n, d, M, num_chains)
+                or d + 2 + M > 128):
+            return None
+        builder = make_fused_hmc_multichain(self.train_x, self.train_y,
+                                            self.jitter,
+                                            num_chains=num_chains,
+                                            num_leapfrog=num_leapfrog,
+                                            target="sgpmc")
         if builder is None:
             return None
         return lambda data: builder(data[2])      # data = (X, y, Z)

@@ -307,6 +307,132 @@ def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
     return -(F_all + lp), -g_all
 
 
+def _sgpmc_batched_vg(states, Xp, yrow, Zp, n, m, d, jitter, C,
+                      batched_chol):
+    """(U (C,1), g (C,128)) for C whitened-JointHMC states (C,128) — the
+    sgpmc core (fused_bound._sgpmc_neg_logpost_vg) with the single Kmm
+    factorisation batched over chains. State lanes per chain:
+    [log_lengthscale (d), log_outputscale, log_noise, v (m)]."""
+    dt = Xp.dtype
+    Np, Mp = Xp.shape[0], Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    ls_mask = (lane < d).astype(dt)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    eyeM = (rowm == colm).astype(dt)
+    mcol_mask = (colm < m).astype(dt)
+    mrow_mask = (rowm < m).astype(dt)
+    ncol_mask = (laneN < n).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+    # v lanes -> (1,Mp) via the same MXU permutation as the single core
+    perm = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
+            == (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+                + (d + 2))).astype(dt)
+
+    inv_ls_all = jnp.exp(-states) * ls_mask
+    log_os_all = jnp.sum(states * (lane == d).astype(dt), axis=1,
+                         keepdims=True)
+    log_noise_all = jnp.sum(states * (lane == d + 1).astype(dt), axis=1,
+                            keepdims=True)
+    sf2_all = jnp.exp(log_os_all)
+    s2_all = jnp.exp(log_noise_all)
+
+    # phase 1: per-chain Kmm, batched factorisation
+    Zs_l, Zs2_l, Kmm_l, K_list = [], [], [], []
+    for c in range(C):
+        inv_ls = inv_ls_all[c:c + 1, :]
+        sf2 = sf2_all[c, 0]
+        Zs = Zp * inv_ls
+        Zs2 = Zs * Zs
+        zn = jnp.sum(Zs2, axis=1, keepdims=True)
+        znT = _dg(one11, zn, 1, 1)
+        r2 = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+        Kmm = sf2 * jnp.exp(-0.5 * r2)
+        Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)
+        Kj = Kmm + (jitter * jnp.maximum(sf2, 1.0)) * eyeM
+        Zs_l.append(Zs); Zs2_l.append(Zs2); Kmm_l.append(Kmm)
+        K_list.append(Kj)
+    UV = batched_chol(K_list)
+
+    # phase 2: per-chain conditional + adjoints
+    U_rows, g_rows = [], []
+    for c in range(C):
+        inv_ls = inv_ls_all[c:c + 1, :]
+        sf2 = sf2_all[c, 0]
+        s2 = s2_all[c, 0]
+        Zs, Zs2, Kmm = Zs_l[c], Zs2_l[c], Kmm_l[c]
+        _, V = UV[c]
+        state = states[c:c + 1, :]
+        vrow = _dg(state, perm, 1, 0) * mcol_mask             # (1,Mp)
+        Xs = Xp * inv_ls
+        Xs2 = Xs * Xs
+        xn = jnp.sum(Xs2, axis=1, keepdims=True)
+        zn = jnp.sum(Zs2, axis=1, keepdims=True)
+        xnT = _dg(one11, xn, 1, 1)
+        r2_ms = jnp.maximum(zn + xnT - 2.0 * _dg(Zs, Xs, 1, 1), 0.0)
+        Kms = sf2 * jnp.exp(-0.5 * r2_ms) * mrow_mask * ncol_mask
+        A = _dg(V, Kms, 0, 0)
+        mean = _dg(vrow, A, 1, 0)
+        e = (yrow - mean) * ncol_mask
+        var_raw = sf2 - jnp.sum(A * A, axis=0, keepdims=True)
+        msk = (var_raw > 1e-12).astype(dt) * ncol_mask
+        var = jnp.maximum(var_raw, 1e-12) * ncol_mask
+
+        see = jnp.sum(e * e)
+        svar = jnp.sum(var)
+        F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+             - 0.5 * (see + svar) / s2
+             - 0.5 * jnp.sum(vrow * vrow))
+        log_os = log_os_all[c, 0]
+        log_noise = log_noise_all[c, 0]
+        F = F + jnp.sum((2.0 * state - jnp.exp(state)) * ls_mask)
+        F = F + (2.0 * log_os - sf2) + (2.0 * log_noise - s2)
+
+        g_v = _dg(e, A, 1, 1) / s2 - vrow
+        g_v = g_v * mcol_mask
+        vcol = _dg(vrow, one11, 0, 0)
+        Abar = (vcol * e + A * msk) / s2
+        Kms_b = _dg(V, Abar, 1, 0)
+        T = _dg(Abar, A, 1, 1)
+        Phi = T * ((rowm > colm).astype(dt) + 0.5 * eyeM)
+        T1 = _dg(V, Phi, 1, 0)
+        Kmm_b = -_dg(T1, V, 1, 1)
+        Kmm_bT = _dg(eyeM, Kmm_b, 1, 1)
+        Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
+
+        dF_ds2 = (-0.5 * n / s2 + 0.5 * (see + svar) / (s2 * s2))
+        dlog_noise = dF_ds2 * s2 + (2.0 - s2)
+        dlog_os = (jnp.sum(Kmm_b * Kmm) + jnp.sum(Kms_b * Kms)
+                   + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
+                   + jnp.sum(msk) * sf2 * (-0.5 / s2)
+                   + (2.0 - sf2))
+
+        Pmm = Kmm_b * Kmm
+        Pms = Kms_b * Kms
+        rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+        cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+        rs_ms = jnp.sum(Pms, axis=1, keepdims=True)
+        cs_ms = jnp.sum(Pms, axis=0, keepdims=True)
+        dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+               - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+               + _dg(rs_ms, Zs2, 0, 0) + cs_ms @ Xs2
+               - 2.0 * jnp.sum(Zs * _dg(Pms, Xs, 1, 0), axis=0,
+                               keepdims=True))
+        g_ls = (dls + (2.0 - jnp.exp(state))) * ls_mask
+
+        g = g_ls
+        g = jnp.where(lane == d, dlog_os, g)
+        g = jnp.where(lane == d + 1, dlog_noise, g)
+        g = g + _dg(g_v, perm, 1, 1)
+        g = g * (lane < d + 2 + m).astype(dt)
+        U_rows.append(F * jnp.ones((1, 1), dt))
+        g_rows.append(g)
+
+    return (-jnp.concatenate(U_rows, axis=0),
+            -jnp.concatenate(g_rows, axis=0))
+
+
 # ---------------------------------------------------------------------------
 # Batched HMC transition + chunk kernels
 # ---------------------------------------------------------------------------
@@ -353,9 +479,13 @@ def _hmc_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, mh_u,
     return zp, Up, gp, accept_prob, diverging
 
 
+_BATCHED_CORES = {}  # populated below (vfe / sgpmc)
+
+
 def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
-                      block, C):
+                      block, C, core="vfe"):
     Mp = zz_ref.shape[0]
+    core_fn = _BATCHED_CORES[core]
 
     def batched_chol(K_list):
         for c in range(C):
@@ -365,10 +495,14 @@ def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
                 for c in range(C)]
 
     def pot(zrows):
-        return _rbf_vfe_batched_vg(zrows, x_ref[:], y_ref[:], zz_ref[:],
-                                   n, m, d, jitter, C, batched_chol)
+        return core_fn(zrows, x_ref[:], y_ref[:], zz_ref[:],
+                       n, m, d, jitter, C, batched_chol)
 
     return pot
+
+
+_BATCHED_CORES["vfe"] = _rbf_vfe_batched_vg
+_BATCHED_CORES["sgpmc"] = _sgpmc_batched_vg
 
 
 def _chain_sel(C):
@@ -383,9 +517,10 @@ _DA_LANES = 8   # da_ref lanes: [log_eps, log_eps_avg, h, mu, t, wf_cnt]
 
 
 def _mc_potential_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
-                       Ks, Us, Vs, Ds, *, n, m, d, jitter, block, C):
+                       Ks, Us, Vs, Ds, *, n, m, d, jitter, block, C,
+                       core="vfe"):
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
-                            jitter, block, C)
+                            jitter, block, C, core)
     U, g = pot(z_ref[:])
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _DA_LANES), 1)
     uout_ref[:] = U * (lane8 == 0).astype(jnp.float32)
@@ -399,7 +534,8 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
                         wfmout_ref, wfm2out_ref, statout_ref,
                         Ks, Us, Vs, Ds,
                         *, n, m, d, jitter, block, chunk, C,
-                        num_leapfrog, target_accept, adapt_mass):
+                        num_leapfrog, target_accept, adapt_mass,
+                        core="vfe"):
     """``chunk`` warmup HMC transitions for C chains with per-chain Stan
     adaptation (mirrors inference/hmc.py exactly, vectorised over chains).
 
@@ -411,10 +547,11 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
     f32 = jnp.float32
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _DA_LANES), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    dmask = (lane < d + 2).astype(f32)
+    _dim = d + 2 + (m if core == "sgpmc" else 0)
+    dmask = (lane < _dim).astype(f32)
     sel = _chain_sel(C)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
-                            jitter, block, C)
+                            jitter, block, C, core)
     n_active = scal_ref[0].astype(jnp.int32)
 
     def pick(rows8, i):
@@ -491,7 +628,8 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
                           zsout_ref, accout_ref, divout_ref, zout_ref,
                           gout_ref, uout_ref,
                           Ks, Us, Vs, Ds,
-                          *, n, m, d, jitter, block, chunk, C, num_leapfrog):
+                          *, n, m, d, jitter, block, chunk, C, num_leapfrog,
+                          core="vfe"):
     """``chunk`` sampling transitions at per-chain fixed eps (C,8 lane 0).
     zsout (chunk*C, 128) draw t rows [t*C, (t+1)*C); acc/div (chunk, 128)
     lane c = chain c. scal_ref (SMEM f32, 1): n_active."""
@@ -500,7 +638,7 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     sel = _chain_sel(C)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
-                            jitter, block, C)
+                            jitter, block, C, core)
     n_active = scal_ref[0].astype(jnp.int32)
     eps = jnp.sum(eps_ref[:] * (lane8 == 0).astype(f32), axis=1,
                   keepdims=True)                            # (C,1)
@@ -513,7 +651,8 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
         z, g, U = carry
 
         def run(_):
-            mom = mom_ref[pl.ds(t * C, C), :] * (lane < d + 2).astype(f32)
+            mom = mom_ref[pl.ds(t * C, C), :] * \
+                (lane < (d + 2 + (m if core == "sgpmc" else 0))).astype(f32)
             mh_u = _dg(sel, mh_ref[pl.ds(t, 1), :], 1, 1)
             zp, Up, gp, accept, div = _hmc_transition_batched(
                 z, jnp.sum(U * (lane8 == 0).astype(f32), axis=1,
@@ -551,28 +690,38 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
                               chunk: int = 8, num_leapfrog: int = 10,
                               target_accept: float = 0.8,
                               adapt_mass: bool = True, block: int = 32,
+                              target: str = "vfe",
                               interpret: bool = False):
     """Factory: ``builder(Z) -> FusedMultichainHMC`` or None outside the
-    envelope. All chains advance lock-step inside one kernel call."""
+    envelope. All chains advance lock-step inside one kernel call.
+
+    ``target``: "vfe" (BayesianSGPR_HMC hyper posterior) or "sgpmc"
+    (whitened JointHMC over (hypers, v); per-chain state dim d+2+M)."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = X.shape
     C = int(num_chains)
     if not fused_multichain_supported(n, d, 0, C):
         return None
-    Np = _round_up(n, 8)
-    Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
-    yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
+    if target == "sgpmc":
+        Np = _round_up(n, _LANES)
+        Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
+        yp = jnp.zeros((1, Np), jnp.float32).at[0, :n].set(y)
+    else:
+        Np = _round_up(n, 8)
+        Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
+        yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
     jitter = float(jitter)
     f32 = jnp.float32
 
     def builder(Z):
         m = Z.shape[0]
-        dim = d + 2
+        dim = d + 2 + (m if target == "sgpmc" else 0)
         Mp = _round_up(m, _LANES)
-        if not fused_multichain_supported(n, d, m, C):
+        if not fused_multichain_supported(n, d, m, C) or dim > _LANES:
             return None
-        common = dict(n=n, m=m, d=d, jitter=jitter, block=block, C=C)
+        common = dict(n=n, m=m, d=d, jitter=jitter, block=block, C=C,
+                      core=target)
 
         def _scratch():
             return ([pltpu.VMEM((C * Mp, Mp), f32) for _ in range(3)]

@@ -174,7 +174,12 @@ def read_xls(path: str) -> List[List[object]]:
             break
 
     def _parse_sst(chunks):
-        # SST body + CONTINUE bodies: [total, unique] then unicode strings
+        # SST body + CONTINUE bodies: [total, unique] then unicode strings.
+        # Limitation: a single string SPLIT across a CONTINUE boundary
+        # restates its option-flags byte at the continuation start, which
+        # this reader does not re-read — the UCI files' SSTs hold only
+        # short column headers, far below the 8 KB record limit, so no
+        # string ever spans (and numeric parsing is unaffected either way).
         out = []
         buf, it = chunks[0], 1
         n_unique = struct.unpack_from("<I", buf, 4)[0]

@@ -163,3 +163,44 @@ def test_multichain_sampler_end_to_end(problem):
     assert acc.shape == (C, 8)
     assert np.all((acc >= 0) & (acc <= 1))
     assert np.asarray(stats["step_size"]).shape == (C,)
+
+
+def test_multichain_sgpmc_potential_and_chunks(problem):
+    """target="sgpmc": batched whitened-JointHMC potential matches the
+    single-chain fused sgpmc potential per chain, and fixed-eps sample
+    chunks move with healthy accepts."""
+    from ggp_tpu.ops.fused_nuts import make_fused_nuts
+
+    X, y, Z, d = problem
+    m = Z.shape[0]
+    C = 2
+    dim = d + 2 + m
+    builder = make_fused_hmc_multichain(X, y, 1e-6, num_chains=C, chunk=4,
+                                        num_leapfrog=5, target="sgpmc",
+                                        interpret=True)
+    fused = builder(Z)
+    single = make_fused_nuts(X, y, 1e-6, target="sgpmc",
+                             interpret=True)(Z)
+    rng = np.random.default_rng(9)
+    states = jnp.asarray(rng.normal(size=(C, dim)) * 0.2, jnp.float32)
+    U_b, g_b = jax.jit(fused.potential)(states)
+    for c in range(C):
+        u1, g1 = single.potential(states[c])
+        np.testing.assert_allclose(float(U_b[c]), float(u1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[c]), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-3)
+
+    z = states
+    U, g = fused.potential(z)
+    inv_mass = jnp.ones((C, dim), jnp.float32)
+    eps = jnp.full((C,), 0.05, jnp.float32)
+    key = jax.random.PRNGKey(4)
+    accs = []
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        zs, z, U, g, acc, div = fused.sample_chunk(z, U, g, k, eps,
+                                                   inv_mass, 4)
+        accs.append(np.asarray(acc))
+        assert not np.any(np.asarray(div) > 0.5)
+        assert np.all(np.isfinite(np.asarray(zs)))
+    assert np.mean(np.concatenate(accs)) > 0.4

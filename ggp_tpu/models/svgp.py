@@ -128,6 +128,25 @@ class StochasticVariationalGP:
         return -svgp_elbo(self.kernel, self.likelihood, params, X_batch,
                           y_batch, self.train_x.shape[0], self.jitter)
 
+    def _fused_svi_ok(self, batch_size) -> bool:
+        """Gate for the whole-epoch Pallas SVI kernel (ops/fused_svi):
+        Scale(RBF-ARD) x Gaussian, M <= 128, batch <= 512, on TPU.
+        GGP_FUSED_SVI=0 disables."""
+        import os
+        if os.environ.get("GGP_FUSED_SVI", "1") == "0":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from ..kernels.base import RBF, Scale
+        if not (isinstance(self.kernel, Scale)
+                and type(self.kernel.base) is RBF and self.kernel.base.ard):
+            return False
+        if type(self.likelihood) is not GaussianLikelihood:
+            return False
+        M = self.params["Z"].shape[0]
+        d = self.train_x.shape[-1]
+        return M <= 128 and batch_size <= 512 and d + 2 <= 127
+
     def train_model(self, optimizer=None, num_epochs: int = 100,
                     batch_size: int = 200, lr: float = 0.01, key=None,
                     verbose: bool = False):
@@ -135,11 +154,23 @@ class StochasticVariationalGP:
         (reference loop: models/svgp.py:93-127). Returns per-epoch losses."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        if optimizer is None:
-            optimizer = optax.adam(lr)
         N = self.train_x.shape[0]
         batch_size = min(batch_size, N)
         steps = N // batch_size
+        if optimizer is None and self._fused_svi_ok(batch_size):
+            # whole-epoch Pallas kernel: every Adam step (gram + blocked
+            # chol + hand adjoint + update) in-kernel (ops/fused_svi);
+            # same batching schedule and optax-adam trajectory as the XLA
+            # path (tests/test_fused_svi.py)
+            self.params, losses = _run_svi_fused(
+                self.kernel, self.train_x, self.train_y, self.jitter,
+                self.params, num_epochs, batch_size, steps, lr, key)
+            if verbose:
+                print(f"SVGP(fused): epoch loss {float(losses[0]):.3f} -> "
+                      f"{float(losses[-1]):.3f}")
+            return losses
+        if optimizer is None:
+            optimizer = optax.adam(lr)
         self.params, losses = _run_svi(
             self.kernel, self.likelihood, self.train_x, self.train_y,
             self.jitter, self.params, optimizer, num_epochs, batch_size,
@@ -216,3 +247,62 @@ def _run_svi(kernel, likelihood, X, y, jitter, params, optimizer, num_epochs,
     ekeys = jax.random.split(key, num_epochs)
     (params, _), losses = jax.lax.scan(epoch, (params, opt_state), ekeys)
     return params, losses
+
+
+@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8))
+def _run_svi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
+                   steps_per_epoch, lr, key):
+    """Whole-epoch fused SVI: same batching schedule as :func:`_run_svi`
+    (per-epoch permutation with the epoch key), every Adam step in-kernel
+    (ops/fused_svi). Gaussian likelihood only (the batch key is unused)."""
+    from ..ops.fused_svi import make_fused_svi
+
+    N = X.shape[0]
+    M, _ = params["q_mu"].shape
+    d = X.shape[-1]
+    dt = jnp.float32
+    nbp = -(-batch_size // 8) * 8
+    svi = make_fused_svi(N, batch_size, M, d, jitter,
+                         steps_per_call=steps_per_epoch, lr=lr)
+
+    # pack params into the padded kernel layout
+    Mp = 128
+    hyp = jnp.zeros((1, 128), dt)
+    hyp = hyp.at[0, :d].set(params["kernel"]["base"]["log_lengthscale"])
+    hyp = hyp.at[0, d].set(params["kernel"]["log_outputscale"])
+    hyp = hyp.at[0, d + 1].set(params["lik"]["log_noise"])
+    pp = {
+        "hyp": hyp,
+        "Z": jnp.zeros((Mp, 128), dt).at[:M, :d].set(params["Z"]),
+        "q_mu": jnp.zeros((Mp, 1), dt).at[:M].set(params["q_mu"]),
+        "q_raw": jnp.zeros((Mp, Mp), dt).at[:M, :M].set(
+            params["q_sqrt_raw"][0]),
+    }
+    mm = {k: jnp.zeros_like(v) for k, v in pp.items()}
+    vv = {k: jnp.zeros_like(v) for k, v in pp.items()}
+
+    def epoch(carry, ekey):
+        pp, mm, vv, t0 = carry
+        perm = jax.random.permutation(ekey, N)[:steps_per_epoch * batch_size]
+        idx = perm.reshape(steps_per_epoch, batch_size)
+        rows = jnp.zeros((steps_per_epoch, nbp, 128), dt)
+        rows = rows.at[:, :batch_size, :d].set(X[idx].astype(dt))
+        rows = rows.at[:, :batch_size, 127].set(y[idx].astype(dt))
+        slab = rows.reshape(steps_per_epoch * nbp, 128)
+        pp, mm, vv, losses = svi(pp, mm, vv, slab, t0)
+        return (pp, mm, vv, t0 + steps_per_epoch), jnp.mean(losses)
+
+    ekeys = jax.random.split(key, num_epochs)
+    (pp, _, _, _), losses = jax.lax.scan(epoch, (pp, mm, vv,
+                                                 jnp.asarray(0.0, dt)),
+                                         ekeys)
+    out = {
+        "kernel": {"base": {"log_lengthscale":
+                            pp["hyp"][0, :d].astype(X.dtype)},
+                   "log_outputscale": pp["hyp"][0, d].astype(X.dtype)},
+        "lik": {"log_noise": pp["hyp"][0, d + 1].astype(X.dtype)},
+        "Z": pp["Z"][:M, :d].astype(X.dtype),
+        "q_mu": pp["q_mu"][:M].astype(X.dtype),
+        "q_sqrt_raw": pp["q_raw"][:M, :M][None].astype(X.dtype),
+    }
+    return out, losses

@@ -1,0 +1,326 @@
+"""Fused SVGP SVI: whole minibatch-Adam steps inside one Pallas kernel.
+
+The reference's SVGP training loop (models/svgp.py:88-127) drives one
+gpytorch ELBO + Adam step per Python iteration; our XLA path already scans
+steps under jit, but each step still pays this runtime's per-iteration
+custom-call floor for the Kmm Cholesky (~80-90 us, PERF.md) — at M=128,
+batch=200 that overhead dominates the step. Here the ENTIRE step — Gram
+matrices, blocked in-VMEM Cholesky, whitened-conditional moments, the
+hand-derived gradient wrt ALL parameters (hypers, Z, q_mu, packed q_L),
+and the Adam update — runs in-kernel, and CHUNKS of steps run per call on
+pre-gathered minibatch slabs.
+
+Scope: Scale(RBF-ARD) kernel x Gaussian likelihood, single latent (C=1),
+M <= 128, minibatch rows <= 512. The math mirrors models/svgp.py:
+  q_L  = tril(q_raw,-1) + diag(exp(diag q_raw))       (_build_L)
+  Lk   = chol(Kmm + jitter*max(sf2,1) I)              (relative jitter)
+  A    = Lk^-1 Kms ; mean = A^T q_mu ; SA = q_L^T A
+  var  = max(kdiag - colsum A^2 + colsum SA^2, 1e-12)
+  ELBO = (N/b) sum_i [-(log(2 pi s2) + ((y-mean)^2 + var)/s2)/2] - KL
+  KL   = (||q_L||^2 + ||q_mu||^2 - M - 2 sum log diag q_L)/2
+
+Gradient structure (loss = -ELBO; all verified against jax.grad,
+tests/test_fused_svi.py):
+  alpha = (N/b) e / s2,  beta = -(N/b)/(2 s2)     [dloss/dvar_j = -beta]
+  G     = dELBO/dA = q_mu alpha^T + 2 beta (q_L SA - A) (masked where the
+          var clamp is active)
+  Kms_b = Lk^-T G ;  Kmm_b = -sym(Lk^-T Phi(G A^T) Lk^-1)
+then the RBF-ARD chain rules for (log_ls, log_os, Z) over Kmm_b/Kms_b —
+the same Pmm/Pms patterns as the sampler adjoints (ops/fused_bound.py) plus
+the inducing-location terms dZs = -2(rowsum(Pmm) o Zs - Pmm Zs)
+- (rowsum(Pms) o Zs - Pms Xs), rescaled by 1/ls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .fused_bound import _dg, _round_up
+
+__all__ = ["svgp_gauss_loss_vg", "make_fused_svi"]
+
+_LANES = 128
+
+
+def svgp_gauss_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
+                       chol_inv=None):
+    """loss and gradients for one minibatch, padded layout.
+
+    params_pad: dict of padded arrays —
+      "hyp"   (1,128): lanes [log_ls (d), log_os, log_noise]
+      "Z"     (Mp,128): rows :m, lanes :d
+      "q_mu"  (Mp,1)
+      "q_raw" (Mp,Mp)
+    Xb (NBp,128) rows :nb lanes :d with y packed in lane 127; ``yb`` unused
+    placeholder for clarity (y comes from lane 127). Returns (loss, grads)
+    with grads matching params_pad's structure (zero in padding).
+    """
+    dt = jnp.float32
+    hyp = params_pad["hyp"]
+    Zp = params_pad["Z"]
+    q_mu = params_pad["q_mu"]
+    q_raw = params_pad["q_raw"]
+    Mp = Zp.shape[0]
+    NBp = Xb.shape[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (NBp, 1), 0)
+    coln = jax.lax.broadcasted_iota(jnp.int32, (1, NBp), 1)
+    eyeM = (rowm == colm).astype(dt)
+    mrow = (rowm < m).astype(dt)
+    mcol = (colm < m).astype(dt)
+    nmask = (rown < nb).astype(dt)                      # (NBp,1)
+    nmaskT = (coln < nb).astype(dt)                     # (1,NBp)
+    ls_mask = (lane < d).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+    ey = (lane == (_LANES - 1)).astype(dt)
+
+    inv_ls = jnp.exp(-hyp) * ls_mask
+    log_os = jnp.sum(hyp * (lane == d).astype(dt))
+    log_noise = jnp.sum(hyp * (lane == d + 1).astype(dt))
+    sf2 = jnp.exp(log_os)
+    s2 = jnp.exp(log_noise)
+    scale = jnp.asarray(num_data / nb, dt)
+
+    yv = _dg(Xb, ey, 1, 1) * nmask                      # (NBp,1) targets
+    Zs = Zp * inv_ls
+    Xs = Xb * inv_ls                                    # y lane zeroed
+    Zs2 = Zs * Zs
+    Xs2 = Xs * Xs
+    zn = jnp.sum(Zs2, axis=1, keepdims=True)
+    xn = jnp.sum(Xs2, axis=1, keepdims=True)
+    znT = _dg(one11, zn, 1, 1)
+    xnT = _dg(one11, xn, 1, 1)
+    r2_mm = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+    Kmm = sf2 * jnp.exp(-0.5 * r2_mm)
+    Kmm = jnp.where((mrow * mcol) > 0, Kmm, eyeM)
+    jit_scale = jnp.maximum(sf2, 1.0)
+    Kmm_j = Kmm + (jitter * jit_scale) * eyeM
+    r2_ms = jnp.maximum(zn + xnT - 2.0 * _dg(Zs, Xs, 1, 1), 0.0)
+    Kms = sf2 * jnp.exp(-0.5 * r2_ms) * mrow * nmaskT   # (Mp,NBp)
+
+    from .fused_bound import (block_chol_u, block_ut_inv, ut_solve_vec,
+                              ut_t_solve_vec)
+    if chol_inv is None:
+        U = block_chol_u(Kmm_j, block=32)               # U = Lk^T
+        V = block_ut_inv(U, block=32)                   # V = Lk^-T
+    else:
+        U, V = chol_inv(Kmm_j)                          # in-kernel path
+    # blocked SUBSTITUTION for the conditional (not the formed inverse):
+    # 1-D/clustered inducing sets drive cond(Kmm) high during training and
+    # V^T Kms loses ~cond*eps digits where the solve stays backward-stable
+    A = ut_t_solve_vec(U, V, Kms, block=64)             # Lk^-1 Kms
+
+    # q_L from packed raw: tril(-1) + exp diag, masked to the m block
+    diag_raw = jnp.sum(q_raw * eyeM, axis=1, keepdims=True)     # (Mp,1)
+    strict = (rowm > colm).astype(dt)
+    qL = (q_raw * strict + jnp.exp(diag_raw) * eyeM)
+    qL = qL * mrow * (colm < m).astype(dt) + eyeM * (1.0 - mrow)
+    # pad diag of qL = 1 so logdet/KL padding vanishes after masking
+
+    mean = _dg(A, q_mu, 0, 0)                           # (NBp,1)
+    SA = _dg(qL, A, 0, 0)                               # q_L^T A (Mp,NBp)
+    var_raw = (sf2 - jnp.sum(A * A, axis=0, keepdims=True)
+               + jnp.sum(SA * SA, axis=0, keepdims=True))       # (1,NBp)
+    clamp = (var_raw > 1e-12).astype(dt)
+    var = jnp.maximum(var_raw, 1e-12)
+
+    e = (yv - mean) * nmask                             # (NBp,1)
+    see = jnp.sum(e * e)
+    svar = jnp.sum(var * nmaskT)
+    ve_sum = (-0.5 * nb * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+              - 0.5 * (see + svar) / s2)
+
+    diag_qL = jnp.sum(qL * eyeM, axis=1, keepdims=True)
+    logdet = 2.0 * jnp.sum(jnp.log(diag_qL) * mrow)
+    klq = 0.5 * (jnp.sum(qL * qL * mrow) + jnp.sum(q_mu * q_mu)
+                 - m - logdet)
+    elbo = scale * ve_sum - klq
+    loss = -elbo
+
+    # ---- adjoints (of ELBO; negated at the end) ----
+    alpha = scale * e / s2                              # (NBp,1)
+    beta = -0.5 * scale / s2                            # scalar (per point)
+    # dELBO/dA: mean term + var terms (through -A^2 and +SA^2)
+    alphaT = _dg(one11, alpha, 1, 1)                    # (1,NBp)
+    cm = clamp * nmaskT
+    G = (q_mu * alphaT
+         + 2.0 * beta * (_dg(qL, SA, 1, 0) - A) * cm)   # (Mp,NBp)
+    # dELBO/dq_mu = A alpha - q_mu (KL)
+    g_qmu = _dg(A, alpha, 1, 0) - q_mu
+    g_qmu = g_qmu * mrow
+    # dELBO/dqL = 2 beta A SA^T (var) - (qL - diag(1/diag qL)) (KL)
+    g_qL = 2.0 * beta * _dg(A, SA * cm, 1, 1) - qL + (1.0 / diag_qL) * eyeM
+    g_qL = g_qL * mrow * (colm < m).astype(dt)
+    # chain to q_raw: strict-lower direct; diagonal times exp(diag_raw)
+    g_qraw = g_qL * strict + (jnp.sum(g_qL * eyeM, axis=1, keepdims=True)
+                              * jnp.exp(diag_raw)) * eyeM
+
+    # dELBO/dKms, dKmm through A = Lk^-1 Kms (Phi-masked chol chain,
+    # as in fused_bound._sgpmc_neg_logpost_vg)
+    Kms_b = ut_solve_vec(U, V, G, block=64)             # Lk^-T G
+    T = _dg(G, A, 1, 1)
+    Phi = T * ((rowm > colm).astype(dt) + 0.5 * eyeM)
+    T1 = _dg(V, Phi, 1, 0)
+    Kmm_b = -_dg(T1, V, 1, 1)
+    Kmm_bT = _dg(eyeM, Kmm_b, 1, 1)
+    Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
+
+    d_s2 = (-0.5 * nb / s2 + 0.5 * (see + svar) / (s2 * s2))
+    g_log_noise = scale * d_s2 * s2
+    n_eff = jnp.sum(cm)                                 # clamped kdiag terms
+    g_log_os = (jnp.sum(Kmm_b * Kmm) + jnp.sum(Kms_b * Kms)
+                + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
+                + beta * n_eff * sf2)                   # kdiag = sf2 per pt
+
+    Pmm = Kmm_b * Kmm
+    Pms = Kms_b * Kms
+    rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+    cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+    rs_ms = jnp.sum(Pms, axis=1, keepdims=True)
+    cs_ms = jnp.sum(Pms, axis=0, keepdims=True)
+    g_ls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+            - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+            + _dg(rs_ms, Zs2, 0, 0) + cs_ms @ Xs2
+            - 2.0 * jnp.sum(Zs * _dg(Pms, Xs, 1, 0), axis=0,
+                            keepdims=True)) * ls_mask
+    # inducing locations: dZs from both grams, then dZ = dZs / ls
+    dZs = (-2.0 * (rs_mm * Zs - Pmm @ Zs)
+           - (rs_ms * Zs - _dg(Pms, Xs, 1, 0)))
+    g_Z = dZs * inv_ls * mrow * ls_mask
+
+    g_hyp = g_ls
+    g_hyp = jnp.where(lane == d, g_log_os, g_hyp)
+    g_hyp = jnp.where(lane == d + 1, g_log_noise, g_hyp)
+    g_hyp = g_hyp * (lane < d + 2).astype(dt)
+
+    grads = {"hyp": -g_hyp, "Z": -g_Z, "q_mu": -g_qmu, "q_raw": -g_qraw}
+    return loss, grads
+
+
+# ---------------------------------------------------------------------------
+# Whole-chunk SVI kernel: K Adam steps per Pallas call
+# ---------------------------------------------------------------------------
+
+def _adam_update(p, g, mm, vv, t, lr, b1=0.9, b2=0.999, eps=1e-8):
+    """optax.adam defaults (bias-corrected moments, eps_root=0)."""
+    mm1 = b1 * mm + (1.0 - b1) * g
+    vv1 = b2 * vv + (1.0 - b2) * g * g
+    bc1 = 1.0 - jnp.exp(t * jnp.log(b1))
+    bc2 = 1.0 - jnp.exp(t * jnp.log(b2))
+    step = lr * (mm1 / bc1) / (jnp.sqrt(vv1 / bc2) + eps)
+    return p - step, mm1, vv1
+
+
+def _svi_chunk_body(scal_ref, slab_ref, hyp_ref, z_ref, qmu_ref, qraw_ref,
+                    m_hyp, m_z, m_qmu, m_qraw, v_hyp, v_z, v_qmu, v_qraw,
+                    hyp_o, z_o, qmu_o, qraw_o,
+                    mo_hyp, mo_z, mo_qmu, mo_qraw,
+                    vo_hyp, vo_z, vo_qmu, vo_qraw, loss_o,
+                    Ks, Us, Vs, Ds,
+                    *, num_data, nb, nbp, m, d, jitter, K, lr, block):
+    """K SVI Adam steps on pre-gathered minibatch slabs.
+
+    scal_ref (SMEM f32, 1): adam step counter before this chunk.
+    slab_ref (K*nbp, 128): step t's rows at [t*nbp, (t+1)*nbp), X in lanes
+    [0,d), y in lane 127. loss_o (K, 8) lane 0 = per-step loss."""
+    from .fused_bound import chol_u_inv_inplace
+
+    f32 = jnp.float32
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    t0 = scal_ref[0]
+
+    def ref_chol_inv(Kmat):
+        Ks[:] = Kmat
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block)
+        return Us[:], Vs[:]
+
+    def step(t, carry):
+        (hyp, Z, qmu, qraw, mh, mz, mq, mr, vh, vz, vq, vr) = carry
+        Xb = slab_ref[pl.ds(t * nbp, nbp), :]
+        params = {"hyp": hyp, "Z": Z, "q_mu": qmu, "q_raw": qraw}
+        loss, g = svgp_gauss_loss_vg(params, Xb, None, num_data, nb, m, d,
+                                     jitter, chol_inv=ref_chol_inv)
+        ta = t0 + t.astype(f32) + 1.0
+        hyp, mh, vh = _adam_update(hyp, g["hyp"], mh, vh, ta, lr)
+        Z, mz, vz = _adam_update(Z, g["Z"], mz, vz, ta, lr)
+        qmu, mq, vq = _adam_update(qmu, g["q_mu"], mq, vq, ta, lr)
+        qraw, mr, vr = _adam_update(qraw, g["q_raw"], mr, vr, ta, lr)
+        loss_o[pl.ds(t, 1), :] = loss * (lane8 == 0).astype(f32)
+        return (hyp, Z, qmu, qraw, mh, mz, mq, mr, vh, vz, vq, vr)
+
+    init = (hyp_ref[:], z_ref[:], qmu_ref[:], qraw_ref[:],
+            m_hyp[:], m_z[:], m_qmu[:], m_qraw[:],
+            v_hyp[:], v_z[:], v_qmu[:], v_qraw[:])
+    (hyp, Z, qmu, qraw, mh, mz, mq, mr, vh, vz, vq, vr) = \
+        jax.lax.fori_loop(0, K, step, init)
+    hyp_o[:] = hyp
+    z_o[:] = Z
+    qmu_o[:] = qmu
+    qraw_o[:] = qraw
+    mo_hyp[:] = mh
+    mo_z[:] = mz
+    mo_qmu[:] = mq
+    mo_qraw[:] = mr
+    vo_hyp[:] = vh
+    vo_z[:] = vz
+    vo_qmu[:] = vq
+    vo_qraw[:] = vr
+
+
+def make_fused_svi(num_data, nb, m, d, jitter, *, steps_per_call,
+                   lr=0.01, block=32, interpret=False):
+    """Factory: ``svi_chunk(params_pad, adam_state, slab, t0) ->
+    (params_pad, adam_state, losses (K,))``. ``slab`` is
+    (steps_per_call*nbp, 128) pre-gathered rows (y in lane 127). Envelope:
+    m <= 128, nb <= 512, d + 2 <= 127. Returns None outside it."""
+    from jax.experimental import pallas as pl  # noqa: F811
+    from jax.experimental.pallas import tpu as pltpu
+
+    if m > _LANES or d + 2 > _LANES - 1 or nb > 512:
+        return None
+    Mp = _LANES
+    nbp = _round_up(nb, 8)
+    K = int(steps_per_call)
+    f32 = jnp.float32
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    shapes = {"hyp": (1, _LANES), "Z": (Mp, _LANES), "q_mu": (Mp, 1),
+              "q_raw": (Mp, Mp)}
+    out_shape = ([jax.ShapeDtypeStruct(shapes[k], f32)
+                  for k in ("hyp", "Z", "q_mu", "q_raw")] * 3
+                 + [jax.ShapeDtypeStruct((K, 8), f32)])
+    call = pl.pallas_call(
+        partial(_svi_chunk_body, num_data=num_data, nb=nb, nbp=nbp, m=m,
+                d=d, jitter=float(jitter), K=K, lr=float(lr), block=block),
+        out_shape=tuple(out_shape),
+        in_specs=[smem] + [vmem] * 13,
+        out_specs=(vmem,) * 13,
+        scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
+        + [pltpu.VMEM((Mp, _LANES), f32)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
+        interpret=interpret,
+    )
+
+    def svi_chunk(params_pad, adam_m, adam_v, slab, t0):
+        outs = call(jnp.asarray([t0], f32), slab,
+                    params_pad["hyp"], params_pad["Z"], params_pad["q_mu"],
+                    params_pad["q_raw"],
+                    adam_m["hyp"], adam_m["Z"], adam_m["q_mu"],
+                    adam_m["q_raw"],
+                    adam_v["hyp"], adam_v["Z"], adam_v["q_mu"],
+                    adam_v["q_raw"])
+        names = ("hyp", "Z", "q_mu", "q_raw")
+        p1 = dict(zip(names, outs[0:4]))
+        m1 = dict(zip(names, outs[4:8]))
+        v1 = dict(zip(names, outs[8:12]))
+        return p1, m1, v1, outs[12][:, 0]
+
+    return svi_chunk

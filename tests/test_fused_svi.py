@@ -1,0 +1,190 @@
+"""Fused SVGP SVI: hand value+grad parity vs jax.grad of the model ELBO."""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggp_tpu.kernels import default_rbf
+from ggp_tpu.likelihoods import GaussianLikelihood
+from ggp_tpu.models.svgp import svgp_elbo
+from ggp_tpu.ops.fused_svi import svgp_gauss_loss_vg
+
+
+def _pad_params(p, m, d, Mp=128):
+    hyp = jnp.zeros((1, 128), jnp.float32)
+    hyp = hyp.at[0, :d].set(p["kernel"]["base"]["log_lengthscale"])
+    hyp = hyp.at[0, d].set(p["kernel"]["log_outputscale"])
+    hyp = hyp.at[0, d + 1].set(p["lik"]["log_noise"])
+    Z = jnp.zeros((Mp, 128), jnp.float32).at[:m, :d].set(p["Z"])
+    q_mu = jnp.zeros((Mp, 1), jnp.float32).at[:m].set(p["q_mu"])
+    q_raw = jnp.zeros((Mp, Mp), jnp.float32).at[:m, :m].set(
+        p["q_sqrt_raw"][0])
+    return {"hyp": hyp, "Z": Z, "q_mu": q_mu, "q_raw": q_raw}
+
+
+@pytest.mark.parametrize("nmd", [(40, 8, 3), (200, 32, 5), (33, 8, 2)])
+def test_svi_loss_and_grads_match_autodiff(nmd):
+    nb, m, d = nmd
+    N = 10 * nb
+    rng = np.random.default_rng(11)
+    Xb = jnp.asarray(rng.normal(size=(nb, d)), jnp.float32)
+    yb = jnp.asarray(rng.normal(size=(nb,)), jnp.float32)
+    kern = default_rbf(ard=True)
+    lik = GaussianLikelihood()
+    params = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(d,)) * 0.3,
+                                        jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.3, jnp.float32)},
+        "Z": jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+        "q_mu": jnp.asarray(rng.normal(size=(m, 1)) * 0.5, jnp.float32),
+        "q_sqrt_raw": jnp.asarray(rng.normal(size=(1, m, m)) * 0.1,
+                                  jnp.float32),
+        "lik": {"log_noise": jnp.asarray(-1.0, jnp.float32)},
+    }
+    jitter = 1e-6
+
+    def ref_loss(p, X_, y_):
+        return -svgp_elbo(kern, lik, p, X_, y_, N, jitter)
+
+    # compare against the F64 ground truth: two f32 implementations can
+    # legitimately differ by more than either differs from the truth
+    # (measured: the fused Z-grad is CLOSER to f64 than f32 autodiff is)
+    p64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+    loss_ref, g_ref = jax.value_and_grad(ref_loss)(
+        p64, Xb.astype(jnp.float64), yb.astype(jnp.float64))
+
+    pp = _pad_params(params, m, d)
+    NBp = -(-nb // 8) * 8
+    Xslab = jnp.zeros((NBp, 128), jnp.float32).at[:nb, :d].set(Xb)
+    Xslab = Xslab.at[:nb, 127].set(yb)
+    loss_f, g_f = svgp_gauss_loss_vg(pp, Xslab, None, N, nb, m, d, jitter)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-4)
+
+    def close(a, b):
+        a = np.asarray(a, np.float64).reshape(-1)
+        b = np.asarray(b, np.float64).reshape(-1)
+        tol = 2e-3 * (1.0 + np.abs(b).max())
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+    close(g_f["hyp"][0, :d], g_ref["kernel"]["base"]["log_lengthscale"])
+    close(g_f["hyp"][0, d], g_ref["kernel"]["log_outputscale"])
+    close(g_f["hyp"][0, d + 1], g_ref["lik"]["log_noise"])
+    close(g_f["Z"][:m, :d], g_ref["Z"])
+    close(g_f["q_mu"][:m], g_ref["q_mu"])
+    close(g_f["q_raw"][:m, :m], g_ref["q_sqrt_raw"][0])
+
+
+def test_svi_loss_ill_conditioned_within_f32_envelope():
+    """16 random 1-D inducing points give cond(Kmm) ~ 1e9 — past f32
+    resolution, where ANY two f32 implementations legitimately disagree.
+    Against the f64 ground truth, the fused loss must sit inside the same
+    error envelope as the XLA f32 path (measured: XLA -0.73, fused +0.76
+    on a truth of ~1208.7)."""
+    nb, m, d = 33, 16, 1
+    N = 10 * nb
+    rng = np.random.default_rng(11)
+    Xb = jnp.asarray(rng.normal(size=(nb, d)), jnp.float32)
+    yb = jnp.asarray(rng.normal(size=(nb,)), jnp.float32)
+    kern = default_rbf(ard=True)
+    lik = GaussianLikelihood()
+    params = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(d,)) * 0.3,
+                                        jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.3, jnp.float32)},
+        "Z": jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+        "q_mu": jnp.asarray(rng.normal(size=(m, 1)) * 0.5, jnp.float32),
+        "q_sqrt_raw": jnp.asarray(rng.normal(size=(1, m, m)) * 0.1,
+                                  jnp.float32),
+        "lik": {"log_noise": jnp.asarray(-1.0, jnp.float32)},
+    }
+    p64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+    loss64 = float(-svgp_elbo(kern, lik, p64, Xb.astype(jnp.float64),
+                              yb.astype(jnp.float64), N, 1e-6))
+    loss32 = float(-svgp_elbo(kern, lik, params, Xb, yb, N, 1e-6))
+    pp = _pad_params(params, m, d)
+    NBp = -(-nb // 8) * 8
+    Xslab = jnp.zeros((NBp, 128), jnp.float32).at[:nb, :d].set(Xb)
+    Xslab = Xslab.at[:nb, 127].set(yb)
+    loss_f, _ = svgp_gauss_loss_vg(pp, Xslab, None, N, nb, m, d, 1e-6)
+    xla_err = abs(loss32 - loss64)
+    fused_err = abs(float(loss_f) - loss64)
+    assert fused_err < max(3.0 * xla_err, 0.5), (fused_err, xla_err)
+
+
+@pytest.mark.slow
+def test_svi_chunk_kernel_matches_optax(monkeypatch):
+    """Interpret-mode chunk kernel (K Adam steps in-kernel) reproduces an
+    optax.adam loop over the same minibatches: per-step losses and final
+    parameters."""
+    import optax
+
+    from ggp_tpu.ops.fused_svi import make_fused_svi
+
+    nb, m, d, K = 16, 8, 2, 4
+    N = 64
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+    w = rng.normal(size=(d,))
+    y = jnp.asarray(np.sin(np.asarray(X) @ w) + 0.3 * rng.normal(size=N),
+                    jnp.float32)
+    kern = default_rbf(ard=True)
+    lik = GaussianLikelihood()
+    params = {
+        "kernel": {"base": {"log_lengthscale": jnp.zeros((d,), jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.1, jnp.float32)},
+        "Z": X[:m],
+        "q_mu": jnp.zeros((m, 1), jnp.float32),
+        "q_sqrt_raw": jnp.asarray(np.eye(m) * np.log(0.5), jnp.float32)[None],
+        "lik": {"log_noise": jnp.asarray(-1.0, jnp.float32)},
+    }
+    jitter = 1e-6
+    idx = rng.integers(0, N, size=(K, nb))
+
+    # optax reference trajectory
+    lr = 0.02
+    opt = optax.adam(lr)
+    p_ref = params
+    state = opt.init(p_ref)
+    losses_ref = []
+
+    def loss_fn(p, Xb, yb):
+        return -svgp_elbo(kern, lik, p, Xb, yb, N, jitter)
+
+    for t in range(K):
+        Xb, yb = X[idx[t]], y[idx[t]]
+        lval, g = jax.value_and_grad(loss_fn)(p_ref, Xb, yb)
+        upd, state = opt.update(g, state)
+        p_ref = optax.apply_updates(p_ref, upd)
+        losses_ref.append(float(lval))
+
+    # fused chunk
+    svi = make_fused_svi(N, nb, m, d, jitter, steps_per_call=K, lr=lr,
+                         interpret=True)
+    pp = _pad_params(params, m, d)
+    zeros = {k: jnp.zeros_like(v) for k, v in pp.items()}
+    nbp = -(-nb // 8) * 8
+    slab = jnp.zeros((K * nbp, 128), jnp.float32)
+    for t in range(K):
+        slab = slab.at[t * nbp:t * nbp + nb, :d].set(X[idx[t]])
+        slab = slab.at[t * nbp:t * nbp + nb, 127].set(y[idx[t]])
+    p1, m1, v1, losses = svi(pp, dict(zeros), dict(zeros), slab, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(p1["hyp"][0, :d + 2]),
+        np.r_[np.asarray(p_ref["kernel"]["base"]["log_lengthscale"]),
+              float(p_ref["kernel"]["log_outputscale"]),
+              float(p_ref["lik"]["log_noise"])], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p1["Z"][:m, :d]),
+                               np.asarray(p_ref["Z"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p1["q_mu"][:m]),
+                               np.asarray(p_ref["q_mu"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p1["q_raw"][:m, :m]),
+                               np.asarray(p_ref["q_sqrt_raw"][0]),
+                               atol=2e-4)

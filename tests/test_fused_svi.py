@@ -188,3 +188,24 @@ def test_svi_chunk_kernel_matches_optax(monkeypatch):
     np.testing.assert_allclose(np.asarray(p1["q_raw"][:m, :m]),
                                np.asarray(p_ref["q_sqrt_raw"][0]),
                                atol=2e-4)
+
+
+def test_fused_svi_gate_and_envelope(monkeypatch):
+    """Eligibility gating: CPU backend off; envelope limits honored."""
+    from ggp_tpu.models.svgp import StochasticVariationalGP
+    from ggp_tpu.ops.fused_svi import make_fused_svi
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(64, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    m = StochasticVariationalGP(X, y, Z_init=X[:8])
+    assert not m._fused_svi_ok(32)        # CPU backend in CI
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert m._fused_svi_ok(32)
+    monkeypatch.setenv("GGP_FUSED_SVI", "0")
+    assert not m._fused_svi_ok(32)
+    monkeypatch.delenv("GGP_FUSED_SVI")
+    assert not m._fused_svi_ok(1024)      # batch too large
+    # factory envelope
+    assert make_fused_svi(1000, 600, 32, 3, 1e-6, steps_per_call=4) is None
+    assert make_fused_svi(1000, 64, 200, 3, 1e-6, steps_per_call=4) is None

@@ -159,7 +159,7 @@ class BayesianSparseGPR_HMC:
             return None
         n, d = self.train_x.shape
         if not fused_multichain_supported(n, d, self.Z.shape[0],
-                                          num_chains):
+                                          num_chains, target="vfe"):
             return None
         return make_fused_hmc_multichain(self.train_x, self.train_y,
                                          self.jitter,

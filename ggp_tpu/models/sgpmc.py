@@ -212,7 +212,8 @@ class SGPMC:
             return None
         n, d = self.train_x.shape
         M = self.Z.shape[0]
-        if (not fused_multichain_supported(n, d, M, num_chains)
+        if (not fused_multichain_supported(n, d, M, num_chains,
+                                           target="sgpmc")
                 or d + 2 + M > 128):
             return None
         builder = make_fused_hmc_multichain(self.train_x, self.train_y,

@@ -52,10 +52,18 @@ _DIVERGENCE_THRESHOLD = 1000.0
 # envelope: C * (Knm (Np,Mp) + An (Np,Mp)) value buffers must fit VMEM
 MAX_N_MULTICHAIN = 1024
 MAX_CHAINS = 8
+# vfe-core streaming (round 3): past the resident cap, X/y live in HBM and
+# every chain's gram passes share each double-buffered (STREAM_NB, 128) row
+# block — HBM traffic per eval stays 2 reads of X/y regardless of C; the
+# cap is per-eval wall (C x per-block compute x 2 passes), not memory
+MC_STREAM_NB = 1024
+MAX_N_STREAM_MC = 16384
 
 
-def fused_multichain_supported(n: int, d: int, m: int, c: int) -> bool:
-    return (d + 2 <= _LANES and n <= MAX_N_MULTICHAIN and m <= 128
+def fused_multichain_supported(n: int, d: int, m: int, c: int,
+                               target: str = "vfe") -> bool:
+    max_n = MAX_N_STREAM_MC if target == "vfe" else MAX_N_MULTICHAIN
+    return (d + 2 <= _LANES and n <= max_n and m <= 128
             and 2 <= c <= MAX_CHAINS)
 
 
@@ -307,6 +315,202 @@ def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
     return -(F_all + lp), -g_all
 
 
+def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
+                                  batched_chol, loop_blocks, NB):
+    """Streaming variant of :func:`_rbf_vfe_batched_vg`: X/y live in HBM
+    packed into one (Np, 128) array (X lanes [0, d), y lane 127 — same
+    packing as fused_bound._rbf_vfe_neg_logpost_vg_streaming) and each
+    double-buffered (NB, 128) row block is visited ONCE per pass by ALL C
+    chains, so HBM traffic per eval is two reads of X/y regardless of C.
+
+    Same two-pass decomposition as the single-chain streaming core:
+      pass 1: per chain  B_c = I + sum_b A_b^T A_b, u_c = sum_b A_b^T y_b
+      (batched M x M epilogue: factorisations, v/w, Y1, dKmm)
+      pass 2: per chain  ||alpha||^2, sum(Pnm), dls row/col/cross terms
+    with the value path using the chain-batched formed-inverse form of the
+    resident multichain core (see module docstring for why)."""
+    dt = Zp.dtype
+    Mp = Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    ls_mask = (lane < d).astype(dt)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (NB, 1), 0)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    mrow_mask = (rowm < m).astype(dt)
+    mcol_mask = (colm < m).astype(dt)
+    eyeM = (rowm == colm).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+    ey = (lane == (_LANES - 1)).astype(dt)                  # y lane one-hot
+
+    inv_ls_all = jnp.exp(-thetas) * ls_mask                 # (C,128)
+    log_os_all = jnp.sum(thetas * (lane == d).astype(dt), axis=1,
+                         keepdims=True)                     # (C,1)
+    log_noise_all = jnp.sum(thetas * (lane == d + 1).astype(dt), axis=1,
+                            keepdims=True)
+    sf2_all = jnp.exp(log_os_all)
+    s2_all = jnp.exp(log_noise_all)
+
+    # ---- per-chain Kmm, batched factorisation (no X needed) ----
+    Zs_l, Zs2_l, zn_l, K_list = [], [], [], []
+    for c in range(C):
+        inv_ls = inv_ls_all[c:c + 1, :]
+        sf2 = sf2_all[c, 0]
+        Zs = Zp * inv_ls
+        Zs2 = Zs * Zs
+        zn = jnp.sum(Zs2, axis=1, keepdims=True)
+        znT = _dg(one11, zn, 1, 1)
+        r2 = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+        Kmm = sf2 * jnp.exp(-0.5 * r2)
+        Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)
+        Kj = Kmm + (jitter * jnp.maximum(sf2, 1.0)) * eyeM
+        Zs_l.append(Zs); Zs2_l.append(Zs2); zn_l.append(zn)
+        K_list.append((Kmm, Kj))
+    UV1 = batched_chol([kj for _, kj in K_list])
+    V_l = [UV1[c][1] for c in range(C)]                     # value snapshots
+
+    def _block_An(t, XYb, c):
+        """Chain c's scaled inputs + A^T rows for one block (both passes)."""
+        rowg = rowb + t * NB
+        nmask = (rowg < n).astype(dt)                       # (NB,1)
+        yb = _dg(XYb, ey, 1, 1) * nmask                     # (NB,1)
+        Xs_b = XYb * inv_ls_all[c:c + 1, :]                 # y lane zeroed
+        xn_b = jnp.sum(Xs_b * Xs_b, axis=1, keepdims=True)
+        znT = _dg(one11, zn_l[c], 1, 1)
+        r2 = jnp.maximum(xn_b + znT - 2.0 * _dg(Xs_b, Zs_l[c], 1, 1), 0.0)
+        sigma = jnp.sqrt(s2_all[c, 0])
+        Knm_b = sf2_all[c, 0] * jnp.exp(-0.5 * r2) * nmask * mcol_mask
+        An_b = _dg(Knm_b, V_l[c], 1, 0) / sigma
+        return Xs_b, yb, Knm_b, An_b
+
+    # ---- pass 1: B_c, u_c, yy ----
+    def fwd_body(t, XYb, carry):
+        Bacc, uacc, yy = carry
+        Bout, uout = [], []
+        for c in range(C):
+            _, yb, _, An_b = _block_An(t, XYb, c)
+            Bout.append(Bacc[c] + _dg(An_b, An_b, 0, 0))
+            uout.append(uacc[c] + _dg(An_b, yb, 0, 0))
+        rowg = rowb + t * NB
+        yb0 = _dg(XYb, ey, 1, 1) * (rowg < n).astype(dt)
+        return (tuple(Bout), tuple(uout), yy + jnp.sum(yb0 * yb0))
+
+    Bacc, uacc, yy = loop_blocks(fwd_body, (
+        tuple(jnp.zeros((Mp, Mp), dt) for _ in range(C)),
+        tuple(jnp.zeros((Mp, 1), dt) for _ in range(C)),
+        jnp.zeros((), dt)))
+    B_l = [Bacc[c] + eyeM for c in range(C)]
+    UV2 = batched_chol(B_l)
+
+    # ---- batched epilogue (per-chain scalars + adjoint operators) ----
+    F_rows, v_l, Y1_l, wT_l, trB_l, trBinv_l = [], [], [], [], [], []
+    for c in range(C):
+        s2 = s2_all[c, 0]
+        sf2 = sf2_all[c, 0]
+        UB, VB = UV2[c]
+        u = uacc[c]
+        B = B_l[c]
+        V = V_l[c]
+        Binv = _dg(VB, VB, 1, 1)
+        c_u = _dg(VB, u, 0, 0)
+        v = VB @ c_u
+        w = _dg(V, v, 1, 0)
+        diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)
+        logdetB = 2.0 * jnp.sum(jnp.log(diagUB))
+        uv = jnp.sum(c_u * c_u)
+        trB = jnp.sum(B * eyeM)
+        trBinv = jnp.sum(Binv * eyeM)
+        t_term = n * sf2 - s2 * (trB - Mp)
+        F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+             - 0.5 * logdetB - 0.5 * (yy - uv) / s2 - 0.5 * t_term / s2)
+        F_rows.append(F * jnp.ones((1, 1), dt))
+        v_l.append(v)
+        Y1_l.append(_dg(eyeM - Binv, V, 1, 1))
+        wT_l.append(_dg(one11, w, 1, 1))
+        trB_l.append(trB)
+        trBinv_l.append(trBinv)
+        # dKmm needs B/Binv/V/w — keep via closure lists below
+        K_list[c] = (K_list[c][0], (B, Binv, w))
+
+    # ---- pass 2: per-chain data-sum adjoints ----
+    zero1L = jnp.zeros((1, _LANES), dt)
+
+    def adj_body(t, XYb, carry):
+        a2, osum, dlsnm, csnm, cross = carry
+        a2o, oso, dno, cso, cro = [], [], [], [], []
+        for c in range(C):
+            Xs_b, yb, Knm_b, An_b = _block_An(t, XYb, c)
+            s2 = s2_all[c, 0]
+            sigma = jnp.sqrt(s2)
+            alpha_b = (yb - An_b @ v_l[c]) / s2
+            dKnm_b = (An_b @ Y1_l[c] + alpha_b * wT_l[c]) / sigma
+            Pnm_b = dKnm_b * Knm_b
+            Xs2_b = Xs_b * Xs_b
+            a2o.append(a2[c] + jnp.sum(alpha_b * alpha_b))
+            oso.append(osum[c] + jnp.sum(Pnm_b))
+            dno.append(dlsnm[c] + _dg(jnp.sum(Pnm_b, axis=1, keepdims=True),
+                                      Xs2_b, 0, 0))
+            cso.append(csnm[c] + jnp.sum(Pnm_b, axis=0, keepdims=True))
+            cro.append(cross[c] + jnp.sum(Xs_b * (Pnm_b @ Zs_l[c]), axis=0,
+                                          keepdims=True))
+        return tuple(map(tuple, (a2o, oso, dno, cso, cro)))
+
+    a2, osum, dlsnm, csnm, cross = loop_blocks(adj_body, (
+        tuple(jnp.zeros((), dt) for _ in range(C)),
+        tuple(jnp.zeros((), dt) for _ in range(C)),
+        tuple(zero1L for _ in range(C)),
+        tuple(jnp.zeros((1, Mp), dt) for _ in range(C)),
+        tuple(zero1L for _ in range(C))))
+
+    g_rows = []
+    for c in range(C):
+        s2 = s2_all[c, 0]
+        sf2 = sf2_all[c, 0]
+        Kmm, (B, Binv, w) = K_list[c]
+        V = V_l[c]
+        wT = wT_l[c]
+        Zs, Zs2 = Zs_l[c], Zs2_l[c]
+        T0 = 2.0 * eyeM - B - Binv
+        dKmm = (-(w * wT) / (2.0 * s2)
+                + 0.5 * _dg(_dg(V, T0, 1, 0), V, 1, 1))
+        t_term = n * sf2 - s2 * (trB_l[c] - Mp)
+        trW = (n - Mp + trBinv_l[c]) / s2
+        dF_ds2 = 0.5 * a2[c] - 0.5 * trW + t_term / (2.0 * s2 * s2)
+        dlog_noise = dF_ds2 * s2
+        dlog_os = (jnp.sum(dKmm * Kmm) + osum[c]
+                   + jitter * sf2 * (sf2 > 1.0) * jnp.sum(dKmm * eyeM)
+                   - n * sf2 / (2.0 * s2))
+        Pmm = dKmm * Kmm
+        rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+        cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+        dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+               - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+               + dlsnm[c] + csnm[c] @ Zs2 - 2.0 * cross[c])
+        g = dls
+        g = jnp.where(lane == d, dlog_os, g)
+        g = jnp.where(lane == d + 1, dlog_noise, g)
+        g_rows.append(g)
+
+    F_all = jnp.concatenate(F_rows, axis=0)                 # (C,1)
+    g_all = jnp.concatenate(g_rows, axis=0)                 # (C,128)
+
+    # ---- priors, vectorised over chains (same as the resident core) ----
+    lp_ls = jnp.sum((2.0 * thetas - jnp.exp(thetas)) * ls_mask, axis=1,
+                    keepdims=True)
+    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
+
+    def _hc(uu):
+        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
+
+    lp = lp_ls + _hc(log_os_all) + _hc(log_noise_all)
+    g_prior = (2.0 - jnp.exp(thetas)) * ls_mask
+    g_prior = jnp.where(lane == d,
+                        0.5 - jax.nn.sigmoid(log_os_all), g_prior)
+    g_prior = jnp.where(lane == d + 1,
+                        0.5 - jax.nn.sigmoid(log_noise_all), g_prior)
+    g_all = (g_all + g_prior) * (lane < d + 2).astype(dt)
+    return -(F_all + lp), -g_all
+
+
 def _sgpmc_batched_vg(states, Xp, yrow, Zp, n, m, d, jitter, C,
                       batched_chol):
     """(U (C,1), g (C,128)) for C whitened-JointHMC states (C,128) — the
@@ -483,7 +687,7 @@ _BATCHED_CORES = {}  # populated below (vfe / sgpmc)
 
 
 def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
-                      block, C, core="vfe"):
+                      block, C, core="vfe", stream=None):
     Mp = zz_ref.shape[0]
     core_fn = _BATCHED_CORES[core]
 
@@ -493,6 +697,39 @@ def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
         chol_u_inv_batched_inplace(Ks, Us, Vs, Ds, C, block=block)
         return [(Us[c * Mp:(c + 1) * Mp, :], Vs[c * Mp:(c + 1) * Mp, :])
                 for c in range(C)]
+
+    if stream is not None:
+        assert core == "vfe", "multichain N-streaming: vfe core only"
+        NB, nblk = stream["NB"], stream["nblocks"]
+        xbuf, sem = stream["xbuf"], stream["sem"]
+
+        def _dma(slot, t):
+            # x_ref is the packed (Np, 128) HBM array: X lanes [0, d),
+            # y in lane 127 (see _rbf_vfe_batched_vg_streaming)
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(t * NB, NB), :], xbuf.at[slot], sem.at[slot])
+
+        def loop_blocks(body, carry):
+            _dma(0, 0).start()
+
+            def lb(t, c):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < nblk)
+                def _():
+                    _dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+                _dma(slot, t).wait()
+                return body(t, xbuf[slot], c)
+
+            return jax.lax.fori_loop(0, nblk, lb, carry)
+
+        def pot(zrows):
+            return _rbf_vfe_batched_vg_streaming(
+                zrows, zz_ref[:], n, m, d, jitter, C, batched_chol,
+                loop_blocks, NB)
+
+        return pot
 
     def pot(zrows):
         return core_fn(zrows, x_ref[:], y_ref[:], zz_ref[:],
@@ -516,11 +753,20 @@ def _chain_sel(C):
 _DA_LANES = 8   # da_ref lanes: [log_eps, log_eps_avg, h, mu, t, wf_cnt]
 
 
+def _mc_stream_dict(stream_nb, xsbuf, dsem):
+    if stream_nb is None:
+        return None
+    return {"NB": stream_nb[0], "nblocks": stream_nb[1],
+            "xbuf": xsbuf, "sem": dsem}
+
+
 def _mc_potential_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
-                       Ks, Us, Vs, Ds, *, n, m, d, jitter, block, C,
-                       core="vfe"):
+                       Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
+                       *, n, m, d, jitter, block, C,
+                       core="vfe", stream_nb=None):
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
-                            jitter, block, C, core)
+                            jitter, block, C, core,
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
     U, g = pot(z_ref[:])
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _DA_LANES), 1)
     uout_ref[:] = U * (lane8 == 0).astype(jnp.float32)
@@ -532,10 +778,10 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
                         x_ref, y_ref, zz_ref,
                         zout_ref, gout_ref, uout_ref, daout_ref, imout_ref,
                         wfmout_ref, wfm2out_ref, statout_ref,
-                        Ks, Us, Vs, Ds,
+                        Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                         *, n, m, d, jitter, block, chunk, C,
                         num_leapfrog, target_accept, adapt_mass,
-                        core="vfe"):
+                        core="vfe", stream_nb=None):
     """``chunk`` warmup HMC transitions for C chains with per-chain Stan
     adaptation (mirrors inference/hmc.py exactly, vectorised over chains).
 
@@ -551,7 +797,8 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
     dmask = (lane < _dim).astype(f32)
     sel = _chain_sel(C)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
-                            jitter, block, C, core)
+                            jitter, block, C, core,
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
     n_active = scal_ref[0].astype(jnp.int32)
 
     def pick(rows8, i):
@@ -627,9 +874,9 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
                           mom_ref, mh_ref, x_ref, y_ref, zz_ref,
                           zsout_ref, accout_ref, divout_ref, zout_ref,
                           gout_ref, uout_ref,
-                          Ks, Us, Vs, Ds,
+                          Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                           *, n, m, d, jitter, block, chunk, C, num_leapfrog,
-                          core="vfe"):
+                          core="vfe", stream_nb=None):
     """``chunk`` sampling transitions at per-chain fixed eps (C,8 lane 0).
     zsout (chunk*C, 128) draw t rows [t*C, (t+1)*C); acc/div (chunk, 128)
     lane c = chain c. scal_ref (SMEM f32, 1): n_active."""
@@ -638,7 +885,8 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     sel = _chain_sel(C)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
-                            jitter, block, C, core)
+                            jitter, block, C, core,
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
     n_active = scal_ref[0].astype(jnp.int32)
     eps = jnp.sum(eps_ref[:] * (lane8 == 0).astype(f32), axis=1,
                   keepdims=True)                            # (C,1)
@@ -691,22 +939,40 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
                               target_accept: float = 0.8,
                               adapt_mass: bool = True, block: int = 32,
                               target: str = "vfe",
+                              stream_block: int = MC_STREAM_NB,
                               interpret: bool = False):
     """Factory: ``builder(Z) -> FusedMultichainHMC`` or None outside the
     envelope. All chains advance lock-step inside one kernel call.
 
     ``target``: "vfe" (BayesianSGPR_HMC hyper posterior) or "sgpmc"
-    (whitened JointHMC over (hypers, v); per-chain state dim d+2+M)."""
+    (whitened JointHMC over (hypers, v); per-chain state dim d+2+M).
+
+    For the vfe target at n > MAX_N_MULTICHAIN, X/y stay in HBM and every
+    chain's gram passes share double-buffered (stream_block, 128) row
+    blocks (round 3; same DMA pipeline as the single-chain streaming path,
+    ops/fused_nuts.py)."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = X.shape
     C = int(num_chains)
-    if not fused_multichain_supported(n, d, 0, C):
+    if not fused_multichain_supported(n, d, 0, C, target):
         return None
+    stream_nb = None
     if target == "sgpmc":
         Np = _round_up(n, _LANES)
         Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
         yp = jnp.zeros((1, Np), jnp.float32).at[0, :n].set(y)
+    elif n > MAX_N_MULTICHAIN:
+        # streaming vfe: HBM-resident X/y padded to whole DMA blocks; y
+        # packed into lane 127 (1-lane columns cannot be DMA-sliced from
+        # HBM); the separate y input is an unused dummy
+        if d + 2 > _LANES - 1:
+            return None
+        Np = _round_up(n, stream_block)
+        Xp = (jnp.zeros((Np, _LANES), jnp.float32)
+              .at[:n, :d].set(X).at[:n, _LANES - 1].set(y))
+        yp = jnp.zeros((8, 1), jnp.float32)
+        stream_nb = (stream_block, Np // stream_block)
     else:
         Np = _round_up(n, 8)
         Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
@@ -718,17 +984,24 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
         m = Z.shape[0]
         dim = d + 2 + (m if target == "sgpmc" else 0)
         Mp = _round_up(m, _LANES)
-        if not fused_multichain_supported(n, d, m, C) or dim > _LANES:
+        if not fused_multichain_supported(n, d, m, C, target) or dim > _LANES:
             return None
         common = dict(n=n, m=m, d=d, jitter=jitter, block=block, C=C,
-                      core=target)
+                      core=target, stream_nb=stream_nb)
 
         def _scratch():
-            return ([pltpu.VMEM((C * Mp, Mp), f32) for _ in range(3)]
-                    + [pltpu.VMEM((C * Mp, _LANES), f32)])
+            s = ([pltpu.VMEM((C * Mp, Mp), f32) for _ in range(3)]
+                 + [pltpu.VMEM((C * Mp, _LANES), f32)])
+            if stream_nb is not None:
+                s += [pltpu.VMEM((2, stream_nb[0], _LANES), f32),
+                      pltpu.SemaphoreType.DMA((2,))]
+            return s
 
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        # streaming: X/y stay off-chip and the kernels DMA row blocks in
+        xy = (pl.BlockSpec(memory_space=pl.ANY)
+              if stream_nb is not None else vmem)
         # C chains' per-phase value sets exceed the compiler's conservative
         # 16 MB scoped-VMEM default; the hardware has headroom (same
         # treatment as the dense-GPR core, ops/fused_nuts.py)
@@ -738,7 +1011,7 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
             partial(_mc_potential_body, **common),
             out_shape=(jax.ShapeDtypeStruct((C, _DA_LANES), f32),
                        jax.ShapeDtypeStruct((C, _LANES), f32)),
-            in_specs=[vmem] * 4,
+            in_specs=[vmem, xy, xy, vmem],
             out_specs=(vmem,) * 2,
             scratch_shapes=_scratch(),
             compiler_params=cparams,
@@ -757,7 +1030,7 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
                        jax.ShapeDtypeStruct((C, _LANES), f32),    # wfm
                        jax.ShapeDtypeStruct((C, _LANES), f32),    # wfm2
                        jax.ShapeDtypeStruct((C, _DA_LANES), f32)),  # stats
-            in_specs=[smem, smem] + [vmem] * 12,
+            in_specs=[smem, smem] + [vmem] * 9 + [xy, xy, vmem],
             out_specs=(vmem,) * 8,
             scratch_shapes=_scratch(),
             compiler_params=cparams,
@@ -772,7 +1045,7 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
                        jax.ShapeDtypeStruct((C, _LANES), f32),
                        jax.ShapeDtypeStruct((C, _LANES), f32),
                        jax.ShapeDtypeStruct((C, _DA_LANES), f32)),
-            in_specs=[smem] + [vmem] * 10,
+            in_specs=[smem] + [vmem] * 7 + [xy, xy, vmem],
             out_specs=(vmem,) * 6,
             scratch_shapes=_scratch(),
             compiler_params=cparams,

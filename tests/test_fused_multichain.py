@@ -34,7 +34,10 @@ def test_envelope():
     assert fused_multichain_supported(404, 13, 100, 8)
     assert not fused_multichain_supported(404, 13, 100, 1)   # use single path
     assert not fused_multichain_supported(404, 13, 100, 16)
-    assert not fused_multichain_supported(5000, 13, 100, 8)
+    # vfe streams past the resident cap (round 3); sgpmc stays resident
+    assert fused_multichain_supported(5000, 13, 100, 8, target="vfe")
+    assert not fused_multichain_supported(5000, 13, 100, 8, target="sgpmc")
+    assert not fused_multichain_supported(60000, 13, 100, 8, target="vfe")
 
 
 def test_batched_chol_parity():
@@ -204,3 +207,45 @@ def test_multichain_sgpmc_potential_and_chunks(problem):
         assert not np.any(np.asarray(div) > 0.5)
         assert np.all(np.isfinite(np.asarray(zs)))
     assert np.mean(np.concatenate(accs)) > 0.4
+
+
+def test_streaming_multichain_potential_and_chunks(problem, monkeypatch):
+    """vfe-core multichain N-streaming (round 3): with the resident cap
+    forced low, the HBM block-streaming batched potential must match the
+    XLA potential per chain, and fixed-eps sample chunks must move.
+    n=48 pads to 2 blocks of 32 — exercises multi-block accumulation and
+    row masking across all C chains sharing each DMA'd block."""
+    import ggp_tpu.ops.fused_multichain as fm
+
+    X, y, Z, d = problem
+    C = 3
+    monkeypatch.setattr(fm, "MAX_N_MULTICHAIN", 16)
+    builder = fm.make_fused_hmc_multichain(X, y, 1e-6, num_chains=C,
+                                           chunk=4, num_leapfrog=5,
+                                           stream_block=32, interpret=True)
+    fused = builder(Z)
+    rng = np.random.default_rng(11)
+    thetas = jnp.asarray(rng.normal(size=(C, d + 2)) * 0.3, jnp.float32)
+    U_b, g_b = jax.jit(fused.potential)(thetas)
+    pot = make_rbf_vfe_potential(X, y, 1e-6)
+    for c in range(C):
+        u1, g1 = pot(thetas[c], Z)
+        np.testing.assert_allclose(float(U_b[c]), float(u1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[c]), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-3)
+
+    z = thetas
+    U, g = fused.potential(z)
+    inv_mass = jnp.ones((C, d + 2), jnp.float32)
+    eps = jnp.full((C,), 0.1, jnp.float32)
+    key = jax.random.PRNGKey(2)
+    accs = []
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        zs, z, U, g, acc, div = fused.sample_chunk(z, U, g, k, eps,
+                                                   inv_mass, 4)
+        accs.append(np.asarray(acc))
+        assert not np.any(np.asarray(div) > 0.5)
+        assert np.all(np.isfinite(np.asarray(zs)))
+    assert np.mean(np.concatenate(accs)) > 0.3
+    assert not np.allclose(np.asarray(z), np.asarray(thetas))

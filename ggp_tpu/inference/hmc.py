@@ -581,15 +581,24 @@ def _multichain_fused_hmc(fused, z0s, key, cfg: NUTSConfig, in_window,
                           window_end):
     """All C chains advance lock-step inside chain-batched Pallas chunk
     kernels (ops.fused_multichain) — the throughput configuration
-    (VERDICT r2 item 3). Semantics mirror ``vmap(_single_chain)`` with the
-    HMC kernel: per-chain dual averaging, Welford windows, per-chain eps."""
+    (VERDICT r2 item 3). Semantics mirror ``vmap(_single_chain)``:
+    per-chain dual averaging, Welford windows, per-chain eps. Round 3:
+    handles both fixed-leapfrog HMC and lock-step multinomial NUTS
+    (``fused.algo``) — NUTS chunks also report per-draw depth/leaf
+    counts."""
     C, dim = z0s.shape
     dtype = z0s.dtype
     K = fused.chunk
-    if cfg.algorithm != "hmc":
-        raise ValueError("multichain fused kernels are fixed-leapfrog HMC; "
-                         f"config asks for {cfg.algorithm!r}")
-    if fused.num_leapfrog != cfg.num_leapfrog:
+    algo = getattr(fused, "algo", "hmc")
+    if cfg.algorithm != algo:
+        raise ValueError(f"multichain fused kernel built for algorithm="
+                         f"{algo!r}; config asks for {cfg.algorithm!r}")
+    if algo == "nuts":
+        if fused.max_depth != cfg.max_depth:
+            raise ValueError(f"fused kernel built with max_depth="
+                             f"{fused.max_depth}, config has "
+                             f"{cfg.max_depth}")
+    elif fused.num_leapfrog != cfg.num_leapfrog:
         raise ValueError(f"fused kernel built with num_leapfrog="
                          f"{fused.num_leapfrog}, config has "
                          f"{cfg.num_leapfrog}")
@@ -643,21 +652,26 @@ def _multichain_fused_hmc(fused, z0s, key, cfg: NUTSConfig, in_window,
     def sample_step(carry, na):
         z, U, g, key = carry
         key, k = jax.random.split(key)
-        zs, z1, U1, g1, acc, div = fused.sample_chunk(z, U, g, k, eps,
-                                                      inv_mass, na)
-        return (z1, U1, g1, key), (zs, acc, div)
+        out = fused.sample_chunk(z, U, g, k, eps, inv_mass, na)
+        if algo == "nuts":
+            zs, z1, U1, g1, acc, div, dep, nlv = out
+            return (z1, U1, g1, key), (zs, acc, div, dep, nlv)
+        zs, z1, U1, g1, acc, div = out
+        return (z1, U1, g1, key), (zs, acc, div,
+                                   jnp.zeros_like(acc),
+                                   jnp.full_like(acc, cfg.num_leapfrog))
 
-    (_, _, _, _), (zs, acc, div) = jax.lax.scan(sample_step, (z, U, g, key),
-                                                s_act)
+    (_, _, _, _), (zs, acc, div, dep, nlv) = jax.lax.scan(
+        sample_step, (z, U, g, key), s_act)
     # (n_schunks, K, C, dim) -> (C, S, dim), trimming the inactive tail
     S = cfg.num_samples
     zs = zs.reshape(n_schunks * K, C, dim)[:S].transpose(1, 0, 2)
     acc = acc.reshape(n_schunks * K, C)[:S].T                # (C, S)
     div = div.reshape(n_schunks * K, C)[:S].T > 0.5
+    dep = dep.reshape(n_schunks * K, C)[:S].T.astype(jnp.int32)
+    nlv = nlv.reshape(n_schunks * K, C)[:S].T.astype(jnp.int32)
     stats = {"accept_prob": acc, "diverging": div,
-             "depth": jnp.zeros_like(acc, dtype=jnp.int32),
-             "n_leapfrog": jnp.full_like(acc, cfg.num_leapfrog,
-                                         dtype=jnp.int32),
+             "depth": dep, "n_leapfrog": nlv,
              "energy": jnp.zeros_like(acc),
              "step_size": eps, "inv_mass": inv_mass}
     return zs, stats

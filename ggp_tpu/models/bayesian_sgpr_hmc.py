@@ -135,20 +135,26 @@ class BayesianSparseGPR_HMC:
         return make_fused_nuts(self.train_x, self.train_y, self.jitter,
                                max_depth=max_depth)
 
-    def _fused_multichain(self, num_chains, num_leapfrog):
-        """Chain-batched fused HMC (ops.fused_multichain) — the single-chip
-        throughput path (VERDICT r2 item 3): C lock-step chains per Pallas
-        call, factorisations batched chain-minor so the op-issue-bound
-        panel loops are shared by all chains (4x the XLA batched path per
-        potential eval, PERF.md round 3). Default-on on TPU for
-        algorithm="hmc" with 2..8 chains on the Scale(RBF-ARD) target;
-        GGP_FUSED_TRANSITION=0 disables."""
+    def _fused_multichain(self, num_chains, num_leapfrog, algorithm="hmc",
+                          max_depth=8):
+        """Chain-batched fused sampling (ops.fused_multichain) — the
+        single-chip throughput path (VERDICT r2 item 3): C lock-step chains
+        per Pallas call, factorisations batched chain-minor so the
+        op-issue-bound panel loops are shared by all chains (4x the XLA
+        batched path per potential eval, PERF.md round 3). Default-on on
+        TPU for 2..8 chains on the Scale(RBF-ARD) target — fixed-leapfrog
+        HMC since round 3 start, lock-step multinomial NUTS since round 3
+        (GGP_FUSED_MC_NUTS=0 keeps NUTS chains on the XLA vmapped path);
+        GGP_FUSED_TRANSITION=0 disables all fused paths."""
         import os
 
         from ..ops.fused_bound import fused_structure_matches
         from ..ops.fused_multichain import (fused_multichain_supported,
                                             make_fused_hmc_multichain)
         if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
+            return None
+        if algorithm == "nuts" \
+                and os.environ.get("GGP_FUSED_MC_NUTS", "1") == "0":
             return None
         if os.environ.get("GGP_FAST_ELBO"):
             return None
@@ -164,7 +170,9 @@ class BayesianSparseGPR_HMC:
         return make_fused_hmc_multichain(self.train_x, self.train_y,
                                          self.jitter,
                                          num_chains=num_chains,
-                                         num_leapfrog=num_leapfrog)
+                                         num_leapfrog=num_leapfrog,
+                                         algo=algorithm,
+                                         max_depth=max_depth)
 
     def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,
                      algorithm="nuts", num_leapfrog=10, chunk_size=None):
@@ -174,12 +182,16 @@ class BayesianSparseGPR_HMC:
             cfg = NUTSConfig(num_warmup=num_warmup, num_samples=num_samples,
                              max_depth=max_depth, algorithm=algorithm,
                              num_leapfrog=num_leapfrog)
-            if algorithm == "nuts":
-                fused = self._fused_transition(max_depth, num_chains)
-            elif algorithm == "hmc" and num_chains > 1 and not chunk_size:
+            if num_chains > 1 and not chunk_size \
+                    and algorithm in ("hmc", "nuts"):
                 # build_sampler_chunked drives transitions singly — the
                 # chain-batched kernels only plug into build_sampler
-                fused = self._fused_multichain(num_chains, num_leapfrog)
+                fused = self._fused_multichain(num_chains, num_leapfrog,
+                                               algorithm, max_depth)
+                if fused is None and algorithm == "nuts":
+                    fused = self._fused_transition(max_depth, num_chains)
+            elif algorithm == "nuts":
+                fused = self._fused_transition(max_depth, num_chains)
             else:
                 fused = None
             pot = None if fused is not None else self._fused_potential()

@@ -144,7 +144,8 @@ class SGPMC:
         self.Z = params["Z"]
         return losses
 
-    def _fused_builder(self, algorithm, num_leapfrog, num_chains=1):
+    def _fused_builder(self, algorithm, num_leapfrog, num_chains=1,
+                       max_depth=8):
         """Whole-transition/whole-chunk Pallas kernels for the whitened
         JointHMC target (ops.fused_nuts target="sgpmc") — NUTS or the
         reference's fixed-leapfrog HMC protocol. Default-on on TPU for the
@@ -163,9 +164,11 @@ class SGPMC:
         if jax.default_backend() != "tpu" or self.mesh is not None:
             return None
         if num_chains != 1:
-            if algorithm != "hmc":
-                return None      # NUTS chains can't lock-step
-            return self._fused_multichain(num_chains, num_leapfrog)
+            if algorithm == "nuts" \
+                    and os.environ.get("GGP_FUSED_MC_NUTS", "1") == "0":
+                return None
+            return self._fused_multichain(num_chains, num_leapfrog,
+                                          algorithm, max_depth)
         if not (isinstance(self.kernel, Scale)
                 and type(self.kernel.base) is RBF and self.kernel.base.ard
                 and type(self.likelihood) is GaussianLikelihood
@@ -189,11 +192,13 @@ class SGPMC:
             return None
         return lambda data: builder(data[2])      # data = (X, y, Z)
 
-    def _fused_multichain(self, num_chains, num_leapfrog):
-        """Chain-batched fused HMC for the whitened JointHMC target
+    def _fused_multichain(self, num_chains, num_leapfrog, algorithm="hmc",
+                          max_depth=8):
+        """Chain-batched fused sampling for the whitened JointHMC target
         (ops.fused_multichain target="sgpmc"): C lock-step chains per
         Pallas call, one batched Kmm factorisation per leapfrog for all
-        chains. Structure gates mirror _fused_builder."""
+        chains — fixed-leapfrog HMC or lock-step multinomial NUTS
+        (round 3). Structure gates mirror _fused_builder."""
         from ..kernels.base import RBF, Scale
         from ..means import Zero
         from ..ops.fused_multichain import (fused_multichain_supported,
@@ -220,7 +225,9 @@ class SGPMC:
                                             self.jitter,
                                             num_chains=num_chains,
                                             num_leapfrog=num_leapfrog,
-                                            target="sgpmc")
+                                            target="sgpmc",
+                                            algo=algorithm,
+                                            max_depth=max_depth)
         if builder is None:
             return None
         return lambda data: builder(data[2])      # data = (X, y, Z)

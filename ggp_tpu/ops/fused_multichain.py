@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_bound import _dg, _round_up
+from .fused_nuts import _lae, _log_unif, _popcount32, _trailing_ones32
 
 __all__ = ["make_fused_hmc_multichain", "fused_multichain_supported",
            "FusedMultichainHMC"]
@@ -683,6 +684,254 @@ def _hmc_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, mh_u,
     return zp, Up, gp, accept_prob, diverging
 
 
+def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
+                             *, C, max_depth, leaf_rows):
+    """One multinomial-NUTS transition for C lock-step chains (round 3).
+
+    The per-chain doubling/subtree recursion of the single-chain kernel
+    (ops/fused_nuts._transition_inkernel) is flattened into ONE while loop
+    whose every tick leapfrogs ALL still-building chains through the shared
+    batched potential; per-chain tree bookkeeping (subtree boundaries,
+    progressive multinomial, U-turn closures) is masked (C,1) vector math.
+    Chains that finish early (U-turn / divergence / max depth) idle until
+    the slowest chain completes — the idle cost is bounded by the shared
+    panel loops that dominate each eval, exactly the lock-step economics
+    that make the batched HMC kernel 4x the XLA path (PERF.md round 3).
+
+    Checkpoint storage is VECTORISED, not ref-based: the z/v checkpoint
+    stacks live as loop-carried (C*(max_depth+1), 128) VALUES, written via
+    one-hot row masks and read back with one-hot gather matmuls — no
+    per-chain dynamic stores, no vector->scalar register round trips (the
+    89->47us/leaf lesson, PERF.md round 3).
+
+    Randomness: ``TR`` (C, 128) — per-chain doubling uniforms, lanes
+    [2*depth] = direction, [2*depth+1] = subtree swap-accept;
+    ``LU`` (C*leaf_rows, 128) — per-chain leaf uniforms indexed by the
+    chain's leaf counter (row c*leaf_rows + k>>7, lane k&127), matching the
+    single-chain indexing scheme (ops/fused_nuts._run_transition).
+
+    Returns (zp (C,128), Up (C,1), gp (C,128), accept (C,1),
+    diverging (C,1) f32, depth (C,1) i32, nl (C,1) i32, H0 (C,1)).
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    lane = jax.lax.broadcasted_iota(i32, (1, _LANES), 1)
+    D1 = max_depth + 1
+    CD1 = C * D1
+    CLR = C * leaf_rows
+    neg_inf = jnp.asarray(-jnp.inf, f32)
+
+    # block-selector P (CD1, C): row r belongs to chain c iff
+    # c*D1 <= r < (c+1)*D1 (built without integer division)
+    rowi = jax.lax.broadcasted_iota(i32, (CD1, 1), 0)
+    lo = jax.lax.broadcasted_iota(i32, (1, C), 1) * D1
+    P = ((rowi >= lo) & (rowi < lo + D1)).astype(f32)
+    # within-block slot index of each checkpoint row
+    s_iota = (rowi - jnp.sum(P * lo.astype(f32), axis=1,
+                             keepdims=True).astype(i32)).astype(f32)
+    # leaf-slab row selector bounds (CLR rows, leaf_rows per chain)
+    lr_lo = jax.lax.broadcasted_iota(i32, (1, CLR), 1)
+    cid = jax.lax.broadcasted_iota(i32, (C, 1), 0)
+
+    def pick_lane(rows, idx):
+        """rows (C,128), idx (C,1) i32 -> (C,1) masked-sum gather."""
+        return jnp.sum(rows * (lane == idx).astype(f32), axis=1,
+                       keepdims=True)
+
+    def leaf_u(k):
+        """k (C,1) i32 leaf counters -> (C,1) uniforms from LU."""
+        row_idx = cid * leaf_rows + jax.lax.shift_right_logical(
+            k, jnp.int32(7))
+        G = (row_idx == lr_lo).astype(f32)                  # (C, CLR)
+        rows = _dg(G, LU, 1, 0)                             # (C, 128)
+        return jnp.sum(rows * (lane == (k & 127)).astype(f32), axis=1,
+                       keepdims=True)
+
+    def kinetic(r):
+        return 0.5 * jnp.sum(inv_mass * r * r, axis=1, keepdims=True)
+
+    def row_dot(a, b):
+        return jnp.sum(a * b, axis=1, keepdims=True)
+
+    r0 = mom / jnp.sqrt(inv_mass)
+    H0 = U0 + kinetic(r0)
+    zeros_c1 = jnp.zeros((C, 1), f32)
+    false_c1 = jnp.zeros((C, 1), jnp.bool_)
+    izero = jnp.zeros((C, 1), i32)
+
+    u_dir0 = pick_lane(TR, jnp.zeros((C, 1), i32))
+    dirf0 = jnp.where(u_dir0 < 0.5, 1.0, -1.0).astype(f32)
+    u_swap0 = pick_lane(TR, jnp.ones((C, 1), i32))
+
+    init = (
+        # checkpoint stacks (values, not refs)
+        jnp.zeros((CD1, _LANES), f32), jnp.zeros((CD1, _LANES), f32),
+        # trajectory endpoints l/r: z, r, U, g
+        z0, r0, U0, g0, z0, r0, U0, g0,
+        # proposal + trajectory log-weight
+        z0, U0, g0, zeros_c1,
+        # current subtree: endpoint z/r/U/g, proposal z/U/g, logw, turn,
+        # div, acc, pending swap uniform
+        z0, r0, U0, g0, z0, U0, g0, jnp.full((C, 1), -jnp.inf, f32),
+        false_c1, false_c1, zeros_c1, u_swap0,
+        # counters: dirf, i, nleaf, nl0
+        dirf0, izero, jnp.ones((C, 1), i32), izero,
+        # trajectory: depth, turning, diverging, acc, nl, done
+        izero, false_c1, false_c1, zeros_c1, izero, false_c1,
+    )
+
+    def cond(carry):
+        done = carry[-1]
+        return ~jnp.all(done)
+
+    def body(carry):
+        (zc, vc, lz, lr_, lU, lg, rz, rr, rU, rg, zp, Up, gp, logw,
+         sz, sr, sU, sg, zps, Ups, gps, logw_sub, turn_sub, div_sub,
+         acc_sub, u_swap_reg, dirf, i, nleaf, nl0,
+         depth, turning, diverging, acc, nl, done) = carry
+        act = ~done
+
+        # ---- one leapfrog step for every still-building chain ----
+        eps_s = dirf * eps
+        r_half = sr - 0.5 * eps_s * sg
+        z_leap = sz + eps_s * inv_mass * r_half
+        # done chains re-evaluate at z0 (finite, well-conditioned) — their
+        # results are discarded by the masks below, and this keeps frozen
+        # NaN states of diverged chains out of the shared factorisation
+        z_eval = jnp.where(act, z_leap, z0)
+        U_new, g_new = pot(z_eval)
+        r_new = r_half - 0.5 * eps_s * g_new
+        v_new = inv_mass * r_new
+        H = U_new + kinetic(r_new)
+        delta = H - H0
+        delta = jnp.where(jnp.isnan(delta), jnp.asarray(jnp.inf, f32),
+                          delta)
+        div_leaf = delta > _DIVERGENCE_THRESHOLD
+        logw_leaf = -delta
+        sz1 = jnp.where(act, z_eval, sz)
+        sr1 = jnp.where(act, r_new, sr)
+        sU1 = jnp.where(act, U_new, sU)
+        sg1 = jnp.where(act, g_new, sg)
+        acc_sub1 = acc_sub + jnp.where(act, jnp.minimum(1.0,
+                                                        jnp.exp(-delta)),
+                                       0.0)
+        div_sub1 = div_sub | (act & div_leaf)
+
+        # ---- progressive multinomial within the subtree ----
+        logw_new = _lae(logw_sub, logw_leaf)
+        u_l = leaf_u(nl0 + i)
+        take = act & (_log_unif(u_l) < (logw_leaf - logw_new))
+        zps1 = jnp.where(take, z_eval, zps)
+        Ups1 = jnp.where(take, U_new, Ups)
+        gps1 = jnp.where(take, g_new, gps)
+        logw_sub1 = jnp.where(act, logw_new, logw_sub)
+
+        # ---- checkpoint writes (even leaves), one-hot masked ----
+        is_even = (i & 1) == 0
+        slot = _popcount32(i)
+        # NaN rows would contaminate other chains through the 0-weights of
+        # the P matmul; a NaN leaf diverges this very tick, so its
+        # checkpoint is never read — store zeros instead
+        z_st = jnp.where(jnp.isnan(z_eval), 0.0, z_eval)
+        v_st = jnp.where(jnp.isnan(v_new), 0.0, v_new)
+        wmask = ((s_iota == _dg(P, slot.astype(f32), 1, 0))
+                 & (_dg(P, (act & is_even).astype(f32), 1, 0) > 0.5))
+        zc1 = jnp.where(wmask, _dg(P, z_st, 1, 0), zc)
+        vc1 = jnp.where(wmask, _dg(P, v_st, 1, 0), vc)
+
+        # ---- U-turn closures (odd leaves), gather-based ----
+        t_ones = _trailing_ones32(i)
+        odd_act = act & (~is_even)
+
+        def close(mm, ts):
+            need = odd_act & (mm <= t_ones)
+
+            def run(ts):
+                j = i - jnp.left_shift(jnp.int32(1), mm) + 1
+                sj = _popcount32(j)
+                idx = cid * D1 + sj                         # (C,1)
+                cp_lo = jax.lax.broadcasted_iota(i32, (1, CD1), 1)
+                G = (idx == cp_lo).astype(f32)              # (C, CD1)
+                zcj = _dg(G, zc1, 1, 0)
+                vcj = _dg(G, vc1, 1, 0)
+                dz = dirf * (z_eval - zcj)
+                bad = (row_dot(dz, vcj) < 0.0) | (row_dot(dz, v_new) < 0.0)
+                return ts | (need & bad)
+
+            return jax.lax.cond(jnp.any(need), run, lambda ts: ts, ts)
+
+        turn_sub1 = close(jnp.int32(1), turn_sub)
+        turn_sub1 = jax.lax.fori_loop(
+            2, max_depth + 1, lambda mm, ts: close(mm, ts), turn_sub1)
+
+        i1 = jnp.where(act, i + 1, i)
+        nl1 = jnp.where(act, nl + 1, nl)
+
+        # ---- subtree completion: merge into the trajectory ----
+        comp = act & ((i1 >= nleaf) | turn_sub1 | div_sub1)
+        ok = comp & (~turn_sub1) & (~div_sub1)
+        take2 = ok & (_log_unif(u_swap_reg) < (logw_sub1 - logw))
+        zp1 = jnp.where(take2, zps1, zp)
+        Up1 = jnp.where(take2, Ups1, Up)
+        gp1 = jnp.where(take2, gps1, gp)
+        logw1 = jnp.where(ok, _lae(logw, logw_sub1), logw)
+        fwd = dirf > 0
+        adv_l = ok & (~fwd)
+        adv_r = ok & fwd
+        lz1 = jnp.where(adv_l, sz1, lz)
+        lr1 = jnp.where(adv_l, sr1, lr_)
+        lU1 = jnp.where(adv_l, sU1, lU)
+        lg1 = jnp.where(adv_l, sg1, lg)
+        rz1 = jnp.where(adv_r, sz1, rz)
+        rr1 = jnp.where(adv_r, sr1, rr)
+        rU1 = jnp.where(adv_r, sU1, rU)
+        rg1 = jnp.where(adv_r, sg1, rg)
+        dzt = rz1 - lz1
+        full_turn = (row_dot(dzt, inv_mass * lr1) < 0.0) | \
+                    (row_dot(dzt, inv_mass * rr1) < 0.0)
+        turning1 = jnp.where(comp, turn_sub1 | (ok & full_turn), turning)
+        diverging1 = diverging | (comp & div_sub1)
+        acc1 = acc + jnp.where(comp, acc_sub1, 0.0)
+        depth1 = jnp.where(comp, depth + 1, depth)
+        done1 = done | (comp & (turning1 | diverging1
+                                | (depth1 >= max_depth)))
+
+        # ---- next doubling for chains that completed and continue ----
+        start = comp & (~done1)
+        u_dir = pick_lane(TR, 2 * depth1)
+        u_swap_n = pick_lane(TR, 2 * depth1 + 1)
+        dirf_n = jnp.where(u_dir < 0.5, 1.0, -1.0).astype(f32)
+        fwd_n = dirf_n > 0
+        dirf1 = jnp.where(start, dirf_n, dirf)
+        sz2 = jnp.where(start, jnp.where(fwd_n, rz1, lz1), sz1)
+        sr2 = jnp.where(start, jnp.where(fwd_n, rr1, lr1), sr1)
+        sU2 = jnp.where(start, jnp.where(fwd_n, rU1, lU1), sU1)
+        sg2 = jnp.where(start, jnp.where(fwd_n, rg1, lg1), sg1)
+        i2 = jnp.where(start, 0, i1)
+        nleaf1 = jnp.where(start, jnp.left_shift(jnp.int32(1), depth1),
+                           nleaf)
+        nl01 = jnp.where(start, nl1, nl0)
+        logw_sub2 = jnp.where(start, neg_inf, logw_sub1)
+        turn_sub2 = jnp.where(start, False, turn_sub1)
+        div_sub2 = jnp.where(start, False, div_sub1)
+        acc_sub2 = jnp.where(start, 0.0, acc_sub1)
+        u_swap1 = jnp.where(start, u_swap_n, u_swap_reg)
+
+        return (zc1, vc1, lz1, lr1, lU1, lg1, rz1, rr1, rU1, rg1,
+                zp1, Up1, gp1, logw1,
+                sz2, sr2, sU2, sg2, zps1, Ups1, gps1, logw_sub2,
+                turn_sub2, div_sub2, acc_sub2, u_swap1,
+                dirf1, i2, nleaf1, nl01,
+                depth1, turning1, diverging1, acc1, nl1, done1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    (zp, Up, gp) = (out[10], out[11], out[12])
+    (depth, turning, diverging, acc, nl) = (out[30], out[31], out[32],
+                                            out[33], out[34])
+    accept = acc / jnp.maximum(nl.astype(f32), 1.0)
+    return (zp, Up, gp, accept, diverging.astype(f32), depth, nl, H0)
+
+
 _BATCHED_CORES = {}  # populated below (vfe / sgpmc)
 
 
@@ -773,6 +1022,43 @@ def _mc_potential_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
     gout_ref[:] = g
 
 
+def _stan_adapt_rows(zp, accept, da, wfm, wfm2, inv_mass, in_w, w_end,
+                     target_accept, adapt_mass, pick, lane8):
+    """Per-chain Stan warmup adaptation on (C,*) rows (dual averaging +
+    windowed Welford mass), shared by the HMC and NUTS chunk bodies.
+    Mirrors inference/hmc.py's single-chain schedule exactly."""
+    f32 = jnp.float32
+    le, lea, h, mu = (pick(da, 0), pick(da, 1), pick(da, 2), pick(da, 3))
+    tda, wfc = pick(da, 4), pick(da, 5)
+    le1, lea1, h1, mu1, tda1 = _da_update_rows(
+        le, lea, h, mu, tda, accept, target_accept)
+    wfm1, wfm21, wfc1, im1 = wfm, wfm2, wfc, inv_mass
+    if adapt_mass:
+        cnt1 = wfc + 1.0
+        delta = zp - wfm
+        mean1 = wfm + delta / cnt1
+        m21 = wfm2 + delta * (zp - mean1)
+        wfm1 = jnp.where(in_w, mean1, wfm)
+        wfm21 = jnp.where(in_w, m21, wfm2)
+        wfc1 = jnp.where(in_w, cnt1, wfc)
+        var = wfm21 / jnp.maximum(wfc1 - 1.0, 1.0)
+        var = ((wfc1 / (wfc1 + 5.0)) * var
+               + 1e-3 * (5.0 / (wfc1 + 5.0)))
+        im1 = jnp.where(w_end, var, inv_mass)
+        wfm1 = jnp.where(w_end, jnp.zeros_like(wfm1), wfm1)
+        wfm21 = jnp.where(w_end, jnp.zeros_like(wfm21), wfm21)
+        wfc1 = jnp.where(w_end, jnp.zeros_like(wfc1), wfc1)
+        # window end restarts dual averaging at current eps
+        lea1 = jnp.where(w_end, le1, lea1)
+        mu1 = jnp.where(w_end, jnp.log(10.0) + le1, mu1)
+        h1 = jnp.where(w_end, jnp.zeros_like(h1), h1)
+        tda1 = jnp.where(w_end, jnp.zeros_like(tda1), tda1)
+    da1 = (le1 * (lane8 == 0) + lea1 * (lane8 == 1)
+           + h1 * (lane8 == 2) + mu1 * (lane8 == 3)
+           + tda1 * (lane8 == 4) + wfc1 * (lane8 == 5)).astype(f32)
+    return da1, im1, wfm1, wfm21
+
+
 def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
                         im_ref, wfm_ref, wfm2_ref, mom_ref, mh_ref,
                         x_ref, y_ref, zz_ref,
@@ -809,9 +1095,7 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
         z, g, U, da, inv_mass, wfm, wfm2, accs, divs = carry
 
         def run(_):
-            le, lea, h, mu = (pick(da, 0), pick(da, 1), pick(da, 2),
-                              pick(da, 3))
-            tda, wfc = pick(da, 4), pick(da, 5)
+            le = pick(da, 0)
             # mask padding-lane momenta: otherwise z's pad lanes random-walk
             # and pollute the Welford mass estimate across windows
             mom = mom_ref[pl.ds(t * C, C), :] * dmask
@@ -820,34 +1104,10 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
             zp, Up, gp, accept, div = _hmc_transition_batched(
                 z, pick(U, 0), g, eps, inv_mass, pot, mom, mh_u,
                 num_leapfrog)
-            le1, lea1, h1, mu1, tda1 = _da_update_rows(
-                le, lea, h, mu, tda, accept, target_accept)
-            wfm1, wfm21, wfc1, im1 = wfm, wfm2, wfc, inv_mass
-            if adapt_mass:
-                in_w = flags_ref[t] > 0
-                w_end = flags_ref[chunk + t] > 0
-                cnt1 = wfc + 1.0
-                delta = zp - wfm
-                mean1 = wfm + delta / cnt1
-                m21 = wfm2 + delta * (zp - mean1)
-                wfm1 = jnp.where(in_w, mean1, wfm)
-                wfm21 = jnp.where(in_w, m21, wfm2)
-                wfc1 = jnp.where(in_w, cnt1, wfc)
-                var = wfm21 / jnp.maximum(wfc1 - 1.0, 1.0)
-                var = ((wfc1 / (wfc1 + 5.0)) * var
-                       + 1e-3 * (5.0 / (wfc1 + 5.0)))
-                im1 = jnp.where(w_end, var, inv_mass)
-                wfm1 = jnp.where(w_end, jnp.zeros_like(wfm1), wfm1)
-                wfm21 = jnp.where(w_end, jnp.zeros_like(wfm21), wfm21)
-                wfc1 = jnp.where(w_end, jnp.zeros_like(wfc1), wfc1)
-                # window end restarts dual averaging at current eps
-                lea1 = jnp.where(w_end, le1, lea1)
-                mu1 = jnp.where(w_end, jnp.log(10.0) + le1, mu1)
-                h1 = jnp.where(w_end, jnp.zeros_like(h1), h1)
-                tda1 = jnp.where(w_end, jnp.zeros_like(tda1), tda1)
-            da1 = (le1 * (lane8 == 0) + lea1 * (lane8 == 1)
-                   + h1 * (lane8 == 2) + mu1 * (lane8 == 3)
-                   + tda1 * (lane8 == 4) + wfc1 * (lane8 == 5)).astype(f32)
+            da1, im1, wfm1, wfm21 = _stan_adapt_rows(
+                zp, accept, da, wfm, wfm2, inv_mass,
+                flags_ref[t] > 0, flags_ref[chunk + t] > 0,
+                target_accept, adapt_mass, pick, lane8)
             U1 = Up * (lane8 == 0).astype(f32)
             return (zp, gp, U1, da1, im1, wfm1, wfm21,
                     accs + accept, divs + div)
@@ -923,6 +1183,136 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
     uout_ref[:] = U
 
 
+def _mc_nuts_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref,
+                             da_ref, im_ref, wfm_ref, wfm2_ref, mom_ref,
+                             treeu_ref, leafu_ref, x_ref, y_ref, zz_ref,
+                             zout_ref, gout_ref, uout_ref, daout_ref,
+                             imout_ref, wfmout_ref, wfm2out_ref, statout_ref,
+                             Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
+                             *, n, m, d, jitter, block, chunk, C,
+                             max_depth, leaf_rows, target_accept,
+                             adapt_mass, core="vfe", stream_nb=None):
+    """``chunk`` warmup NUTS transitions for C lock-step chains with
+    per-chain Stan adaptation — the NUTS counterpart of
+    :func:`_mc_warm_chunk_body` (same refs except mh -> treeu+leafu).
+    statout (C,8) lanes: [acc_sum, div_sum, leaves_sum, depth_sum]."""
+    f32 = jnp.float32
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _DA_LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    _dim = d + 2 + (m if core == "sgpmc" else 0)
+    dmask = (lane < _dim).astype(f32)
+    pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
+                            jitter, block, C, core,
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
+    n_active = scal_ref[0].astype(jnp.int32)
+
+    def pick(rows8, i):
+        return jnp.sum(rows8 * (lane8 == i).astype(f32), axis=1,
+                       keepdims=True)
+
+    def step(t, carry):
+        z, g, U, da, inv_mass, wfm, wfm2, accs, divs, lvs, dps = carry
+
+        def run(_):
+            mom = mom_ref[pl.ds(t * C, C), :] * dmask
+            TR = treeu_ref[pl.ds(t * C, C), :]
+            LU = leafu_ref[pl.ds(t * C * leaf_rows, C * leaf_rows), :]
+            eps = jnp.exp(pick(da, 0))
+            zp, Up, gp, accept, div, dep, nlv, _H0 = _nuts_transition_batched(
+                z, pick(U, 0), g, eps, inv_mass, pot, mom, TR, LU,
+                C=C, max_depth=max_depth, leaf_rows=leaf_rows)
+            da1, im1, wfm1, wfm21 = _stan_adapt_rows(
+                zp, accept, da, wfm, wfm2, inv_mass,
+                flags_ref[t] > 0, flags_ref[chunk + t] > 0,
+                target_accept, adapt_mass, pick, lane8)
+            U1 = Up * (lane8 == 0).astype(f32)
+            return (zp, gp, U1, da1, im1, wfm1, wfm21, accs + accept,
+                    divs + div, lvs + nlv.astype(f32),
+                    dps + dep.astype(f32))
+
+        return jax.lax.cond(t < n_active, run, lambda _: carry, 0)
+
+    zero_c1 = jnp.zeros((C, 1), f32)
+    init = (z_ref[:], g_ref[:], u_ref[:], da_ref[:], im_ref[:], wfm_ref[:],
+            wfm2_ref[:], zero_c1, zero_c1, zero_c1, zero_c1)
+    (z, g, U, da, inv_mass, wfm, wfm2, accs, divs, lvs, dps) = \
+        jax.lax.fori_loop(0, chunk, step, init)
+    zout_ref[:] = z
+    gout_ref[:] = g
+    uout_ref[:] = U
+    daout_ref[:] = da
+    imout_ref[:] = inv_mass
+    wfmout_ref[:] = wfm
+    wfm2out_ref[:] = wfm2
+    statout_ref[:] = (accs * (lane8 == 0).astype(f32)
+                      + divs * (lane8 == 1).astype(f32)
+                      + lvs * (lane8 == 2).astype(f32)
+                      + dps * (lane8 == 3).astype(f32))
+
+
+def _mc_nuts_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref,
+                               im_ref, mom_ref, treeu_ref, leafu_ref,
+                               x_ref, y_ref, zz_ref,
+                               zsout_ref, accout_ref, divout_ref,
+                               depout_ref, nlout_ref, zout_ref, gout_ref,
+                               uout_ref,
+                               Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
+                               *, n, m, d, jitter, block, chunk, C,
+                               max_depth, leaf_rows, core="vfe",
+                               stream_nb=None):
+    """``chunk`` sampling NUTS transitions at per-chain fixed eps.
+    zsout (chunk*C, 128); acc/div/depth/nleaves (chunk, 128) lane c =
+    chain c. scal_ref (SMEM f32, 1): n_active."""
+    f32 = jnp.float32
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _DA_LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    _dim = d + 2 + (m if core == "sgpmc" else 0)
+    dmask = (lane < _dim).astype(f32)
+    cmask = (lane < C).astype(f32)
+    pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
+                            jitter, block, C, core,
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
+    n_active = scal_ref[0].astype(jnp.int32)
+    eps = jnp.sum(eps_ref[:] * (lane8 == 0).astype(f32), axis=1,
+                  keepdims=True)                            # (C,1)
+
+    zsout_ref[:] = jnp.zeros((chunk * C, _LANES), f32)
+    accout_ref[:] = jnp.zeros((chunk, _LANES), f32)
+    divout_ref[:] = jnp.zeros((chunk, _LANES), f32)
+    depout_ref[:] = jnp.zeros((chunk, _LANES), f32)
+    nlout_ref[:] = jnp.zeros((chunk, _LANES), f32)
+
+    def step(t, carry):
+        z, g, U = carry
+
+        def run(_):
+            mom = mom_ref[pl.ds(t * C, C), :] * dmask
+            TR = treeu_ref[pl.ds(t * C, C), :]
+            LU = leafu_ref[pl.ds(t * C * leaf_rows, C * leaf_rows), :]
+            zp, Up, gp, accept, div, dep, nlv, _H0 = _nuts_transition_batched(
+                z, jnp.sum(U * (lane8 == 0).astype(f32), axis=1,
+                           keepdims=True),
+                g, eps, im_ref[:], pot, mom, TR, LU,
+                C=C, max_depth=max_depth, leaf_rows=leaf_rows)
+            zsout_ref[pl.ds(t * C, C), :] = zp
+            accout_ref[pl.ds(t, 1), :] = _dg(accept, sel, 0, 0) * cmask
+            divout_ref[pl.ds(t, 1), :] = _dg(div, sel, 0, 0) * cmask
+            depout_ref[pl.ds(t, 1), :] = _dg(dep.astype(f32), sel,
+                                             0, 0) * cmask
+            nlout_ref[pl.ds(t, 1), :] = _dg(nlv.astype(f32), sel,
+                                            0, 0) * cmask
+            return (zp, gp, Up * (lane8 == 0).astype(f32))
+
+        return jax.lax.cond(t < n_active, run, lambda _: carry, 0)
+
+    sel = _chain_sel(C)
+    z, g, U = jax.lax.fori_loop(0, chunk, step,
+                                (z_ref[:], g_ref[:], u_ref[:]))
+    zout_ref[:] = z
+    gout_ref[:] = g
+    uout_ref[:] = U
+
+
 class FusedMultichainHMC(NamedTuple):
     potential: Callable       # (C, dim) -> (U (C,), g (C, dim))
     warm_chunk: Callable
@@ -932,6 +1322,8 @@ class FusedMultichainHMC(NamedTuple):
     num_leapfrog: int
     target_accept: float
     adapt_mass: bool
+    algo: str = "hmc"         # "hmc" (fixed leapfrog) or "nuts" (round 3)
+    max_depth: int = 0        # NUTS only
 
 
 def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
@@ -940,12 +1332,18 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
                               adapt_mass: bool = True, block: int = 32,
                               target: str = "vfe",
                               stream_block: int = MC_STREAM_NB,
+                              algo: str = "hmc", max_depth: int = 8,
                               interpret: bool = False):
     """Factory: ``builder(Z) -> FusedMultichainHMC`` or None outside the
     envelope. All chains advance lock-step inside one kernel call.
 
     ``target``: "vfe" (BayesianSGPR_HMC hyper posterior) or "sgpmc"
     (whitened JointHMC over (hypers, v); per-chain state dim d+2+M).
+
+    ``algo``: "hmc" (fixed-leapfrog, ``num_leapfrog`` steps) or "nuts"
+    (round 3: lock-step multinomial NUTS via
+    :func:`_nuts_transition_batched`; ``num_leapfrog`` is ignored and the
+    per-transition tree is capped at ``max_depth``).
 
     For the vfe target at n > MAX_N_MULTICHAIN, X/y stay in HBM and every
     chain's gram passes share double-buffered (stream_block, 128) row
@@ -1017,40 +1415,75 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
             compiler_params=cparams,
             interpret=interpret,
         )
-        warm_call = pl.pallas_call(
-            partial(_mc_warm_chunk_body, chunk=chunk,
-                    num_leapfrog=num_leapfrog,
-                    target_accept=target_accept, adapt_mass=adapt_mass,
-                    **common),
-            out_shape=(jax.ShapeDtypeStruct((C, _LANES), f32),    # z
-                       jax.ShapeDtypeStruct((C, _LANES), f32),    # g
-                       jax.ShapeDtypeStruct((C, _DA_LANES), f32),  # U
-                       jax.ShapeDtypeStruct((C, _DA_LANES), f32),  # da
-                       jax.ShapeDtypeStruct((C, _LANES), f32),    # inv mass
-                       jax.ShapeDtypeStruct((C, _LANES), f32),    # wfm
-                       jax.ShapeDtypeStruct((C, _LANES), f32),    # wfm2
-                       jax.ShapeDtypeStruct((C, _DA_LANES), f32)),  # stats
-            in_specs=[smem, smem] + [vmem] * 9 + [xy, xy, vmem],
-            out_specs=(vmem,) * 8,
-            scratch_shapes=_scratch(),
-            compiler_params=cparams,
-            interpret=interpret,
-        )
-        sample_call = pl.pallas_call(
-            partial(_mc_sample_chunk_body, chunk=chunk,
-                    num_leapfrog=num_leapfrog, **common),
-            out_shape=(jax.ShapeDtypeStruct((chunk * C, _LANES), f32),
-                       jax.ShapeDtypeStruct((chunk, _LANES), f32),
-                       jax.ShapeDtypeStruct((chunk, _LANES), f32),
-                       jax.ShapeDtypeStruct((C, _LANES), f32),
-                       jax.ShapeDtypeStruct((C, _LANES), f32),
-                       jax.ShapeDtypeStruct((C, _DA_LANES), f32)),
-            in_specs=[smem] + [vmem] * 7 + [xy, xy, vmem],
-            out_specs=(vmem,) * 6,
-            scratch_shapes=_scratch(),
-            compiler_params=cparams,
-            interpret=interpret,
-        )
+        warm_state_shapes = (
+            jax.ShapeDtypeStruct((C, _LANES), f32),     # z
+            jax.ShapeDtypeStruct((C, _LANES), f32),     # g
+            jax.ShapeDtypeStruct((C, _DA_LANES), f32),  # U
+            jax.ShapeDtypeStruct((C, _DA_LANES), f32),  # da
+            jax.ShapeDtypeStruct((C, _LANES), f32),     # inv mass
+            jax.ShapeDtypeStruct((C, _LANES), f32),     # wfm
+            jax.ShapeDtypeStruct((C, _LANES), f32),     # wfm2
+            jax.ShapeDtypeStruct((C, _DA_LANES), f32))  # stats
+        leaf_rows = max(1, (1 << max_depth) >> 7)
+        if algo == "nuts":
+            warm_call = pl.pallas_call(
+                partial(_mc_nuts_warm_chunk_body, chunk=chunk,
+                        max_depth=max_depth, leaf_rows=leaf_rows,
+                        target_accept=target_accept, adapt_mass=adapt_mass,
+                        **common),
+                out_shape=warm_state_shapes,
+                in_specs=[smem, smem] + [vmem] * 10 + [xy, xy, vmem],
+                out_specs=(vmem,) * 8,
+                scratch_shapes=_scratch(),
+                compiler_params=cparams,
+                interpret=interpret,
+            )
+            sample_call = pl.pallas_call(
+                partial(_mc_nuts_sample_chunk_body, chunk=chunk,
+                        max_depth=max_depth, leaf_rows=leaf_rows,
+                        **common),
+                out_shape=(jax.ShapeDtypeStruct((chunk * C, _LANES), f32),
+                           jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                           jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                           jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                           jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                           jax.ShapeDtypeStruct((C, _LANES), f32),
+                           jax.ShapeDtypeStruct((C, _LANES), f32),
+                           jax.ShapeDtypeStruct((C, _DA_LANES), f32)),
+                in_specs=[smem] + [vmem] * 8 + [xy, xy, vmem],
+                out_specs=(vmem,) * 8,
+                scratch_shapes=_scratch(),
+                compiler_params=cparams,
+                interpret=interpret,
+            )
+        else:
+            warm_call = pl.pallas_call(
+                partial(_mc_warm_chunk_body, chunk=chunk,
+                        num_leapfrog=num_leapfrog,
+                        target_accept=target_accept, adapt_mass=adapt_mass,
+                        **common),
+                out_shape=warm_state_shapes,
+                in_specs=[smem, smem] + [vmem] * 9 + [xy, xy, vmem],
+                out_specs=(vmem,) * 8,
+                scratch_shapes=_scratch(),
+                compiler_params=cparams,
+                interpret=interpret,
+            )
+            sample_call = pl.pallas_call(
+                partial(_mc_sample_chunk_body, chunk=chunk,
+                        num_leapfrog=num_leapfrog, **common),
+                out_shape=(jax.ShapeDtypeStruct((chunk * C, _LANES), f32),
+                           jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                           jax.ShapeDtypeStruct((chunk, _LANES), f32),
+                           jax.ShapeDtypeStruct((C, _LANES), f32),
+                           jax.ShapeDtypeStruct((C, _LANES), f32),
+                           jax.ShapeDtypeStruct((C, _DA_LANES), f32)),
+                in_specs=[smem] + [vmem] * 7 + [xy, xy, vmem],
+                out_specs=(vmem,) * 6,
+                scratch_shapes=_scratch(),
+                compiler_params=cparams,
+                interpret=interpret,
+            )
         Zp = jnp.zeros((Mp, _LANES), f32).at[:m, :d].set(Z.astype(f32))
 
         def _pad_rows(v, fill=0.0):
@@ -1062,6 +1495,14 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
             mom = jax.random.normal(k1, (k_steps * C, _LANES), f32)
             mh = jax.random.uniform(k2, (k_steps, _LANES), f32)
             return mom, mh
+
+        def _rand_nuts(key, k_steps):
+            k1, k2, k3 = jax.random.split(key, 3)
+            mom = jax.random.normal(k1, (k_steps * C, _LANES), f32)
+            treeu = jax.random.uniform(k2, (k_steps * C, _LANES), f32)
+            leafu = jax.random.uniform(
+                k3, (k_steps * C * leaf_rows, _LANES), f32)
+            return mom, treeu, leafu
 
         def potential(zrows):
             zp = jnp.zeros((C, _LANES), f32).at[:, :dim].set(
@@ -1082,38 +1523,52 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
             """da_cols: tuple of (C,) arrays (log_eps, log_eps_avg, h, mu,
             t); wf: (mean (C,dim), m2 (C,dim), count (C,)). Returns updated
             state + per-chain (acc_sum, div_sum)."""
-            mom, mh = _rand(key, chunk)
             scal = jnp.asarray([n_active], f32)
             flags = jnp.concatenate([in_w.astype(jnp.int32),
                                      w_end.astype(jnp.int32)])
             da8 = _da_pack(*da_cols, wf[2])
             urow = jnp.zeros((C, _DA_LANES), f32).at[:, 0].set(
                 U.astype(f32))
-            (zo, go, uo, dao, imo, wfmo, wfm2o, st) = warm_call(
-                scal, flags, _pad_rows(z), _pad_rows(g), urow, da8,
-                _pad_rows(inv_mass, 1.0), _pad_rows(wf[0]),
-                _pad_rows(wf[1]), mom, mh, Xp, yp, Zp)
+            state = (scal, flags, _pad_rows(z), _pad_rows(g), urow, da8,
+                     _pad_rows(inv_mass, 1.0), _pad_rows(wf[0]),
+                     _pad_rows(wf[1]))
+            if algo == "nuts":
+                mom, treeu, leafu = _rand_nuts(key, chunk)
+                (zo, go, uo, dao, imo, wfmo, wfm2o, st) = warm_call(
+                    *state, mom, treeu, leafu, Xp, yp, Zp)
+            else:
+                mom, mh = _rand(key, chunk)
+                (zo, go, uo, dao, imo, wfmo, wfm2o, st) = warm_call(
+                    *state, mom, mh, Xp, yp, Zp)
             da_out = tuple(dao[:, i] for i in range(5))
             wf_out = (wfmo[:, :dim], wfm2o[:, :dim], dao[:, 5])
             return (zo[:, :dim], uo[:, 0], go[:, :dim], da_out, wf_out,
                     imo[:, :dim], st[:, 0], st[:, 1])
 
         def sample_chunk(z, U, g, key, eps, inv_mass, n_active):
-            mom, mh = _rand(key, chunk)
             scal = jnp.asarray([n_active], f32)
             epsrow = jnp.zeros((C, _DA_LANES), f32).at[:, 0].set(
                 eps.astype(f32))
             urow = jnp.zeros((C, _DA_LANES), f32).at[:, 0].set(
                 U.astype(f32))
+            state = (scal, _pad_rows(z), _pad_rows(g), urow, epsrow,
+                     _pad_rows(inv_mass, 1.0))
+            if algo == "nuts":
+                mom, treeu, leafu = _rand_nuts(key, chunk)
+                zs, acc, div, dep, nlv, zo, go, uo = sample_call(
+                    *state, mom, treeu, leafu, Xp, yp, Zp)
+                zs = zs.reshape(chunk, C, _LANES)[:, :, :dim]
+                return (zs, zo[:, :dim], uo[:, 0], go[:, :dim],
+                        acc[:, :C], div[:, :C], dep[:, :C], nlv[:, :C])
+            mom, mh = _rand(key, chunk)
             zs, acc, div, zo, go, uo = sample_call(
-                scal, _pad_rows(z), _pad_rows(g), urow, epsrow,
-                _pad_rows(inv_mass, 1.0), mom, mh, Xp, yp, Zp)
+                *state, mom, mh, Xp, yp, Zp)
             zs = zs.reshape(chunk, C, _LANES)[:, :, :dim]
             return (zs, zo[:, :dim], uo[:, 0], go[:, :dim],
                     acc[:, :C], div[:, :C])
 
         return FusedMultichainHMC(potential, warm_chunk, sample_chunk,
                                   chunk, C, num_leapfrog, target_accept,
-                                  adapt_mass)
+                                  adapt_mass, algo, max_depth)
 
     return builder

@@ -209,6 +209,150 @@ def test_multichain_sgpmc_potential_and_chunks(problem):
     assert np.mean(np.concatenate(accs)) > 0.4
 
 
+def test_nuts_batched_equals_per_chain():
+    """Lock-step masking correctness: C chains advanced jointly through
+    _nuts_transition_batched give bitwise the same result as each chain
+    run alone with its own randomness rows (the potential is elementwise,
+    so batching cannot change the arithmetic — only the masking can)."""
+    from ggp_tpu.ops.fused_multichain import _nuts_transition_batched
+
+    f32 = jnp.float32
+    C, dim, max_depth = 3, 5, 5
+    leaf_rows = 1
+    lane = jnp.arange(128)
+    dmask = (lane < dim).astype(f32)
+    a = (0.5 + jnp.arange(128, dtype=f32) % 7) * dmask       # curvatures
+
+    def pot(z):
+        U = 0.5 * jnp.sum(a * z * z, axis=1, keepdims=True)
+        return U, a * z
+
+    rng = np.random.default_rng(21)
+    z0 = jnp.asarray(rng.normal(size=(C, 128)) * dmask[None], f32)
+    # per-chain step sizes spread so tree depths differ across chains
+    eps = jnp.asarray([[0.1], [0.45], [0.9]], f32)
+    inv_mass = jnp.ones((C, 128), f32)
+    U0, g0 = pot(z0)
+    mom = jnp.asarray(rng.normal(size=(C, 128)), f32) * dmask[None]
+    TR = jnp.asarray(rng.uniform(size=(C, 128)), f32)
+    LU = jnp.asarray(rng.uniform(size=(C * leaf_rows, 128)), f32)
+
+    run = jax.jit(lambda z, U, g, e, im, m, tr, lu, c: (
+        _nuts_transition_batched(z, U, g, e, im, pot, m, tr, lu,
+                                 C=c, max_depth=max_depth,
+                                 leaf_rows=leaf_rows)), static_argnums=8)
+    joint = run(z0, U0, g0, eps, inv_mass, mom, TR, LU, C)
+    dep_j = np.asarray(joint[5])[:, 0]
+    assert len(set(dep_j.tolist())) > 1     # chains really took different trees
+    for c in range(C):
+        sl = slice(c, c + 1)
+        single = run(z0[sl], U0[sl], g0[sl], eps[sl], inv_mass[sl],
+                     mom[sl], TR[sl],
+                     LU[c * leaf_rows:(c + 1) * leaf_rows], 1)
+        for j_out, s_out, name in zip(joint, single,
+                                      ["zp", "Up", "gp", "acc", "div",
+                                       "dep", "nl", "H0"]):
+            np.testing.assert_array_equal(
+                np.asarray(j_out[sl]), np.asarray(s_out),
+                err_msg=f"chain {c} field {name}")
+
+
+def test_nuts_batched_gaussian_moments():
+    """Distributional correctness of the lock-step NUTS tree logic: 4
+    chains x 400 transitions on an anisotropic Gaussian recover its
+    moments. Pure-XLA (no Pallas) so it is cheap on CPU."""
+    from ggp_tpu.ops.fused_multichain import _nuts_transition_batched
+
+    f32 = jnp.float32
+    C, dim, max_depth = 4, 3, 6
+    leaf_rows = 1
+    lane = jnp.arange(128)
+    dmask = (lane < dim).astype(f32)
+    sig2 = jnp.asarray([1.0, 4.0, 0.25], f32)
+    prec = jnp.zeros(128, f32).at[:dim].set(1.0 / sig2)
+
+    def pot(z):
+        U = 0.5 * jnp.sum(prec * z * z, axis=1, keepdims=True)
+        return U, prec * z
+
+    T = 400
+    key = jax.random.PRNGKey(3)
+    k_m, k_t, k_l, k_z = jax.random.split(key, 4)
+    moms = jax.random.normal(k_m, (T, C, 128), f32) * dmask
+    TRs = jax.random.uniform(k_t, (T, C, 128), f32)
+    LUs = jax.random.uniform(k_l, (T, C * leaf_rows, 128), f32)
+    z0 = jax.random.normal(k_z, (C, 128), f32) * dmask
+    eps = jnp.full((C, 1), 0.25, f32)
+    inv_mass = jnp.ones((C, 128), f32)
+    U0, g0 = pot(z0)
+
+    def step(carry, xs):
+        z, U, g = carry
+        mom, TR, LU = xs
+        zp, Up, gp, *_ = _nuts_transition_batched(
+            z, U, g, eps, inv_mass, pot, mom, TR, LU,
+            C=C, max_depth=max_depth, leaf_rows=leaf_rows)
+        return (zp, Up, gp), zp
+
+    _, zs = jax.jit(lambda c, xs: jax.lax.scan(step, c, xs))(
+        (z0, U0, g0), (moms, TRs, LUs))
+    draws = np.asarray(zs)[100:, :, :dim].reshape(-1, dim)   # burn 100
+    se = np.sqrt(np.asarray(sig2)) / np.sqrt(len(draws) / 10.0)
+    assert np.all(np.abs(draws.mean(0)) < 4 * se), draws.mean(0)
+    np.testing.assert_allclose(draws.var(0), np.asarray(sig2),
+                               rtol=0.25)
+
+
+def test_multichain_nuts_sampler_end_to_end(problem):
+    """Lock-step multichain NUTS inside the Pallas chunk kernels
+    (interpret): sample chunks move with healthy accepts and real tree
+    depths, and the integrated build_sampler path plumbs depth/leaf
+    stats through."""
+    from ggp_tpu.inference.hmc import NUTSConfig, build_sampler
+
+    X, y, Z, d = problem
+    C = 2
+    builder = make_fused_hmc_multichain(X, y, 1e-6, num_chains=C, chunk=4,
+                                        algo="nuts", max_depth=5,
+                                        interpret=True)
+    fused = builder(Z)
+    assert fused.algo == "nuts" and fused.max_depth == 5
+
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.normal(size=(C, d + 2)) * 0.3, jnp.float32)
+    U, g = fused.potential(z)
+    inv_mass = jnp.ones((C, d + 2), jnp.float32)
+    eps = jnp.full((C,), 0.1, jnp.float32)
+    key = jax.random.PRNGKey(2)
+    accs, deps = [], []
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        zs, z, U, g, acc, div, dep, nlv = fused.sample_chunk(
+            z, U, g, k, eps, inv_mass, 4)
+        accs.append(np.asarray(acc))
+        deps.append(np.asarray(dep))
+        assert not np.any(np.asarray(div) > 0.5)
+        assert np.all(np.isfinite(np.asarray(zs)))
+        nlv = np.asarray(nlv)
+        assert np.all(nlv >= 1) and np.all(nlv < 2 ** 5 + 1)
+    assert np.mean(np.concatenate(accs)) > 0.4
+    assert np.concatenate(deps).max() >= 1        # real doubling happened
+
+    cfg = NUTSConfig(num_warmup=12, num_samples=8, algorithm="nuts",
+                     max_depth=5)
+    init = {"v": jnp.zeros(d + 2, jnp.float32)}
+    sampler = build_sampler(lambda p, Z_: 0.0, init, cfg, num_chains=C,
+                            fused_builder=lambda Z_: builder(Z_))
+    samples, stats = sampler(init, jax.random.PRNGKey(0), Z)
+    zs = np.asarray(samples["v"])
+    assert zs.shape == (C, 8, d + 2)
+    assert np.all(np.isfinite(zs))
+    assert not np.allclose(zs[0], zs[1])
+    dep = np.asarray(stats["depth"])
+    assert dep.shape == (C, 8) and dep.max() >= 1
+    assert np.all(np.asarray(stats["n_leapfrog"]) >= 1)
+
+
 def test_streaming_multichain_potential_and_chunks(problem, monkeypatch):
     """vfe-core multichain N-streaming (round 3): with the resident cap
     forced low, the HBM block-streaming batched potential must match the

@@ -257,6 +257,12 @@ STREAM_NB = 1024
 # bound set by per-eval wall (2 HBM passes/eval) rather than memory; covers
 # protein (N_train = 36,584, utils/dataset.py:200-208)
 MAX_N_STREAM = 49152
+# inducing-point cap (round 3: 256 -> 512, covering the reference's
+# sensitivity sweep M in {100..500}, experiments/sensitivity_analysis.py);
+# above Mp=256 the resident path's (Np,Mp) value set can exceed the
+# compiler's conservative 16 MB scoped-VMEM default, so the factory raises
+# vmem_limit_bytes when the static estimate calls for it
+MAX_M = 512
 
 
 def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block,
@@ -588,7 +594,7 @@ class FusedNUTS(NamedTuple):
 
 
 def fused_nuts_supported(n: int, d: int, m: int, *, max_n: int | None = None,
-                         max_m: int = 256) -> bool:
+                         max_m: int = MAX_M) -> bool:
     """Size envelope for the vfe target. Up to MAX_N_RESIDENT rows X/y are
     VMEM-resident; past that the streaming path (HBM double-buffered row
     blocks) carries it to MAX_N_STREAM. Targets without a streaming
@@ -600,7 +606,7 @@ def fused_nuts_supported(n: int, d: int, m: int, *, max_n: int | None = None,
 
 def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
                     block: int = 32, interpret: bool = False,
-                    max_n: int | None = None, max_m: int = 256,
+                    max_n: int | None = None, max_m: int = MAX_M,
                     chunk: int = 16,
                     target_accept: float = 0.8, adapt_mass: bool = True,
                     target: str = "vfe", algorithm: str = "nuts",
@@ -689,11 +695,19 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
                           core=target, stream_nb=stream_nb)
 
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-        # the dense-GPR core's (Np x Np) buffers exceed the compiler's
-        # default 16 MB scoped-VMEM budget at N=512; raise the cap (v5e
-        # VMEM is far larger than the conservative default)
+        # the dense-GPR core's (Np x Np) buffers — and the resident vfe
+        # core's (Np,Mp) value set at large M (round 3: max_m 256 -> 512)
+        # — exceed the compiler's default 16 MB scoped-VMEM budget; raise
+        # the cap when the static estimate calls for it (v5e VMEM has
+        # headroom over the conservative default)
+        # Mp > 128 covers the round-3 M extension: at M=500 the compiler's
+        # scoped-stack accounting for the resident vfe kernels reaches
+        # ~35 MB (measured), far past any hand estimate of the named
+        # buffers — so gate on shape class, not a byte estimate. The
+        # flagship Mp=128 resident config keeps the compiler default.
+        big = target == "gpr" or Mp > _LANES
         cparams = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-                   if target == "gpr" and not interpret else None)
+                   if big and not interpret else None)
         # streaming: X/y stay off-chip (compiler-chosen = HBM at this size)
         # and the kernels DMA row blocks into double buffers
         xy = (pl.BlockSpec(memory_space=pl.ANY)

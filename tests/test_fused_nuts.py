@@ -40,7 +40,10 @@ def test_supported_envelope():
     # targets without streaming cap at the resident envelope
     assert not fused_nuts_supported(10_000, 13, 100, max_n=MAX_N_RESIDENT)
     assert not fused_nuts_supported(404, 130, 100)
-    assert not fused_nuts_supported(404, 13, 500)
+    # round 3: M envelope 256 -> 512 covers the reference's sensitivity
+    # sweep (M in {100..500}, experiments/sensitivity_analysis.py)
+    assert fused_nuts_supported(404, 13, 500)
+    assert not fused_nuts_supported(404, 13, 513)
 
 
 def test_inkernel_potential_matches_xla(problem):
@@ -54,6 +57,30 @@ def test_inkernel_potential_matches_xla(problem):
     np.testing.assert_allclose(float(U_k), float(U_x), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_inkernel_potential_matches_xla_large_m(problem):
+    """M > 256 (round 3 envelope extension): multi-panel factorisations at
+    Mp=384 must still match the XLA potential (M=260 -> 3 lane panels,
+    an odd pad tail, and 12 Cholesky panels at block=32)."""
+    rng = np.random.default_rng(11)
+    n, m, d = 64, 260, 3
+    X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.normal(size=n),
+                    jnp.float32)
+    Z = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    builder = make_fused_nuts(X, y, 1e-6, interpret=True)
+    _, pot_kernel = builder(Z)
+    pot_xla = make_rbf_vfe_potential(X, y, 1e-6)
+    zvec = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
+    U_k, g_k = jax.jit(pot_kernel)(zvec)
+    U_x, g_x = jax.jit(lambda v: pot_xla(v, Z))(zvec)
+    # 260 random inducing rows in 3-D give a near-singular Kmm — blocked
+    # vs XLA factorisation orders differ at f32 roundoff, so the value
+    # tolerance is looser than the well-conditioned small-M test above
+    np.testing.assert_allclose(float(U_k), float(U_x), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_transition_moves_and_stats(problem):

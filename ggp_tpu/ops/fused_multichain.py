@@ -692,7 +692,7 @@ def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
     (ops/fused_nuts._transition_inkernel) is flattened into ONE while loop
     whose every tick leapfrogs ALL still-building chains through the shared
     batched potential; per-chain tree bookkeeping (subtree boundaries,
-    progressive multinomial, U-turn closures) is masked (C,1) vector math.
+    progressive multinomial, U-turn closures) is masked vector math.
     Chains that finish early (U-turn / divergence / max depth) idle until
     the slowest chain completes — the idle cost is bounded by the shared
     panel loops that dominate each eval, exactly the lock-step economics
@@ -700,7 +700,7 @@ def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
 
     Checkpoint storage is VECTORISED, not ref-based: the z/v checkpoint
     stacks live as loop-carried (C*(max_depth+1), 128) VALUES, written via
-    one-hot row masks and read back with one-hot gather matmuls — no
+    one-hot row masks and read back with masked-row-sum gather matmuls — no
     per-chain dynamic stores, no vector->scalar register round trips (the
     89->47us/leaf lesson, PERF.md round 3).
 
@@ -711,95 +711,153 @@ def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
     single-chain indexing scheme (ops/fused_nuts._run_transition).
 
     Returns (zp (C,128), Up (C,1), gp (C,128), accept (C,1),
-    diverging (C,1) f32, depth (C,1) i32, nl (C,1) i32, H0 (C,1)).
+    diverging (C,1) f32, depth (C,1) f32, nl (C,1) f32, H0 (C,1)).
+
+    Mosaic layout rules this function is built around (all real-TPU only —
+    interpret mode hides every one of them):
+    - Per-chain scalars live as LANE-UNIFORM (C,128) ROWS, never (C,1)
+      columns: selects and broadcasts on narrow f32/i32 vectors hit
+      unimplemented relayouts ("lane broadcast", "replicated in
+      destination but not in source"), while full-width (C,128) selects
+      are the same ops the proven HMC kernels use — and a (C,1) column
+      costs the same single vreg as a (C,128) row anyway. Reductions
+      produce rows directly via matmuls with an all-ones matrix.
+    - Counters are exact small-integer f32 (no carried/lane-broadcast
+      i32); the single-chain kernel's bit tricks (popcount /
+      trailing-ones / shifts) become unrolled mod-2 f32 arithmetic.
+    - Flags are f32 0/1 masks, not jnp.bool_ (carried i1 materialises as
+      i8 and cannot be truncated back).
+    - Loop-carry inits are tied to computed values (0.0 * U0, not
+      jnp.zeros): constant splats get the fully-replicated layout and the
+      body's tiled outputs cannot be relayouted back to it.
+    - Stack gathers select rows with full-shape masks and contract with
+      the chain-selector matrix P instead of comparing a data (C,1)
+      against a (1,rows) iota (integer lane-broadcast again).
     """
     f32 = jnp.float32
     i32 = jnp.int32
-    lane = jax.lax.broadcasted_iota(i32, (1, _LANES), 1)
     D1 = max_depth + 1
     CD1 = C * D1
     CLR = C * leaf_rows
-    neg_inf = jnp.asarray(-jnp.inf, f32)
+    NBITS = max_depth + 1
+    lanef = jax.lax.broadcasted_iota(i32, (1, _LANES), 1).astype(f32)
+    ones_LL = jnp.ones((_LANES, _LANES), f32)
 
-    # block-selector P (CD1, C): row r belongs to chain c iff
-    # c*D1 <= r < (c+1)*D1 (built without integer division)
-    rowi = jax.lax.broadcasted_iota(i32, (CD1, 1), 0)
-    lo = jax.lax.broadcasted_iota(i32, (1, C), 1) * D1
-    P = ((rowi >= lo) & (rowi < lo + D1)).astype(f32)
-    # within-block slot index of each checkpoint row
-    s_iota = (rowi - jnp.sum(P * lo.astype(f32), axis=1,
-                             keepdims=True).astype(i32)).astype(f32)
-    # leaf-slab row selector bounds (CLR rows, leaf_rows per chain)
-    lr_lo = jax.lax.broadcasted_iota(i32, (1, CLR), 1)
-    cid = jax.lax.broadcasted_iota(i32, (C, 1), 0)
+    def _mod2(x):
+        return x - 2.0 * jnp.floor(0.5 * x)
 
-    def pick_lane(rows, idx):
-        """rows (C,128), idx (C,1) i32 -> (C,1) masked-sum gather."""
-        return jnp.sum(rows * (lane == idx).astype(f32), axis=1,
-                       keepdims=True)
+    def popcount_f(x):
+        cnt = jnp.zeros_like(x)
+        for _ in range(NBITS):
+            cnt = cnt + _mod2(x)
+            x = jnp.floor(0.5 * x)
+        return cnt
 
-    def leaf_u(k):
-        """k (C,1) i32 leaf counters -> (C,1) uniforms from LU."""
-        row_idx = cid * leaf_rows + jax.lax.shift_right_logical(
-            k, jnp.int32(7))
-        G = (row_idx == lr_lo).astype(f32)                  # (C, CLR)
-        rows = _dg(G, LU, 1, 0)                             # (C, 128)
-        return jnp.sum(rows * (lane == (k & 127)).astype(f32), axis=1,
-                       keepdims=True)
+    def trailing_ones_f(x):
+        cnt = jnp.zeros_like(x)
+        alive = jnp.ones_like(x)
+        for _ in range(NBITS):
+            alive = alive * _mod2(x)
+            cnt = cnt + alive
+            x = jnp.floor(0.5 * x)
+        return cnt
 
-    def kinetic(r):
-        return 0.5 * jnp.sum(inv_mass * r * r, axis=1, keepdims=True)
+    def widen(x_c1):
+        """(C,1) -> lane-uniform (C,128) via an outer product."""
+        return _dg(x_c1, jnp.ones((1, _LANES), f32), 1, 0)
+
+    def row_sum(x):
+        """(R,128) -> lane-uniform (R,128) row sums (one MXU contraction)."""
+        return _dg(x, ones_LL, 1, 0)
 
     def row_dot(a, b):
-        return jnp.sum(a * b, axis=1, keepdims=True)
+        return row_sum(a * b)
+
+    # chain-selector P (CD1, C): row r belongs to chain c iff
+    # c*D1 <= r < (c+1)*D1 (iota compares — Mosaic re-materialises iotas
+    # in any layout, unlike computed data)
+    rowi = jax.lax.broadcasted_iota(i32, (CD1, 1), 0).astype(f32)
+    lo = (jax.lax.broadcasted_iota(i32, (1, C), 1) * D1).astype(f32)
+    P = ((rowi >= lo) & (rowi < lo + D1)).astype(f32)
+    # within-block slot index of each checkpoint row, lane-uniform
+    s_iota = (jax.lax.broadcasted_iota(i32, (CD1, _LANES), 0).astype(f32)
+              - widen(_dg(P, lo, 1, 1)))
+    # leaf-slab selector Pl (CLR, C) and within-block row index
+    rowl = jax.lax.broadcasted_iota(i32, (CLR, 1), 0).astype(f32)
+    lol = (jax.lax.broadcasted_iota(i32, (1, C), 1) * leaf_rows).astype(f32)
+    Pl = ((rowl >= lol) & (rowl < lol + leaf_rows)).astype(f32)
+    l_iota = (jax.lax.broadcasted_iota(i32, (CLR, _LANES), 0).astype(f32)
+              - widen(_dg(Pl, lol, 1, 1)))
+
+    def pick_lane(rows, idx):
+        """rows (C,128), idx lane-uniform (C,128) whole number ->
+        lane-uniform (C,128) gather of rows[c, idx[c]]."""
+        return row_sum(rows * (lanef == idx).astype(f32))
+
+    def leaf_u(k):
+        """k lane-uniform (C,128) leaf counters -> (C,128) uniforms."""
+        krow = jnp.floor(k * (1.0 / _LANES))
+        klane = k - _LANES * krow
+        # select each chain's LU row (leaf_rows rows per chain), then lane
+        rmask = (l_iota == _dg(Pl, krow, 1, 0)).astype(f32)  # (CLR,128)
+        rows = _dg(Pl, rmask * LU, 0, 0)                     # (C,128)
+        return row_sum(rows * (lanef == klane).astype(f32))
+
+    def kinetic(r):
+        return 0.5 * row_dot(inv_mass * r, r)
 
     r0 = mom / jnp.sqrt(inv_mass)
-    H0 = U0 + kinetic(r0)
-    zeros_c1 = jnp.zeros((C, 1), f32)
-    false_c1 = jnp.zeros((C, 1), jnp.bool_)
-    izero = jnp.zeros((C, 1), i32)
+    U0w = widen(U0)
+    epsw = widen(eps)
+    H0 = U0w + kinetic(r0)
+    # computed-layout zeros (see layout rules above)
+    zeros_cw = 0.0 * U0w
+    false_cw = zeros_cw
+    izero = zeros_cw
+    zc0 = _dg(P, 0.0 * z0, 1, 0)      # (CD1, 128) computed-layout zeros
 
-    u_dir0 = pick_lane(TR, jnp.zeros((C, 1), i32))
-    dirf0 = jnp.where(u_dir0 < 0.5, 1.0, -1.0).astype(f32)
-    u_swap0 = pick_lane(TR, jnp.ones((C, 1), i32))
+    u_dir0 = pick_lane(TR, zeros_cw)
+    dirf0 = 1.0 - 2.0 * (u_dir0 >= 0.5).astype(f32)
+    u_swap0 = pick_lane(TR, zeros_cw + 1.0)
 
     init = (
         # checkpoint stacks (values, not refs)
-        jnp.zeros((CD1, _LANES), f32), jnp.zeros((CD1, _LANES), f32),
+        zc0, zc0,
         # trajectory endpoints l/r: z, r, U, g
-        z0, r0, U0, g0, z0, r0, U0, g0,
+        z0, r0, U0w, g0, z0, r0, U0w, g0,
         # proposal + trajectory log-weight
-        z0, U0, g0, zeros_c1,
+        z0, U0w, g0, zeros_cw,
         # current subtree: endpoint z/r/U/g, proposal z/U/g, logw, turn,
         # div, acc, pending swap uniform
-        z0, r0, U0, g0, z0, U0, g0, jnp.full((C, 1), -jnp.inf, f32),
-        false_c1, false_c1, zeros_c1, u_swap0,
+        z0, r0, U0w, g0, z0, U0w, g0, zeros_cw - jnp.inf,
+        false_cw, false_cw, zeros_cw, u_swap0,
         # counters: dirf, i, nleaf, nl0
-        dirf0, izero, jnp.ones((C, 1), i32), izero,
+        dirf0, izero, zeros_cw + 1.0, izero,
         # trajectory: depth, turning, diverging, acc, nl, done
-        izero, false_c1, false_c1, zeros_c1, izero, false_c1,
+        izero, false_cw, false_cw, zeros_cw, izero, false_cw,
     )
 
     def cond(carry):
         done = carry[-1]
-        return ~jnp.all(done)
+        return jnp.sum(done) < C * _LANES   # lane-uniform 0/1 rows
 
     def body(carry):
         (zc, vc, lz, lr_, lU, lg, rz, rr, rU, rg, zp, Up, gp, logw,
          sz, sr, sU, sg, zps, Ups, gps, logw_sub, turn_sub, div_sub,
          acc_sub, u_swap_reg, dirf, i, nleaf, nl0,
          depth, turning, diverging, acc, nl, done) = carry
-        act = ~done
+        act = done < 0.5          # ephemeral (C,128) bool; carries stay f32
 
         # ---- one leapfrog step for every still-building chain ----
-        eps_s = dirf * eps
+        eps_s = dirf * epsw
         r_half = sr - 0.5 * eps_s * sg
         z_leap = sz + eps_s * inv_mass * r_half
         # done chains re-evaluate at z0 (finite, well-conditioned) — their
         # results are discarded by the masks below, and this keeps frozen
         # NaN states of diverged chains out of the shared factorisation
         z_eval = jnp.where(act, z_leap, z0)
-        U_new, g_new = pot(z_eval)
+        U_new_c1, g_new = pot(z_eval)
+        U_new = widen(U_new_c1)
         r_new = r_half - 0.5 * eps_s * g_new
         v_new = inv_mass * r_new
         H = U_new + kinetic(r_new)
@@ -815,7 +873,7 @@ def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
         acc_sub1 = acc_sub + jnp.where(act, jnp.minimum(1.0,
                                                         jnp.exp(-delta)),
                                        0.0)
-        div_sub1 = div_sub | (act & div_leaf)
+        div_sub1 = jnp.maximum(div_sub, (act & div_leaf).astype(f32))
 
         # ---- progressive multinomial within the subtree ----
         logw_new = _lae(logw_sub, logw_leaf)
@@ -827,49 +885,50 @@ def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
         logw_sub1 = jnp.where(act, logw_new, logw_sub)
 
         # ---- checkpoint writes (even leaves), one-hot masked ----
-        is_even = (i & 1) == 0
-        slot = _popcount32(i)
+        is_even = _mod2(i) < 0.5
+        slot = popcount_f(i)
         # NaN rows would contaminate other chains through the 0-weights of
         # the P matmul; a NaN leaf diverges this very tick, so its
         # checkpoint is never read — store zeros instead
         z_st = jnp.where(jnp.isnan(z_eval), 0.0, z_eval)
         v_st = jnp.where(jnp.isnan(v_new), 0.0, v_new)
-        wmask = ((s_iota == _dg(P, slot.astype(f32), 1, 0))
+        wmask = ((s_iota == _dg(P, slot, 1, 0))
                  & (_dg(P, (act & is_even).astype(f32), 1, 0) > 0.5))
         zc1 = jnp.where(wmask, _dg(P, z_st, 1, 0), zc)
         vc1 = jnp.where(wmask, _dg(P, v_st, 1, 0), vc)
 
         # ---- U-turn closures (odd leaves), gather-based ----
-        t_ones = _trailing_ones32(i)
+        t_ones = trailing_ones_f(i)
         odd_act = act & (~is_even)
 
-        def close(mm, ts):
-            need = odd_act & (mm <= t_ones)
+        def close(mmf, ts):
+            need = odd_act & (mmf <= t_ones)
 
             def run(ts):
-                j = i - jnp.left_shift(jnp.int32(1), mm) + 1
-                sj = _popcount32(j)
-                idx = cid * D1 + sj                         # (C,1)
-                cp_lo = jax.lax.broadcasted_iota(i32, (1, CD1), 1)
-                G = (idx == cp_lo).astype(f32)              # (C, CD1)
-                zcj = _dg(G, zc1, 1, 0)
-                vcj = _dg(G, vc1, 1, 0)
+                j = i - jnp.exp2(mmf) + 1.0
+                sj = popcount_f(j)
+                # rows of chain c whose slot == sj[c]; gather by P^T
+                smask = (s_iota == _dg(P, sj, 1, 0)).astype(f32)
+                zcj = _dg(P, smask * zc1, 0, 0)             # (C,128)
+                vcj = _dg(P, smask * vc1, 0, 0)
                 dz = dirf * (z_eval - zcj)
                 bad = (row_dot(dz, vcj) < 0.0) | (row_dot(dz, v_new) < 0.0)
-                return ts | (need & bad)
+                return jnp.maximum(ts, (need & bad).astype(f32))
 
-            return jax.lax.cond(jnp.any(need), run, lambda ts: ts, ts)
+            return jax.lax.cond(jnp.sum(need.astype(f32)) > 0.0, run,
+                                lambda ts: ts, ts)
 
-        turn_sub1 = close(jnp.int32(1), turn_sub)
+        turn_sub1 = close(jnp.asarray(1.0, f32), turn_sub)
         turn_sub1 = jax.lax.fori_loop(
-            2, max_depth + 1, lambda mm, ts: close(mm, ts), turn_sub1)
+            2, max_depth + 1,
+            lambda mm, ts: close(mm.astype(f32), ts), turn_sub1)
 
-        i1 = jnp.where(act, i + 1, i)
-        nl1 = jnp.where(act, nl + 1, nl)
+        i1 = jnp.where(act, i + 1.0, i)
+        nl1 = jnp.where(act, nl + 1.0, nl)
 
         # ---- subtree completion: merge into the trajectory ----
-        comp = act & ((i1 >= nleaf) | turn_sub1 | div_sub1)
-        ok = comp & (~turn_sub1) & (~div_sub1)
+        comp = act & ((i1 >= nleaf) | (turn_sub1 > 0.5) | (div_sub1 > 0.5))
+        ok = comp & (turn_sub1 < 0.5) & (div_sub1 < 0.5)
         take2 = ok & (_log_unif(u_swap_reg) < (logw_sub1 - logw))
         zp1 = jnp.where(take2, zps1, zp)
         Up1 = jnp.where(take2, Ups1, Up)
@@ -889,31 +948,36 @@ def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
         dzt = rz1 - lz1
         full_turn = (row_dot(dzt, inv_mass * lr1) < 0.0) | \
                     (row_dot(dzt, inv_mass * rr1) < 0.0)
-        turning1 = jnp.where(comp, turn_sub1 | (ok & full_turn), turning)
-        diverging1 = diverging | (comp & div_sub1)
+        turning1 = jnp.where(comp,
+                             jnp.maximum(turn_sub1,
+                                         (ok & full_turn).astype(f32)),
+                             turning)
+        diverging1 = jnp.maximum(diverging, jnp.where(comp, div_sub1, 0.0))
         acc1 = acc + jnp.where(comp, acc_sub1, 0.0)
-        depth1 = jnp.where(comp, depth + 1, depth)
-        done1 = done | (comp & (turning1 | diverging1
-                                | (depth1 >= max_depth)))
+        depth1 = jnp.where(comp, depth + 1.0, depth)
+        done1 = jnp.maximum(done, (comp & ((turning1 > 0.5)
+                                           | (diverging1 > 0.5)
+                                           | (depth1 >= max_depth))
+                                   ).astype(f32))
 
         # ---- next doubling for chains that completed and continue ----
-        start = comp & (~done1)
-        u_dir = pick_lane(TR, 2 * depth1)
-        u_swap_n = pick_lane(TR, 2 * depth1 + 1)
-        dirf_n = jnp.where(u_dir < 0.5, 1.0, -1.0).astype(f32)
+        start = comp & (done1 < 0.5)
+        u_dir = pick_lane(TR, 2.0 * depth1)
+        u_swap_n = pick_lane(TR, 2.0 * depth1 + 1.0)
+        dirf_n = 1.0 - 2.0 * (u_dir >= 0.5).astype(f32)
         fwd_n = dirf_n > 0
         dirf1 = jnp.where(start, dirf_n, dirf)
         sz2 = jnp.where(start, jnp.where(fwd_n, rz1, lz1), sz1)
         sr2 = jnp.where(start, jnp.where(fwd_n, rr1, lr1), sr1)
         sU2 = jnp.where(start, jnp.where(fwd_n, rU1, lU1), sU1)
         sg2 = jnp.where(start, jnp.where(fwd_n, rg1, lg1), sg1)
-        i2 = jnp.where(start, 0, i1)
-        nleaf1 = jnp.where(start, jnp.left_shift(jnp.int32(1), depth1),
-                           nleaf)
+        i2 = jnp.where(start, 0.0, i1)
+        # 2^depth via f32 exp2 (no vector shifts; see the layout rules)
+        nleaf1 = jnp.where(start, jnp.exp2(depth1), nleaf)
         nl01 = jnp.where(start, nl1, nl0)
-        logw_sub2 = jnp.where(start, neg_inf, logw_sub1)
-        turn_sub2 = jnp.where(start, False, turn_sub1)
-        div_sub2 = jnp.where(start, False, div_sub1)
+        logw_sub2 = jnp.where(start, -jnp.inf, logw_sub1)
+        turn_sub2 = jnp.where(start, 0.0, turn_sub1)
+        div_sub2 = jnp.where(start, 0.0, div_sub1)
         acc_sub2 = jnp.where(start, 0.0, acc_sub1)
         u_swap1 = jnp.where(start, u_swap_n, u_swap_reg)
 
@@ -925,11 +989,18 @@ def _nuts_transition_batched(z0, U0, g0, eps, inv_mass, pot, mom, TR, LU,
                 depth1, turning1, diverging1, acc1, nl1, done1)
 
     out = jax.lax.while_loop(cond, body, init)
-    (zp, Up, gp) = (out[10], out[11], out[12])
+    (zp, Upw, gp) = (out[10], out[11], out[12])
     (depth, turning, diverging, acc, nl) = (out[30], out[31], out[32],
                                             out[33], out[34])
-    accept = acc / jnp.maximum(nl.astype(f32), 1.0)
-    return (zp, Up, gp, accept, diverging.astype(f32), depth, nl, H0)
+    lane0 = (lanef == 0.0).astype(f32)
+
+    def narrow(x):
+        """lane-uniform (C,128) -> (C,1) via a masked lane sum."""
+        return jnp.sum(x * lane0, axis=1, keepdims=True)
+
+    accept = narrow(acc / jnp.maximum(nl, 1.0))
+    return (zp, narrow(Upw), gp, accept, narrow(diverging), narrow(depth),
+            narrow(nl), narrow(H0))
 
 
 _BATCHED_CORES = {}  # populated below (vfe / sgpmc)

@@ -393,3 +393,50 @@ def test_streaming_multichain_potential_and_chunks(problem, monkeypatch):
         assert np.all(np.isfinite(np.asarray(zs)))
     assert np.mean(np.concatenate(accs)) > 0.3
     assert not np.allclose(np.asarray(z), np.asarray(thetas))
+
+
+def test_streaming_multichain_nuts_chunks(problem, monkeypatch):
+    """Streaming + lock-step NUTS combination (round 3): the HBM
+    block-streaming batched potential drives the in-kernel multichain
+    doubling loop. With the resident cap forced low (n=48 -> 2 DMA blocks
+    of 32), the batched potential must match the XLA potential per chain
+    and NUTS sample chunks must move with real tree depths."""
+    import ggp_tpu.ops.fused_multichain as fm
+
+    X, y, Z, d = problem
+    C = 2
+    monkeypatch.setattr(fm, "MAX_N_MULTICHAIN", 16)
+    builder = fm.make_fused_hmc_multichain(X, y, 1e-6, num_chains=C,
+                                           chunk=4, algo="nuts",
+                                           max_depth=5, stream_block=32,
+                                           interpret=True)
+    fused = builder(Z)
+    assert fused.algo == "nuts"
+    rng = np.random.default_rng(13)
+    thetas = jnp.asarray(rng.normal(size=(C, d + 2)) * 0.3, jnp.float32)
+    U_b, g_b = jax.jit(fused.potential)(thetas)
+    pot = make_rbf_vfe_potential(X, y, 1e-6)
+    for c in range(C):
+        u1, g1 = pot(thetas[c], Z)
+        np.testing.assert_allclose(float(U_b[c]), float(u1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[c]), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-3)
+
+    z = thetas
+    U, g = fused.potential(z)
+    inv_mass = jnp.ones((C, d + 2), jnp.float32)
+    eps = jnp.full((C,), 0.1, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    accs, deps = [], []
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        zs, z, U, g, acc, div, dep, nlv = fused.sample_chunk(
+            z, U, g, k, eps, inv_mass, 4)
+        accs.append(np.asarray(acc))
+        deps.append(np.asarray(dep))
+        assert not np.any(np.asarray(div) > 0.5)
+        assert np.all(np.isfinite(np.asarray(zs)))
+        assert np.all(np.asarray(nlv) >= 1)
+    assert np.mean(np.concatenate(accs)) > 0.3
+    assert np.concatenate(deps).max() >= 1
+    assert not np.allclose(np.asarray(z), np.asarray(thetas))

@@ -75,12 +75,18 @@ def test_inkernel_potential_matches_xla_large_m(problem):
     zvec = jnp.asarray(np.r_[np.zeros(d), 0.3, -1.0], jnp.float32)
     U_k, g_k = jax.jit(pot_kernel)(zvec)
     U_x, g_x = jax.jit(lambda v: pot_xla(v, Z))(zvec)
-    # 260 random inducing rows in 3-D give a near-singular Kmm — blocked
-    # vs XLA factorisation orders differ at f32 roundoff, so the value
-    # tolerance is looser than the well-conditioned small-M test above
     np.testing.assert_allclose(float(U_k), float(U_x), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
-                               rtol=1e-3, atol=1e-3)
+    # 260 random inducing rows in 3-D give a near-singular Kmm, so BOTH
+    # f32 paths are roundoff-limited (the XLA gradient is itself ~1e-2 off
+    # the f64 truth here); judge each against the f64 ground truth with a
+    # shared roundoff budget instead of against each other
+    pot64 = make_rbf_vfe_potential(X.astype(jnp.float64),
+                                   y.astype(jnp.float64), 1e-6)
+    _, g64 = jax.jit(lambda v: pot64(v, Z.astype(jnp.float64)))(
+        zvec.astype(jnp.float64))
+    err_x = float(np.max(np.abs(np.asarray(g_x) - np.asarray(g64))))
+    err_k = float(np.max(np.abs(np.asarray(g_k) - np.asarray(g64))))
+    assert err_k <= 5.0 * max(err_x, 1e-3), (err_k, err_x)
 
 
 def test_transition_moves_and_stats(problem):

@@ -326,6 +326,34 @@ def ut_inv_inplace(U_ref, V_ref, block: int = 16) -> None:
     jax.lax.fori_loop(0, nb, step, 0)
 
 
+_INV_LS_CAP_NUM = 1024.0
+
+
+def capped_inv_ls(theta_row, ls_mask, *coords):
+    """exp(-theta) for the lengthscale lanes, capped data-aware.
+
+    The cores compute squared distances by norm expansion
+    (xn + zn - 2 x.z) on inputs scaled by exp(-log_ls); once
+    max|coord| * exp(-log_ls) passes ~1e3 the f32 expansion loses ALL
+    absolute accuracy (error ~ 6e-8 * norms^2 > O(1)) and the resulting
+    garbage r2 turns exp(-r2/2) into random 0-or-sf2 entries — measured on
+    TPU as O(10)-relative gradient errors at warmup-extreme hyper rows,
+    whose spurious divergences destabilise dual averaging (eps adapts
+    ~40% low, ~2x min-ESS/s loss in the chain-batched samplers). Below
+    the cap the expansion is accurate; beyond it the TRUE kernel is
+    already exactly diagonal in f32 for distinct points (r2 >= (0.01 *
+    1024)^2 => K underflows), so capping replaces cancellation garbage
+    with clean zeros and the lengthscale gradient smoothly hands over to
+    the prior term. Capping = lengthscale floor scale/1024, orders of
+    magnitude below any posterior-relevant value.
+    """
+    scale = jnp.asarray(1e-3, theta_row.dtype)
+    for Cc in coords:
+        scale = jnp.maximum(scale, jnp.max(jnp.abs(Cc)))
+    cap = _INV_LS_CAP_NUM / scale
+    return jnp.minimum(jnp.exp(-theta_row), cap) * ls_mask
+
+
 def ut_t_solve_vec(U, Uinv, b, block: int = 32):
     """Solve U^T c = b for one column b (Mp,1); U upper-triangular.
 
@@ -400,7 +428,7 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     ls_mask = (lane < d).astype(dt)
     log_os = theta_pad[0, d]
     log_noise = theta_pad[0, d + 1]
-    inv_ls = jnp.exp(-theta_pad) * ls_mask                    # (1,128)
+    inv_ls = capped_inv_ls(theta_pad, ls_mask, Xp, Zp)        # (1,128)
     sf2 = jnp.exp(log_os)
     s2 = jnp.exp(log_noise)
     sigma = jnp.sqrt(s2)
@@ -532,7 +560,8 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
     ls_mask = (lane < d).astype(dt)
     log_os = theta_pad[0, d]
     log_noise = theta_pad[0, d + 1]
-    inv_ls = jnp.exp(-theta_pad) * ls_mask                    # (1,128)
+    # streaming: X lives in HBM; Z spans the same standardised region
+    inv_ls = capped_inv_ls(theta_pad, ls_mask, Zp)            # (1,128)
     sf2 = jnp.exp(log_os)
     s2 = jnp.exp(log_noise)
     sigma = jnp.sqrt(s2)
@@ -765,7 +794,7 @@ def _gpr_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     ls_mask = (lane < d).astype(dt)
     log_os = theta_pad[0, d]
     log_noise = theta_pad[0, d + 1]
-    inv_ls = jnp.exp(-theta_pad) * ls_mask
+    inv_ls = capped_inv_ls(theta_pad, ls_mask, Xp)
     sf2 = jnp.exp(log_os)
     s2 = jnp.exp(log_noise)
 
@@ -854,7 +883,7 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
     ls_mask = (lane < d).astype(dt)
     log_os = state_pad[0, d]
     log_noise = state_pad[0, d + 1]
-    inv_ls = jnp.exp(-state_pad) * ls_mask
+    inv_ls = capped_inv_ls(state_pad, ls_mask, Xp, Zp)
     sf2 = jnp.exp(log_os)
     s2 = jnp.exp(log_noise)
 

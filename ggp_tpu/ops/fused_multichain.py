@@ -18,13 +18,15 @@ kernel:
   vector-op issue.
 
 Scope: vfe target (Scale(RBF-ARD) x Gaussian x prior_tree_rbf()),
-algorithm "hmc" (lock-step chains; NUTS tree sizes diverge per chain),
-VMEM-resident N. The value path uses the factor-based form (c = VB^T u);
-the per-chain triangular substitutions of the single-chain kernel are
-skipped here (3 solves x nb panels x C chains of tiny matvecs would cost
-more than the whole mini-factorisation — and the throughput config runs at
-benchmark conditioning, where round-2 measurements show 0 divergences for
-this path).
+algorithms "hmc" and (round 3) lock-step multinomial "nuts", N-streaming
+past the resident cap. The value/gradient-critical vectors go through the
+same blocked triangular substitutions as the single-chain kernel
+(ut_t_solve_vec / ut_solve_vec against the factors): the formed-inverse
+shortcut originally used here was measured to produce O(10)-relative
+gradient errors at warmup-extreme hyper rows on TPU, whose spurious
+divergences dragged dual averaging ~35% low in eps and cost ~2x
+min-ESS/s (round 3; the sample-phase parity that motivated the shortcut
+was real but warmup conditioning is what sets the adapted step size).
 
 Reference behavior being accelerated: models/bayesian_sgpr_hmc.py:74-78
 (NUTS over the VFE marginal; chains=1 there — multi-chain is our
@@ -41,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_bound import _dg, _round_up
+from .fused_bound import (_dg, _round_up, capped_inv_ls,
+                          ut_solve_vec, ut_t_solve_vec)
 from .fused_nuts import _lae, _log_unif, _popcount32, _trailing_ones32
 
 __all__ = ["make_fused_hmc_multichain", "fused_multichain_supported",
@@ -50,9 +53,20 @@ __all__ = ["make_fused_hmc_multichain", "fused_multichain_supported",
 _LANES = 128
 _DIVERGENCE_THRESHOLD = 1000.0
 
+
+def _mc_solve_vectors() -> bool:
+    """Trace-time gate: triangular solves (default) vs formed-inverse
+    multiplies for the value/gradient-critical vectors (GGP_MC_SOLVES=0
+    for perf ablation — the capped inv_ls already removes the warmup
+    garbage-gradient hazard; solves additionally protect near-singular-B
+    conditioning, same rationale as the single-chain kernel)."""
+    import os
+    return os.environ.get("GGP_MC_SOLVES", "1") != "0"
+
+
 # envelope: C * (Knm (Np,Mp) + An (Np,Mp)) value buffers must fit VMEM
 MAX_N_MULTICHAIN = 1024
-MAX_CHAINS = 8
+MAX_CHAINS = 16
 # vfe-core streaming (round 3): past the resident cap, X/y live in HBM and
 # every chain's gram passes share each double-buffered (STREAM_NB, 128) row
 # block — HBM traffic per eval stays 2 reads of X/y regardless of C; the
@@ -193,7 +207,7 @@ def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
     eyeM = (rowm == colm).astype(dt)
     one11 = jnp.ones((1, 1), dt)
 
-    inv_ls_all = jnp.exp(-thetas) * ls_mask                 # (C,128)
+    inv_ls_all = capped_inv_ls(thetas, ls_mask, Xp, Zp)     # (C,128)
     log_os_all = jnp.sum(thetas * (lane == d).astype(dt), axis=1,
                          keepdims=True)                     # (C,1)
     log_noise_all = jnp.sum(thetas * (lane == d + 1).astype(dt), axis=1,
@@ -245,14 +259,27 @@ def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
         s2 = s2_all[c, 0]
         sigma = jnp.sqrt(s2)
         Kmm, _ = K_list[c]
-        _, V = UV1[c]
+        U1, V = UV1[c]
         UB, VB = UV2[c]
         An, Knm, B, u = An_l[c], Knm_l[c], B_list[c], u_l[c]
         Zs, Zs2, Xs = Zs_l[c], Zs2_l[c], Xs_l[c]
         Binv = _dg(VB, VB, 1, 1)
-        c_u = _dg(VB, u, 0, 0)
-        v = VB @ c_u
-        w = _dg(V, v, 1, 0)
+        # value/gradient-critical VECTORS via blocked triangular SOLVES
+        # against the factors, not formed-inverse multiplies: the inverse
+        # form loses the off-diagonal coupling at warmup-extreme
+        # conditioning (TPU grad scan showed rows with O(10) relative
+        # gradient error -> spurious divergences -> dual averaging adapts
+        # eps ~35% low and min-ESS/s pays 2x; same fix as the single-chain
+        # kernel, fused_bound.py VERDICT r2 item 5)
+        if _mc_solve_vectors():
+            sbv = max(32, Mp // 2)
+            c_u = ut_t_solve_vec(UB, VB, u, block=sbv)
+            v = ut_solve_vec(UB, VB, c_u, block=sbv)
+            w = ut_solve_vec(U1, V, v, block=sbv)
+        else:
+            c_u = _dg(VB, u, 0, 0)
+            v = VB @ c_u
+            w = _dg(V, v, 1, 0)
         alpha = (yp - An @ v) / s2
         diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)
         logdetB = 2.0 * jnp.sum(jnp.log(diagUB))
@@ -343,7 +370,8 @@ def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
     one11 = jnp.ones((1, 1), dt)
     ey = (lane == (_LANES - 1)).astype(dt)                  # y lane one-hot
 
-    inv_ls_all = jnp.exp(-thetas) * ls_mask                 # (C,128)
+    # streaming: X in HBM; Z spans the same standardised region
+    inv_ls_all = capped_inv_ls(thetas, ls_mask, Zp)         # (C,128)
     log_os_all = jnp.sum(thetas * (lane == d).astype(dt), axis=1,
                          keepdims=True)                     # (C,1)
     log_noise_all = jnp.sum(thetas * (lane == d + 1).astype(dt), axis=1,
@@ -368,6 +396,7 @@ def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
         K_list.append((Kmm, Kj))
     UV1 = batched_chol([kj for _, kj in K_list])
     V_l = [UV1[c][1] for c in range(C)]                     # value snapshots
+    U1_l = [UV1[c][0] for c in range(C)]
 
     def _block_An(t, XYb, c):
         """Chain c's scaled inputs + A^T rows for one block (both passes)."""
@@ -411,10 +440,19 @@ def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
         u = uacc[c]
         B = B_l[c]
         V = V_l[c]
+        U1 = U1_l[c]
         Binv = _dg(VB, VB, 1, 1)
-        c_u = _dg(VB, u, 0, 0)
-        v = VB @ c_u
-        w = _dg(V, v, 1, 0)
+        # triangular solves for the critical vectors — see the resident
+        # core (_rbf_vfe_batched_vg) for the warmup-divergence rationale
+        if _mc_solve_vectors():
+            sbv = max(32, Mp // 2)
+            c_u = ut_t_solve_vec(UB, VB, u, block=sbv)
+            v = ut_solve_vec(UB, VB, c_u, block=sbv)
+            w = ut_solve_vec(U1, V, v, block=sbv)
+        else:
+            c_u = _dg(VB, u, 0, 0)
+            v = VB @ c_u
+            w = _dg(V, v, 1, 0)
         diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)
         logdetB = 2.0 * jnp.sum(jnp.log(diagUB))
         uv = jnp.sum(c_u * c_u)
@@ -535,7 +573,7 @@ def _sgpmc_batched_vg(states, Xp, yrow, Zp, n, m, d, jitter, C,
             == (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
                 + (d + 2))).astype(dt)
 
-    inv_ls_all = jnp.exp(-states) * ls_mask
+    inv_ls_all = capped_inv_ls(states, ls_mask, Xp, Zp)
     log_os_all = jnp.sum(states * (lane == d).astype(dt), axis=1,
                          keepdims=True)
     log_noise_all = jnp.sum(states * (lane == d + 1).astype(dt), axis=1,

@@ -32,8 +32,9 @@ def problem():
 
 def test_envelope():
     assert fused_multichain_supported(404, 13, 100, 8)
+    assert fused_multichain_supported(404, 13, 100, 16)      # round-3 cap
     assert not fused_multichain_supported(404, 13, 100, 1)   # use single path
-    assert not fused_multichain_supported(404, 13, 100, 16)
+    assert not fused_multichain_supported(404, 13, 100, 32)
     # vfe streams past the resident cap (round 3); sgpmc stays resident
     assert fused_multichain_supported(5000, 13, 100, 8, target="vfe")
     assert not fused_multichain_supported(5000, 13, 100, 8, target="sgpmc")

@@ -43,8 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_bound import (_dg, _round_up, capped_inv_ls,
-                          ut_solve_vec, ut_t_solve_vec)
+from .fused_bound import _dg, _round_up, capped_inv_ls
 from .fused_nuts import _lae, _log_unif, _popcount32, _trailing_ones32
 
 __all__ = ["make_fused_hmc_multichain", "fused_multichain_supported",
@@ -54,14 +53,18 @@ _LANES = 128
 _DIVERGENCE_THRESHOLD = 1000.0
 
 
-def _mc_solve_vectors() -> bool:
-    """Trace-time gate: triangular solves (default) vs formed-inverse
-    multiplies for the value/gradient-critical vectors (GGP_MC_SOLVES=0
-    for perf ablation — the capped inv_ls already removes the warmup
-    garbage-gradient hazard; solves additionally protect near-singular-B
-    conditioning, same rationale as the single-chain kernel)."""
+def _mc_solve_vectors() -> str:
+    """Trace-time gate for the value/gradient-critical vectors:
+    "1" (default) = chain-BATCHED triangular solves (ut_t_solve_maj /
+    ut_solve_maj — one set of panel ops for all chains); "chain" =
+    per-chain blocked solves (round-3 pre-batching path, ablation);
+    "0" = formed-inverse multiplies (fastest, but loses off-diagonal
+    coupling at warmup-extreme conditioning — the capped inv_ls already
+    removes the garbage-gradient hazard; solves additionally protect
+    near-singular-B conditioning, same rationale as the single-chain
+    kernel)."""
     import os
-    return os.environ.get("GGP_MC_SOLVES", "1") != "0"
+    return os.environ.get("GGP_MC_SOLVES", "1")
 
 
 # envelope: C * (Knm (Np,Mp) + An (Np,Mp)) value buffers must fit VMEM
@@ -183,6 +186,113 @@ def chol_u_inv_batched_inplace(K_ref, U_ref, V_ref, Dinv_ref, C: int,
 
 
 # ---------------------------------------------------------------------------
+# Chain-batched triangular substitutions (chain-major vector layout)
+# ---------------------------------------------------------------------------
+
+def _chain_major_consts(C: int, Mp: int, dt):
+    """(rm, Gbig, diagM) for the chain-major solvers: rm (C*Mp,1) is the
+    row-in-chain index, Gbig (C*Mp, C) the chain indicator, diagM the
+    (C*Mp, Mp) row-in-chain == lane mask."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C * Mp, 1), 0)
+    ch = rows // Mp
+    rm = rows - ch * Mp
+    chcol = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    Gbig = (chcol == ch).astype(dt)
+    colM = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    diagM = (colM == rm).astype(dt)
+    return rm, Gbig, diagM
+
+
+def ut_t_solve_maj(U_all, V_all, b, C: int, block: int = 64):
+    """Solve U_c^T c_c = b_c for ALL C chains in lock-step.
+
+    Chain-major layout: ``U_all``/``V_all`` (C*Mp, Mp) stack the upper
+    factors / their inverses, ``b`` (C*Mp, 1) stacks the right-hand-side
+    columns. The per-chain :func:`fused_bound.ut_t_solve_vec` issues every
+    panel op C times (measured as 15-19% of wall on the 8-16 chain
+    throughput configs, PERF.md round 3) — here one set of panel ops covers
+    all chains: the already-solved prefix contribution is a chain-indicator
+    MXU contraction, and the diagonal-block solves read (U_ii)^-1 straight
+    from lane-slices of ``V_all`` (the inverse of a block-triangular matrix
+    carries the block-diagonal inverses for ANY block partition)."""
+    CM, Mp = U_all.shape
+    dt = U_all.dtype
+    rm, Gbig, diagM = _chain_major_consts(C, Mp, dt)
+    colB = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    c = jnp.zeros_like(b)
+    for i0 in range(0, Mp, block):
+        pmask = ((rm >= i0) & (rm < i0 + block)).astype(dt)
+        if i0 == 0:
+            rhs = b * pmask
+        else:
+            # t_c[r] = sum_k U_c[k, r] c_c[k]; c zero at unsolved rows
+            W = U_all * c                                   # (C*Mp, Mp)
+            t_wide = _dg(Gbig, W, 0, 0)                     # (C, Mp)
+            t_majmat = _dg(Gbig, t_wide, 1, 0)              # rows = t_c
+            t_maj = jnp.sum(t_majmat * diagM, axis=1, keepdims=True)
+            rhs = (b - t_maj) * pmask
+        # cb_c = (U_ii^c)^-T rhs_c — contraction over the panel rows
+        W2 = V_all[:, i0:i0 + block] * rhs                  # (C*Mp, B)
+        cb_wide = _dg(Gbig, W2, 0, 0)                       # (C, B)
+        cb_majmat = _dg(Gbig, cb_wide, 1, 0)                # rows = cb_c
+        c = c + jnp.sum(cb_majmat * ((colB + i0) == rm).astype(dt),
+                        axis=1, keepdims=True)
+    return c
+
+
+def ut_solve_maj(U_all, V_all, b, C: int, block: int = 64):
+    """Solve U_c v_c = b_c for ALL C chains (bottom-up companion of
+    :func:`ut_t_solve_maj`; same chain-major layout)."""
+    CM, Mp = U_all.shape
+    dt = U_all.dtype
+    rm, Gbig, _ = _chain_major_consts(C, Mp, dt)
+    colB = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    colM = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    v = jnp.zeros_like(b)
+    v_wide = jnp.zeros((C, Mp), dt)                         # solved rows
+    for i0 in range(Mp - block, -1, -block):
+        pmask = ((rm >= i0) & (rm < i0 + block)).astype(dt)
+        if i0 == Mp - block:
+            rhs = b * pmask
+        else:
+            # t_c[r] = sum_k U_c[r, k] v_c[k] over the solved suffix
+            v_majmat = _dg(Gbig, v_wide, 1, 0)              # rows = v_c
+            t_maj = jnp.sum(U_all * v_majmat, axis=1, keepdims=True)
+            rhs = (b - t_maj) * pmask
+        blkmask = ((colB + i0) == rm).astype(dt)            # (C*Mp, B)
+        rhs_wide = _dg(Gbig, rhs * blkmask, 0, 0)           # (C, B)
+        rhs_majmat = _dg(Gbig, rhs_wide, 1, 0)              # rows = rhs_c
+        # vb_c = (U_ii^c)^-1 rhs_c — rowwise contraction on the panel rows
+        vb_maj = jnp.sum(V_all[:, i0:i0 + block] * rhs_majmat, axis=1,
+                         keepdims=True) * pmask
+        v = v + vb_maj
+        vb_wide = _dg(Gbig, vb_maj * blkmask, 0, 0)         # (C, B)
+        E = ((rowb + i0) == colM).astype(dt)                # (B, Mp)
+        v_wide = v_wide + _dg(vb_wide, E, 1, 0)
+    return v
+
+
+def _solve_critical_vectors_batched(UV1, UV2, u_l, C: int, Mp: int):
+    """(c_u, v, w) per-chain column lists via the chain-batched solvers:
+    c_u = UB^-T u, v = UB^-1 c_u, w = U1^-1 v (same recurrences as the
+    per-chain path in fused_bound — VERDICT r2 item 5 conditioning
+    rationale; batched over chains for the op-issue win)."""
+    U1_all = jnp.concatenate([UV1[c][0] for c in range(C)], axis=0)
+    V1_all = jnp.concatenate([UV1[c][1] for c in range(C)], axis=0)
+    UB_all = jnp.concatenate([UV2[c][0] for c in range(C)], axis=0)
+    VB_all = jnp.concatenate([UV2[c][1] for c in range(C)], axis=0)
+    b_maj = jnp.concatenate(u_l, axis=0)
+    sbv = min(Mp, 64)
+    cu_maj = ut_t_solve_maj(UB_all, VB_all, b_maj, C, block=sbv)
+    v_maj = ut_solve_maj(UB_all, VB_all, cu_maj, C, block=sbv)
+    w_maj = ut_solve_maj(U1_all, V1_all, v_maj, C, block=sbv)
+    sl = [slice(c * Mp, (c + 1) * Mp) for c in range(C)]
+    return ([cu_maj[s] for s in sl], [v_maj[s] for s in sl],
+            [w_maj[s] for s in sl])
+
+
+# ---------------------------------------------------------------------------
 # Batched VFE potential (value + gradient for C chains)
 # ---------------------------------------------------------------------------
 
@@ -253,6 +363,10 @@ def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
 
     # ---- phase 3: per-chain epilogue + adjoints ----
     yy = jnp.sum(yp * yp)
+    solve_mode = _mc_solve_vectors()
+    if solve_mode == "1":
+        cu_l, v_l, w_l = _solve_critical_vectors_batched(UV1, UV2, u_l,
+                                                         C, Mp)
     U_rows, g_rows = [], []
     for c in range(C):
         sf2 = sf2_all[c, 0]
@@ -271,7 +385,10 @@ def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
         # gradient error -> spurious divergences -> dual averaging adapts
         # eps ~35% low and min-ESS/s pays 2x; same fix as the single-chain
         # kernel, fused_bound.py VERDICT r2 item 5)
-        if _mc_solve_vectors():
+        if solve_mode == "1":
+            c_u, v, w = cu_l[c], v_l[c], w_l[c]
+        elif solve_mode == "chain":
+            from .fused_bound import ut_solve_vec, ut_t_solve_vec
             sbv = max(32, Mp // 2)
             c_u = ut_t_solve_vec(UB, VB, u, block=sbv)
             v = ut_solve_vec(UB, VB, c_u, block=sbv)
@@ -432,6 +549,12 @@ def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
     UV2 = batched_chol(B_l)
 
     # ---- batched epilogue (per-chain scalars + adjoint operators) ----
+    # triangular solves for the critical vectors — see the resident
+    # core (_rbf_vfe_batched_vg) for the warmup-divergence rationale
+    solve_mode = _mc_solve_vectors()
+    if solve_mode == "1":
+        cu_b, v_b, w_b = _solve_critical_vectors_batched(
+            UV1, UV2, list(uacc), C, Mp)
     F_rows, v_l, Y1_l, wT_l, trB_l, trBinv_l = [], [], [], [], [], []
     for c in range(C):
         s2 = s2_all[c, 0]
@@ -442,9 +565,10 @@ def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
         V = V_l[c]
         U1 = U1_l[c]
         Binv = _dg(VB, VB, 1, 1)
-        # triangular solves for the critical vectors — see the resident
-        # core (_rbf_vfe_batched_vg) for the warmup-divergence rationale
-        if _mc_solve_vectors():
+        if solve_mode == "1":
+            c_u, v, w = cu_b[c], v_b[c], w_b[c]
+        elif solve_mode == "chain":
+            from .fused_bound import ut_solve_vec, ut_t_solve_vec
             sbv = max(32, Mp // 2)
             c_u = ut_t_solve_vec(UB, VB, u, block=sbv)
             v = ut_solve_vec(UB, VB, c_u, block=sbv)

@@ -41,6 +41,33 @@ def test_envelope():
     assert not fused_multichain_supported(60000, 13, 100, 8, target="vfe")
 
 
+def test_chain_batched_solves():
+    """ut_t_solve_maj / ut_solve_maj (one set of panel ops for all chains)
+    match per-chain numpy triangular solves exactly."""
+    from ggp_tpu.ops.fused_multichain import ut_solve_maj, ut_t_solve_maj
+    rng = np.random.default_rng(3)
+    C, Mp = 4, 128
+    Us, Vs, bs = [], [], []
+    for _ in range(C):
+        A = rng.normal(size=(Mp, Mp))
+        U = np.linalg.cholesky(A @ A.T + Mp * np.eye(Mp)).T
+        Us.append(U)
+        Vs.append(np.linalg.inv(U))
+        bs.append(rng.normal(size=(Mp, 1)))
+    U_all = jnp.asarray(np.concatenate(Us, 0), jnp.float32)
+    V_all = jnp.asarray(np.concatenate(Vs, 0), jnp.float32)
+    b_maj = jnp.asarray(np.concatenate(bs, 0), jnp.float32)
+    for block in (32, 64):
+        c = np.asarray(ut_t_solve_maj(U_all, V_all, b_maj, C, block=block))
+        v = np.asarray(ut_solve_maj(U_all, V_all, b_maj, C, block=block))
+        for ci in range(C):
+            sl = slice(ci * Mp, (ci + 1) * Mp)
+            cref = np.linalg.solve(Us[ci].T, bs[ci])
+            vref = np.linalg.solve(Us[ci], bs[ci])
+            assert np.abs(c[sl] - cref).max() / np.abs(cref).max() < 1e-5
+            assert np.abs(v[sl] - vref).max() / np.abs(vref).max() < 1e-5
+
+
 def test_batched_chol_parity():
     C, Mp = 3, 128
     rng = np.random.default_rng(0)

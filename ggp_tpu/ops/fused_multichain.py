@@ -273,15 +273,29 @@ def ut_solve_maj(U_all, V_all, b, C: int, block: int = 64):
     return v
 
 
+class _StackedUV(list):
+    """batched_chol result: indexes like the per-chain [(U_c, V_c)] list,
+    plus whole-stack loads for the chain-batched solvers."""
+
+    def __init__(self, uv_list, U_all, V_all):
+        super().__init__(uv_list)
+        self.U_all = U_all
+        self.V_all = V_all
+
+
 def _solve_critical_vectors_batched(UV1, UV2, u_l, C: int, Mp: int):
     """(c_u, v, w) per-chain column lists via the chain-batched solvers:
     c_u = UB^-T u, v = UB^-1 c_u, w = U1^-1 v (same recurrences as the
     per-chain path in fused_bound — VERDICT r2 item 5 conditioning
     rationale; batched over chains for the op-issue win)."""
-    U1_all = jnp.concatenate([UV1[c][0] for c in range(C)], axis=0)
-    V1_all = jnp.concatenate([UV1[c][1] for c in range(C)], axis=0)
-    UB_all = jnp.concatenate([UV2[c][0] for c in range(C)], axis=0)
-    VB_all = jnp.concatenate([UV2[c][1] for c in range(C)], axis=0)
+    def stacks(UV):
+        if isinstance(UV, _StackedUV):
+            return UV.U_all, UV.V_all
+        return (jnp.concatenate([UV[c][0] for c in range(C)], axis=0),
+                jnp.concatenate([UV[c][1] for c in range(C)], axis=0))
+
+    U1_all, V1_all = stacks(UV1)
+    UB_all, VB_all = stacks(UV2)
     b_maj = jnp.concatenate(u_l, axis=0)
     sbv = min(Mp, 64)
     cu_maj = ut_t_solve_maj(UB_all, VB_all, b_maj, C, block=sbv)
@@ -1177,8 +1191,11 @@ def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
         for c in range(C):
             Ks[c * Mp:(c + 1) * Mp, :] = K_list[c]
         chol_u_inv_batched_inplace(Ks, Us, Vs, Ds, C, block=block)
-        return [(Us[c * Mp:(c + 1) * Mp, :], Vs[c * Mp:(c + 1) * Mp, :])
-                for c in range(C)]
+        out = [(Us[c * Mp:(c + 1) * Mp, :], Vs[c * Mp:(c + 1) * Mp, :])
+               for c in range(C)]
+        # whole-ref loads for the chain-batched solvers (avoids re-stacking
+        # the per-chain slices with C concat copies per factorisation)
+        return _StackedUV(out, Us[:], Vs[:])
 
     if stream is not None:
         assert core == "vfe", "multichain N-streaming: vfe core only"

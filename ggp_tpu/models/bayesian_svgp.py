@@ -86,12 +86,13 @@ def _kl_hyper(q_mu, L_h, prior_var):
 
 def bsvgp_elbo(kernel: Kernel, likelihood: Likelihood, params: dict,
                X_batch, y_batch, num_data: int, key, num_hyper_samples: int,
-               prior_var: float, jitter) -> jnp.ndarray:
+               prior_var: float, jitter, eps=None) -> jnp.ndarray:
     d = X_batch.shape[-1]
     has_noise = isinstance(likelihood, GaussianLikelihood)
     h = d + 2 if has_noise else d + 1
     L_h = _unpack_tril(params["hyper_L_vec"], h)
-    eps = jax.random.normal(key, (num_hyper_samples, h), X_batch.dtype)
+    if eps is None:
+        eps = jax.random.normal(key, (num_hyper_samples, h), X_batch.dtype)
     thetas = params["hyper_mu"][None, :] + eps @ L_h.T      # (S, h)
 
     q_L = _build_L(params["q_sqrt_raw"])
@@ -150,16 +151,49 @@ class BayesianStochasticVariationalGP:
             "hyper_L_vec": vec,
         }
 
+    def _fused_bsvi_ok(self, batch_size) -> bool:
+        """Gate for the whole-epoch Pallas BSVGP kernel (ops/fused_svi):
+        Scale(RBF-ARD) x Gaussian, M <= 128, batch <= 512, S <= 8, on TPU.
+        GGP_FUSED_BSVGP=0 disables."""
+        import os
+        if os.environ.get("GGP_FUSED_BSVGP", "1") == "0":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from ..kernels.base import RBF, Scale
+        if not (isinstance(self.kernel, Scale)
+                and type(self.kernel.base) is RBF and self.kernel.base.ard):
+            return False
+        if type(self.likelihood) is not GaussianLikelihood:
+            return False
+        M = self.params["Z"].shape[0]
+        d = self.train_x.shape[-1]
+        return (M <= 128 and batch_size <= 512 and d + 2 <= 126
+                and self.num_hyper_samples <= 8)
+
     def train_model(self, optimizer=None, num_epochs: int = 100,
                     batch_size: int = 200, lr: float = 0.01, key=None,
                     verbose: bool = False):
         if key is None:
             key = jax.random.PRNGKey(0)
-        if optimizer is None:
-            optimizer = optax.adam(lr)
         N = self.train_x.shape[0]
         batch_size = min(batch_size, N)
         steps = N // batch_size
+        if optimizer is None and self._fused_bsvi_ok(batch_size):
+            # whole-epoch Pallas kernel: every step's S hyper-sample SVGP
+            # data terms + reparameterisation adjoints + Adam in-kernel
+            # (ops/fused_svi.make_fused_bsvgp); same optax-adam trajectory
+            # as the XLA path given the same eps (tests/test_fused_svi.py)
+            self.params, losses = _run_bsvi_fused(
+                self.kernel, self.train_x, self.train_y, self.jitter,
+                self.params, num_epochs, batch_size, steps,
+                self.num_hyper_samples, self.prior_var, lr, key)
+            if verbose:
+                print(f"BayesianSVGP(fused): epoch loss "
+                      f"{float(losses[0]):.3f} -> {float(losses[-1]):.3f}")
+            return losses
+        if optimizer is None:
+            optimizer = optax.adam(lr)
         self.params, losses = _run_bsvi(
             self.kernel, self.likelihood, self.train_x, self.train_y,
             self.jitter, self.params, optimizer, num_epochs, batch_size,
@@ -257,3 +291,70 @@ def _run_bsvi(kernel, likelihood, X, y, jitter, params, optimizer, num_epochs,
     ekeys = jax.random.split(key, num_epochs)
     (params, _), losses = jax.lax.scan(epoch, (params, opt_state), ekeys)
     return params, losses
+
+
+@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9, 10))
+def _run_bsvi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
+                    steps_per_epoch, S, prior_var, lr, key):
+    """Whole-epoch fused BayesianSVGP SVI: same key schedule as
+    :func:`_run_bsvi` (per-epoch permutation key + per-step eps keys) with
+    every Adam step in-kernel (ops/fused_svi.make_fused_bsvgp). Gaussian
+    likelihood only; eps drawn in f32 (the kernel dtype)."""
+    from ..ops.fused_svi import make_fused_bsvgp
+
+    N = X.shape[0]
+    M = params["q_mu"].shape[0]
+    d = X.shape[-1]
+    h = d + 2
+    dt = jnp.float32
+    nbp = -(-batch_size // 8) * 8
+    Sp = 8
+    chunk = make_fused_bsvgp(N, batch_size, M, d, S, prior_var, jitter,
+                             steps_per_call=steps_per_epoch, lr=lr)
+
+    il = jnp.tril_indices(h)
+    Mp = 128
+    pp = {
+        "hmu": jnp.zeros((1, 128), dt).at[0, :h].set(
+            params["hyper_mu"].astype(dt)),
+        "Lraw": jnp.zeros((128, 128), dt).at[il].set(
+            params["hyper_L_vec"].astype(dt)),
+        "Z": jnp.zeros((Mp, 128), dt).at[:M, :d].set(
+            params["Z"].astype(dt)),
+        "q_mu": jnp.zeros((Mp, 1), dt).at[:M].set(
+            params["q_mu"].astype(dt)),
+        "q_raw": jnp.zeros((Mp, Mp), dt).at[:M, :M].set(
+            params["q_sqrt_raw"][0].astype(dt)),
+    }
+    mm = {k: jnp.zeros_like(v) for k, v in pp.items()}
+    vv = {k: jnp.zeros_like(v) for k, v in pp.items()}
+
+    def epoch(carry, ekey):
+        pp, mm, vv, t0 = carry
+        pkey, skey = jax.random.split(ekey)
+        perm = jax.random.permutation(pkey, N)[:steps_per_epoch * batch_size]
+        idx = perm.reshape(steps_per_epoch, batch_size)
+        rows = jnp.zeros((steps_per_epoch, nbp, 128), dt)
+        rows = rows.at[:, :batch_size, :d].set(X[idx].astype(dt))
+        rows = rows.at[:, :batch_size, 127].set(y[idx].astype(dt))
+        slab = rows.reshape(steps_per_epoch * nbp, 128)
+        skeys = jax.random.split(skey, steps_per_epoch)
+        eps = jax.vmap(lambda k: jax.random.normal(k, (S, h), dt))(skeys)
+        erows = jnp.zeros((steps_per_epoch, Sp, 128), dt)
+        erows = erows.at[:, :S, :h].set(eps)
+        eps_slab = erows.reshape(steps_per_epoch * Sp, 128)
+        pp, mm, vv, losses = chunk(pp, mm, vv, slab, eps_slab, t0)
+        return (pp, mm, vv, t0 + steps_per_epoch), jnp.mean(losses)
+
+    ekeys = jax.random.split(key, num_epochs)
+    (pp, _, _, _), losses = jax.lax.scan(
+        epoch, (pp, mm, vv, jnp.asarray(0.0, dt)), ekeys)
+    out = {
+        "kernel": params["kernel"],
+        "Z": pp["Z"][:M, :d].astype(X.dtype),
+        "q_mu": pp["q_mu"][:M].astype(X.dtype),
+        "q_sqrt_raw": pp["q_raw"][:M, :M][None].astype(X.dtype),
+        "hyper_mu": pp["hmu"][0, :h].astype(X.dtype),
+        "hyper_L_vec": pp["Lraw"][il].astype(X.dtype),
+    }
+    return out, losses

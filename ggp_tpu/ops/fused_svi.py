@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 
 from .fused_bound import _dg, _round_up
 
-__all__ = ["svgp_gauss_loss_vg", "make_fused_svi"]
+__all__ = ["svgp_gauss_loss_vg", "make_fused_svi",
+           "bsvgp_loss_vg", "make_fused_bsvgp"]
 
 _LANES = 128
 
@@ -202,6 +203,202 @@ def svgp_gauss_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
 
     grads = {"hyp": -g_hyp, "Z": -g_Z, "q_mu": -g_qmu, "q_raw": -g_qraw}
     return loss, grads
+
+
+# ---------------------------------------------------------------------------
+# BayesianSVGP ("doubly stochastic") loss: q(log theta) hyper distribution
+# ---------------------------------------------------------------------------
+
+def bsvgp_loss_vg(params_pad, Xb, eps_blk, num_data, nb, m, d, S,
+                  prior_var, jitter, chol_inv=None):
+    """loss + grads for one BayesianSVGP minibatch step, padded layout.
+
+    The reference model (models/bayesian_svgp.py:87-207) learns
+    q(log theta) = N(hyper_mu, L L^T) jointly with q(u); the per-step ELBO
+    averages the SVGP data term over S reparameterised hyper draws
+    (models/bayesian_svgp.py:159-167). Here each draw reuses the fused SVGP
+    loss core (:func:`svgp_gauss_loss_vg`) with its hyp row built from
+    theta_s = hyper_mu + L eps_s, and the hyper-distribution gradients
+    follow by the reparameterisation chain (dtheta/dL = eps outer product).
+
+    params_pad:
+      "hmu"  (1,128): hyper mean, theta layout [log_os, log_ls (d),
+             log_noise_std] (models/bayesian_svgp.py:130-132)
+      "Lraw" (128,128): q(log theta) Cholesky, tril(-1) direct + exp diag
+             (the packed q_sigma_vec of models/bayesian_svgp.py:44,51-61,
+             unpacked to a matrix so Adam stays elementwise-equivalent)
+      "Z" (Mp,128), "q_mu" (Mp,1), "q_raw" (Mp,Mp): as svgp_gauss_loss_vg
+    eps_blk (Sp,128): S standard-normal rows (lanes [0,h)), padding rows 0.
+    """
+    dt = jnp.float32
+    h = d + 2
+    hmu = params_pad["hmu"]
+    Lraw = params_pad["Lraw"]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    eyeH = (rows == cols).astype(dt)
+    strict = (rows > cols).astype(dt)
+    hmask = ((rows < h) & (cols < h)).astype(dt)
+    hrow = (lane < h).astype(dt)
+
+    diag_raw = jnp.sum(Lraw * eyeH, axis=1, keepdims=True)    # (128,1)
+    diagL = jnp.exp(diag_raw)
+    L_h = (Lraw * strict + diagL * eyeH) * hmask              # (128,128)
+
+    # theta_s = hmu + L eps_s; rows of (Sp,128)
+    thetas = hmu + _dg(eps_blk, L_h, 1, 1)                    # (Sp,128)
+
+    # hyp = P theta: log_ls[j] = theta[j+1], log_os = theta[0],
+    # log_noise = 2 theta[d+1] (noise = exp(theta[-1])^2)
+    P = (((rows < d) & (cols == rows + 1)).astype(dt)
+         + ((rows == d) & (cols == 0)).astype(dt)
+         + 2.0 * ((rows == d + 1) & (cols == d + 1)).astype(dt))
+
+    inv_s = 1.0 / S
+    loss_acc = jnp.zeros((), dt)
+    gZ = jnp.zeros_like(params_pad["Z"])
+    gqmu = jnp.zeros_like(params_pad["q_mu"])
+    gqraw = jnp.zeros_like(params_pad["q_raw"])
+    g_theta_rows = []
+    for s in range(S):
+        theta_row = thetas[s:s + 1, :]
+        hyp_row = _dg(theta_row, P, 1, 1) * (lane < d + 2).astype(dt)
+        ps = {"hyp": hyp_row, "Z": params_pad["Z"],
+              "q_mu": params_pad["q_mu"], "q_raw": params_pad["q_raw"]}
+        loss_s, g_s = svgp_gauss_loss_vg(ps, Xb, None, num_data, nb, m, d,
+                                         jitter, chol_inv=chol_inv)
+        loss_acc = loss_acc + inv_s * loss_s
+        gZ = gZ + inv_s * g_s["Z"]
+        gqmu = gqmu + inv_s * g_s["q_mu"]
+        gqraw = gqraw + inv_s * g_s["q_raw"]
+        g_theta_rows.append(_dg(g_s["hyp"], P, 1, 0) * hrow)
+    G_theta = jnp.concatenate(
+        g_theta_rows + [jnp.zeros((eps_blk.shape[0] - S, _LANES), dt)],
+        axis=0)                                               # (Sp,128)
+
+    # reparameterisation chain + hyper KL (loss space: klh enters with +)
+    g_hmu = inv_s * jnp.sum(G_theta, axis=0, keepdims=True)
+    g_L = inv_s * _dg(G_theta, eps_blk, 0, 0) * hmask         # (128,128)
+    pv = jnp.asarray(prior_var, dt)
+    # KL(N(hmu, LL^T) || N(0, pv I)) — models/bayesian_svgp.py:116-117
+    klh = 0.5 * (jnp.sum(L_h * L_h) / pv
+                 + jnp.sum((hmu * hrow) ** 2) / pv
+                 - h - 2.0 * jnp.sum(diag_raw * (rows < h).astype(dt))
+                 + h * jnp.log(pv))
+    loss = loss_acc + klh
+    g_hmu = g_hmu + (hmu * hrow) / pv
+    g_L = g_L + (L_h / pv) * hmask
+    # chain dL -> dLraw: strict-lower direct; diagonal times exp(diag_raw);
+    # the -1/diagL logdet term chains to exactly -1 per diagonal entry
+    gdiag = jnp.sum(g_L * eyeH, axis=1, keepdims=True)
+    hmask_d = (rows < h).astype(dt)
+    g_Lraw = (g_L * strict
+              + (gdiag * diagL - 1.0) * eyeH * hmask_d) * hmask
+
+    grads = {"hmu": g_hmu, "Lraw": g_Lraw, "Z": gZ, "q_mu": gqmu,
+             "q_raw": gqraw}
+    return loss, grads
+
+
+def _bsvgp_chunk_body(scal_ref, slab_ref, eps_ref,
+                      hmu_ref, lraw_ref, z_ref, qmu_ref, qraw_ref,
+                      m_hmu, m_lraw, m_z, m_qmu, m_qraw,
+                      v_hmu, v_lraw, v_z, v_qmu, v_qraw,
+                      hmu_o, lraw_o, z_o, qmu_o, qraw_o,
+                      mo_hmu, mo_lraw, mo_z, mo_qmu, mo_qraw,
+                      vo_hmu, vo_lraw, vo_z, vo_qmu, vo_qraw, loss_o,
+                      Ks, Us, Vs, Ds,
+                      *, num_data, nb, nbp, m, d, S, Sp, prior_var, jitter,
+                      K, lr, block):
+    """K BayesianSVGP Adam steps on pre-gathered minibatch + eps slabs."""
+    from .fused_bound import chol_u_inv_inplace
+
+    f32 = jnp.float32
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    t0 = scal_ref[0]
+
+    def ref_chol_inv(Kmat):
+        Ks[:] = Kmat
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block)
+        return Us[:], Vs[:]
+
+    def step(t, carry):
+        (hmu, Lraw, Z, qmu, qraw,
+         m1, m2, m3, m4, m5, v1, v2, v3, v4, v5) = carry
+        Xb = slab_ref[pl.ds(t * nbp, nbp), :]
+        eps_blk = eps_ref[pl.ds(t * Sp, Sp), :]
+        params = {"hmu": hmu, "Lraw": Lraw, "Z": Z, "q_mu": qmu,
+                  "q_raw": qraw}
+        loss, g = bsvgp_loss_vg(params, Xb, eps_blk, num_data, nb, m, d, S,
+                                prior_var, jitter, chol_inv=ref_chol_inv)
+        ta = t0 + t.astype(f32) + 1.0
+        hmu, m1, v1 = _adam_update(hmu, g["hmu"], m1, v1, ta, lr)
+        Lraw, m2, v2 = _adam_update(Lraw, g["Lraw"], m2, v2, ta, lr)
+        Z, m3, v3 = _adam_update(Z, g["Z"], m3, v3, ta, lr)
+        qmu, m4, v4 = _adam_update(qmu, g["q_mu"], m4, v4, ta, lr)
+        qraw, m5, v5 = _adam_update(qraw, g["q_raw"], m5, v5, ta, lr)
+        loss_o[pl.ds(t, 1), :] = loss * (lane8 == 0).astype(f32)
+        return (hmu, Lraw, Z, qmu, qraw,
+                m1, m2, m3, m4, m5, v1, v2, v3, v4, v5)
+
+    init = (hmu_ref[:], lraw_ref[:], z_ref[:], qmu_ref[:], qraw_ref[:],
+            m_hmu[:], m_lraw[:], m_z[:], m_qmu[:], m_qraw[:],
+            v_hmu[:], v_lraw[:], v_z[:], v_qmu[:], v_qraw[:])
+    out = jax.lax.fori_loop(0, K, step, init)
+    for ref, val in zip((hmu_o, lraw_o, z_o, qmu_o, qraw_o,
+                         mo_hmu, mo_lraw, mo_z, mo_qmu, mo_qraw,
+                         vo_hmu, vo_lraw, vo_z, vo_qmu, vo_qraw), out):
+        ref[:] = val
+
+
+def make_fused_bsvgp(num_data, nb, m, d, S, prior_var, jitter, *,
+                     steps_per_call, lr=0.01, block=32, interpret=False):
+    """Factory: ``chunk(params_pad, adam_m, adam_v, slab, eps_slab, t0) ->
+    (params_pad, adam_m, adam_v, losses (K,))``. Envelope: m <= 128,
+    nb <= 512, d + 2 <= 126, S <= 8. Returns None outside it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if m > _LANES or d + 2 > _LANES - 2 or nb > 512 or S > 8:
+        return None
+    Mp = _LANES
+    nbp = _round_up(nb, 8)
+    Sp = 8
+    K = int(steps_per_call)
+    f32 = jnp.float32
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    shapes = {"hmu": (1, _LANES), "Lraw": (_LANES, _LANES),
+              "Z": (Mp, _LANES), "q_mu": (Mp, 1), "q_raw": (Mp, Mp)}
+    names = ("hmu", "Lraw", "Z", "q_mu", "q_raw")
+    out_shape = ([jax.ShapeDtypeStruct(shapes[k], f32)
+                  for k in names] * 3
+                 + [jax.ShapeDtypeStruct((K, 8), f32)])
+    call = pl.pallas_call(
+        partial(_bsvgp_chunk_body, num_data=num_data, nb=nb, nbp=nbp, m=m,
+                d=d, S=S, Sp=Sp, prior_var=float(prior_var),
+                jitter=float(jitter), K=K, lr=float(lr), block=block),
+        out_shape=tuple(out_shape),
+        in_specs=[smem] + [vmem] * 17,
+        out_specs=(vmem,) * 16,
+        scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
+        + [pltpu.VMEM((Mp, _LANES), f32)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
+        interpret=interpret,
+    )
+
+    def chunk(params_pad, adam_m, adam_v, slab, eps_slab, t0):
+        outs = call(jnp.asarray([t0], f32), slab, eps_slab,
+                    *[params_pad[k] for k in names],
+                    *[adam_m[k] for k in names],
+                    *[adam_v[k] for k in names])
+        p1 = dict(zip(names, outs[0:5]))
+        m1 = dict(zip(names, outs[5:10]))
+        v1 = dict(zip(names, outs[10:15]))
+        return p1, m1, v1, outs[15][:, 0]
+
+    return chunk
 
 
 # ---------------------------------------------------------------------------

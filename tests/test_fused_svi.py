@@ -209,3 +209,183 @@ def test_fused_svi_gate_and_envelope(monkeypatch):
     # factory envelope
     assert make_fused_svi(1000, 600, 32, 3, 1e-6, steps_per_call=4) is None
     assert make_fused_svi(1000, 64, 200, 3, 1e-6, steps_per_call=4) is None
+
+
+# ---------------------------------------------------------------------------
+# BayesianSVGP ("doubly stochastic") fused path
+# ---------------------------------------------------------------------------
+
+def _bsvgp_params(m, d, rng):
+    h = d + 2
+    vec = rng.normal(size=(h * (h + 1) // 2,)) * 0.2
+    return {
+        "kernel": {"base": {"log_lengthscale": jnp.zeros((d,), jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.1, jnp.float32)},
+        "Z": jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+        "q_mu": jnp.asarray(rng.normal(size=(m, 1)) * 0.3, jnp.float32),
+        "q_sqrt_raw": jnp.asarray(rng.normal(size=(1, m, m)) * 0.1,
+                                  jnp.float32),
+        "hyper_mu": jnp.asarray(rng.normal(size=(h,)) * 0.2, jnp.float32),
+        "hyper_L_vec": jnp.asarray(vec, jnp.float32),
+    }
+
+
+def _bsvgp_pad(p, m, d, h):
+    il = jnp.tril_indices(h)
+    return {
+        "hmu": jnp.zeros((1, 128), jnp.float32).at[0, :h].set(p["hyper_mu"]),
+        "Lraw": jnp.zeros((128, 128), jnp.float32).at[il].set(
+            p["hyper_L_vec"]),
+        "Z": jnp.zeros((128, 128), jnp.float32).at[:m, :d].set(p["Z"]),
+        "q_mu": jnp.zeros((128, 1), jnp.float32).at[:m].set(p["q_mu"]),
+        "q_raw": jnp.zeros((128, 128), jnp.float32).at[:m, :m].set(
+            p["q_sqrt_raw"][0]),
+    }
+
+
+@pytest.mark.parametrize("nmds", [(40, 8, 3, 5), (64, 16, 2, 3)])
+def test_bsvgp_loss_and_grads_match_autodiff(nmds):
+    """bsvgp_loss_vg == jax.grad of -bsvgp_elbo (fixed eps, f64 truth)."""
+    from ggp_tpu.models.bayesian_svgp import bsvgp_elbo
+    from ggp_tpu.ops.fused_svi import bsvgp_loss_vg
+
+    nb, m, d, S = nmds
+    h = d + 2
+    N = 10 * nb
+    prior_var = 0.01
+    jitter = 1e-6
+    rng = np.random.default_rng(5)
+    Xb = jnp.asarray(rng.normal(size=(nb, d)), jnp.float32)
+    yb = jnp.asarray(rng.normal(size=(nb,)), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(S, h)), jnp.float32)
+    kern = default_rbf(ard=True)
+    lik = GaussianLikelihood()
+    params = _bsvgp_params(m, d, rng)
+
+    def ref_loss(p, X_, y_, eps_):
+        return -bsvgp_elbo(kern, lik, p, X_, y_, N, None, S, prior_var,
+                           jitter, eps=eps_)
+
+    p64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+    loss_ref, g_ref = jax.value_and_grad(ref_loss)(
+        p64, Xb.astype(jnp.float64), yb.astype(jnp.float64),
+        eps.astype(jnp.float64))
+
+    pp = _bsvgp_pad(params, m, d, h)
+    NBp = -(-nb // 8) * 8
+    Xp = jnp.zeros((NBp, 128), jnp.float32).at[:nb, :d].set(Xb)
+    Xp = Xp.at[:nb, 127].set(yb)
+    ep = jnp.zeros((8, 128), jnp.float32).at[:S, :h].set(eps)
+    loss, g = bsvgp_loss_vg(pp, Xp, ep, N, nb, m, d, S, prior_var, jitter)
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=3e-5)
+    il = jnp.tril_indices(h)
+    np.testing.assert_allclose(np.asarray(g["hmu"][0, :h]),
+                               np.asarray(g_ref["hyper_mu"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g["Lraw"][il]),
+                               np.asarray(g_ref["hyper_L_vec"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g["Z"][:m, :d]),
+                               np.asarray(g_ref["Z"]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g["q_mu"][:m]),
+                               np.asarray(g_ref["q_mu"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g["q_raw"][:m, :m]),
+                               np.asarray(g_ref["q_sqrt_raw"][0]),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_bsvgp_chunk_kernel_matches_optax():
+    """Interpret-mode BSVGP chunk kernel reproduces an optax.adam loop over
+    the same minibatches and eps draws: per-step losses and final params."""
+    import optax
+
+    from ggp_tpu.models.bayesian_svgp import bsvgp_elbo
+    from ggp_tpu.ops.fused_svi import make_fused_bsvgp
+
+    nb, m, d, S, K = 16, 8, 2, 3, 4
+    h = d + 2
+    N = 64
+    prior_var = 0.01
+    jitter = 1e-6
+    lr = 0.02
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+    w = rng.normal(size=(d,))
+    y = jnp.asarray(np.sin(np.asarray(X) @ w) + 0.3 * rng.normal(size=N),
+                    jnp.float32)
+    kern = default_rbf(ard=True)
+    lik = GaussianLikelihood()
+    params = _bsvgp_params(m, d, rng)
+    idx = rng.integers(0, N, size=(K, nb))
+    eps_all = rng.normal(size=(K, S, h)).astype(np.float32)
+
+    opt = optax.adam(lr)
+    p_ref = params
+    state = opt.init(p_ref)
+    losses_ref = []
+
+    def loss_fn(p, Xb, yb, eps_):
+        return -bsvgp_elbo(kern, lik, p, Xb, yb, N, None, S, prior_var,
+                           jitter, eps=eps_)
+
+    for t in range(K):
+        lval, g = jax.value_and_grad(loss_fn)(
+            p_ref, X[idx[t]], y[idx[t]], jnp.asarray(eps_all[t]))
+        upd, state = opt.update(g, state)
+        p_ref = optax.apply_updates(p_ref, upd)
+        losses_ref.append(float(lval))
+
+    chunk = make_fused_bsvgp(N, nb, m, d, S, prior_var, jitter,
+                             steps_per_call=K, lr=lr, interpret=True)
+    pp = _bsvgp_pad(params, m, d, h)
+    zeros = {k: jnp.zeros_like(v) for k, v in pp.items()}
+    nbp = -(-nb // 8) * 8
+    slab = jnp.zeros((K * nbp, 128), jnp.float32)
+    eps_slab = jnp.zeros((K * 8, 128), jnp.float32)
+    for t in range(K):
+        slab = slab.at[t * nbp:t * nbp + nb, :d].set(X[idx[t]])
+        slab = slab.at[t * nbp:t * nbp + nb, 127].set(y[idx[t]])
+        eps_slab = eps_slab.at[t * 8:t * 8 + S, :h].set(eps_all[t])
+    p1, m1, v1, losses = chunk(pp, dict(zeros), dict(zeros), slab,
+                               eps_slab, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=3e-4)
+    il = jnp.tril_indices(h)
+    np.testing.assert_allclose(np.asarray(p1["hmu"][0, :h]),
+                               np.asarray(p_ref["hyper_mu"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["Lraw"][il]),
+                               np.asarray(p_ref["hyper_L_vec"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["Z"][:m, :d]),
+                               np.asarray(p_ref["Z"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["q_mu"][:m]),
+                               np.asarray(p_ref["q_mu"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["q_raw"][:m, :m]),
+                               np.asarray(p_ref["q_sqrt_raw"][0]),
+                               atol=3e-4)
+
+
+def test_fused_bsvgp_gate_and_envelope(monkeypatch):
+    from ggp_tpu.models.bayesian_svgp import BayesianStochasticVariationalGP
+    from ggp_tpu.ops.fused_svi import make_fused_bsvgp
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(64, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    m = BayesianStochasticVariationalGP(X, y, Z_init=X[:8])
+    assert not m._fused_bsvi_ok(32)       # CPU backend in CI
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert m._fused_bsvi_ok(32)
+    monkeypatch.setenv("GGP_FUSED_BSVGP", "0")
+    assert not m._fused_bsvi_ok(32)
+    monkeypatch.delenv("GGP_FUSED_BSVGP")
+    assert not m._fused_bsvi_ok(1024)     # batch too large
+    m.num_hyper_samples = 12
+    assert not m._fused_bsvi_ok(32)       # too many hyper samples
+    assert make_fused_bsvgp(100, 32, 8, 2, 12, 0.01, 1e-6,
+                            steps_per_call=2) is None
+    assert make_fused_bsvgp(100, 600, 8, 2, 5, 0.01, 1e-6,
+                            steps_per_call=2) is None

@@ -282,6 +282,9 @@ def _run_bsvi(kernel, likelihood, X, y, jitter, params, optimizer, num_epochs,
                                    num_hyper_samples, prior_var, jitter)
 
             val, g = jax.value_and_grad(loss)(p)
+            # zero_nans-style guard (matches the fused kernel's Adam)
+            g = jax.tree_util.tree_map(
+                lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g)
             updates, s = optimizer.update(g, s, p)
             return (optax.apply_updates(p, updates), s), val
 

@@ -128,10 +128,22 @@ class StochasticVariationalGP:
         return -svgp_elbo(self.kernel, self.likelihood, params, X_batch,
                           y_batch, self.train_x.shape[0], self.jitter)
 
+    def _fused_likelihood_tag(self):
+        """Kernel likelihood tag, or None if the likelihood has no fused
+        data term (Softmax / custom)."""
+        from ..likelihoods import BernoulliProbit, PoissonLogCox
+        if type(self.likelihood) is GaussianLikelihood:
+            return "gauss"
+        if type(self.likelihood) is BernoulliProbit:
+            return "bernoulli_probit"
+        if type(self.likelihood) is PoissonLogCox:
+            return "poisson"
+        return None
+
     def _fused_svi_ok(self, batch_size) -> bool:
         """Gate for the whole-epoch Pallas SVI kernel (ops/fused_svi):
-        Scale(RBF-ARD) x Gaussian, M <= 128, batch <= 512, on TPU.
-        GGP_FUSED_SVI=0 disables."""
+        Scale(RBF-ARD) x {Gaussian, Bernoulli-probit, Poisson}, M <= 128,
+        batch <= 512, on TPU. GGP_FUSED_SVI=0 disables."""
         import os
         if os.environ.get("GGP_FUSED_SVI", "1") == "0":
             return False
@@ -141,7 +153,7 @@ class StochasticVariationalGP:
         if not (isinstance(self.kernel, Scale)
                 and type(self.kernel.base) is RBF and self.kernel.base.ard):
             return False
-        if type(self.likelihood) is not GaussianLikelihood:
+        if self._fused_likelihood_tag() is None:
             return False
         M = self.params["Z"].shape[0]
         d = self.train_x.shape[-1]
@@ -164,7 +176,8 @@ class StochasticVariationalGP:
             # path (tests/test_fused_svi.py)
             self.params, losses = _run_svi_fused(
                 self.kernel, self.train_x, self.train_y, self.jitter,
-                self.params, num_epochs, batch_size, steps, lr, key)
+                self.params, num_epochs, batch_size, steps, lr, key,
+                self._fused_likelihood_tag())
             if verbose:
                 print(f"SVGP(fused): epoch loss {float(losses[0]):.3f} -> "
                       f"{float(losses[-1]):.3f}")
@@ -238,6 +251,11 @@ def _run_svi(kernel, likelihood, X, y, jitter, params, optimizer, num_epochs,
                                   key=bkey)
 
             val, g = jax.value_and_grad(loss)(p)
+            # zero_nans-style guard (matches the fused kernel's Adam): a
+            # borderline non-PSD Kmm or an overflowed poisson rate must
+            # not poison optimizer state for the rest of training
+            g = jax.tree_util.tree_map(
+                lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g)
             updates, s = optimizer.update(g, s, p)
             return (optax.apply_updates(p, updates), s), val
 
@@ -249,12 +267,14 @@ def _run_svi(kernel, likelihood, X, y, jitter, params, optimizer, num_epochs,
     return params, losses
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 10))
 def _run_svi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
-                   steps_per_epoch, lr, key):
+                   steps_per_epoch, lr, key, lik_tag):
     """Whole-epoch fused SVI: same batching schedule as :func:`_run_svi`
     (per-epoch permutation with the epoch key), every Adam step in-kernel
-    (ops/fused_svi). Gaussian likelihood only (the batch key is unused)."""
+    (ops/fused_svi). ``lik_tag`` selects the in-kernel data term
+    ("gauss" / "bernoulli_probit" / "poisson"); the batch key is unused
+    (quadrature/closed forms, no MC)."""
     from ..ops.fused_svi import make_fused_svi
 
     N = X.shape[0]
@@ -263,14 +283,16 @@ def _run_svi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
     dt = jnp.float32
     nbp = -(-batch_size // 8) * 8
     svi = make_fused_svi(N, batch_size, M, d, jitter,
-                         steps_per_call=steps_per_epoch, lr=lr)
+                         steps_per_call=steps_per_epoch, lr=lr,
+                         likelihood=lik_tag)
 
     # pack params into the padded kernel layout
     Mp = 128
     hyp = jnp.zeros((1, 128), dt)
     hyp = hyp.at[0, :d].set(params["kernel"]["base"]["log_lengthscale"])
     hyp = hyp.at[0, d].set(params["kernel"]["log_outputscale"])
-    hyp = hyp.at[0, d + 1].set(params["lik"]["log_noise"])
+    if lik_tag == "gauss":
+        hyp = hyp.at[0, d + 1].set(params["lik"]["log_noise"])
     pp = {
         "hyp": hyp,
         "Z": jnp.zeros((Mp, 128), dt).at[:M, :d].set(params["Z"]),
@@ -280,6 +302,8 @@ def _run_svi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
     }
     mm = {k: jnp.zeros_like(v) for k, v in pp.items()}
     vv = {k: jnp.zeros_like(v) for k, v in pp.items()}
+    lgam = (jax.scipy.special.gammaln(y.astype(dt) + 1.0)
+            if lik_tag == "poisson" else None)
 
     def epoch(carry, ekey):
         pp, mm, vv, t0 = carry
@@ -288,6 +312,8 @@ def _run_svi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
         rows = jnp.zeros((steps_per_epoch, nbp, 128), dt)
         rows = rows.at[:, :batch_size, :d].set(X[idx].astype(dt))
         rows = rows.at[:, :batch_size, 127].set(y[idx].astype(dt))
+        if lgam is not None:
+            rows = rows.at[:, :batch_size, 126].set(lgam[idx])
         slab = rows.reshape(steps_per_epoch * nbp, 128)
         pp, mm, vv, losses = svi(pp, mm, vv, slab, t0)
         return (pp, mm, vv, t0 + steps_per_epoch), jnp.mean(losses)
@@ -300,7 +326,8 @@ def _run_svi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
         "kernel": {"base": {"log_lengthscale":
                             pp["hyp"][0, :d].astype(X.dtype)},
                    "log_outputscale": pp["hyp"][0, d].astype(X.dtype)},
-        "lik": {"log_noise": pp["hyp"][0, d + 1].astype(X.dtype)},
+        "lik": ({"log_noise": pp["hyp"][0, d + 1].astype(X.dtype)}
+                if lik_tag == "gauss" else {}),
         "Z": pp["Z"][:M, :d].astype(X.dtype),
         "q_mu": pp["q_mu"][:M].astype(X.dtype),
         "q_sqrt_raw": pp["q_raw"][:M, :M][None].astype(X.dtype),

@@ -26,5 +26,6 @@ from .fused_multichain import (  # noqa: E402
 )
 from .fused_nuts import FusedNUTS, fused_nuts_supported, make_fused_nuts  # noqa: E402
 from .fused_svi import (bsvgp_loss_vg, make_fused_bsvgp,  # noqa: E402
-                        make_fused_svi, svgp_gauss_loss_vg)
+                        make_fused_svi, quad_table, svgp_gauss_loss_vg,
+                        svgp_loss_vg)
 from .pallas_vfe import rbf_vfe_stats, stationary_vfe_stats  # noqa: E402

@@ -60,12 +60,15 @@ def _dg(a, b, ca, cb):
         preferred_element_type=a.dtype if a.dtype == jnp.float64 else jnp.float32)
 
 
-def _chol_panel(p, j0, block):
+def _chol_panel(p, j0, block, pivot_floor=None):
     """Factor ``block`` pivot rows (lanes j0..j0+block-1) of a symmetric
     trailing panel p (block, Mp). Statically unrolled; dynamic indices appear
     only in lane masks. Returns the U (=L^T) panel. Non-PSD pivots propagate
     NaN (matching ``jnp.linalg.cholesky``) so sampler divergence detection
-    keeps working."""
+    keeps working — unless ``pivot_floor`` (traced scalar > 0) is given, in
+    which case pivots are clamped to it (modified Cholesky of a nearby PSD
+    matrix; used by the SVI training kernels, where a NaN factor would
+    permanently poison Adam state instead of flagging a divergence)."""
     Mp = p.shape[1]
     dt = p.dtype
     colmj = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1) - j0
@@ -75,10 +78,8 @@ def _chol_panel(p, j0, block):
         onehot = (colmj == i).astype(dt)                  # (1, Mp)
         ri = p[i:i + 1, :]                                # (1, Mp)
         d = jnp.sum(ri * onehot)
-        dis = jnp.where(d > 0,
-                        jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
-                        jnp.asarray(jnp.nan, dt))
-        ui = ri * dis * (colmj >= i).astype(dt)           # masked U row
+        ui, dis = _pivot_row(ri, d, onehot, (colmj >= i).astype(dt),
+                             pivot_floor, dt)
         rows.append(ui)
         cu = jnp.sum(p * onehot, axis=1, keepdims=True) * dis   # (block,1)
         p = p - jnp.where(rowb > i, cu, jnp.asarray(0.0, dt)) * ui
@@ -103,7 +104,8 @@ def _inv_panel(S, R, i0, block):
     return jnp.concatenate(rows, axis=0)
 
 
-def block_chol_u(K: jnp.ndarray, block: int = 16) -> jnp.ndarray:
+def block_chol_u(K: jnp.ndarray, block: int = 16,
+                 pivot_floor=None) -> jnp.ndarray:
     """U = chol(K)^T (upper triangular), pure HLO — no lapack custom call.
 
     Right-looking blocked algorithm over ``block``-row panels: panel
@@ -117,7 +119,7 @@ def block_chol_u(K: jnp.ndarray, block: int = 16) -> jnp.ndarray:
         K, U = carry
         j0 = bj * block
         p = jax.lax.dynamic_slice(K, (j0, 0), (block, Mp))
-        Up = _chol_panel(p, j0, block)
+        Up = _chol_panel(p, j0, block, pivot_floor)
         U = jax.lax.dynamic_update_slice(U, Up, (j0, 0))
         K = K - _dg(Up, Up, 0, 0)                             # trailing update
         return K, U
@@ -175,10 +177,28 @@ def chol_u_inplace(K_ref, U_ref, block: int = 16) -> None:
     jax.lax.fori_loop(0, nb, step, 0)
 
 
-def _mini_chol_inv(Dblk, block):
+def _pivot_row(ri, d, onehot, ge_mask, pivot_floor, dt):
+    """Shared pivot policy: NaN row on non-SPD (sampler divergence
+    semantics), or — SVI modified-Cholesky semantics — a deficient pivot
+    becomes a pure sqrt(floor) e_i row and elimination from it is skipped
+    (flooring alone would amplify the negative direction through the
+    trailing update). Returns (ui, dis)."""
+    if pivot_floor is None:
+        dis = jnp.where(
+            d > 0,
+            jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
+            jnp.asarray(jnp.nan, dt))
+        return ri * dis * ge_mask, dis
+    dis = jax.lax.rsqrt(jnp.maximum(d, pivot_floor))
+    ui = jnp.where(d >= pivot_floor, ri * dis * ge_mask,
+                   jnp.sqrt(pivot_floor) * onehot)
+    return ui, dis
+
+
+def _mini_chol_inv(Dblk, block, pivot_floor=None):
     """chol + inverse of a tiny (block, block) SPD block, fully unrolled on
     single-vreg tiles. Returns udinv with ud^T ud = Dblk, udinv = ud^-1.
-    Non-SPD pivots propagate NaN."""
+    Non-SPD pivots propagate NaN (or clamp, see :func:`_pivot_row`)."""
     dt = Dblk.dtype
     colB = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
     rowB = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
@@ -187,10 +207,8 @@ def _mini_chol_inv(Dblk, block):
     for i in range(block):
         ri = P[i:i + 1, :]
         d = ri[0, i]
-        dis = jnp.where(d > 0,
-                        jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
-                        jnp.asarray(jnp.nan, dt))
-        ui = ri * dis * (colB >= i).astype(dt)
+        ui, dis = _pivot_row(ri, d, (colB == i).astype(dt),
+                             (colB >= i).astype(dt), pivot_floor, dt)
         rows.append(ui)
         c = P[:, i:i + 1] * dis
         P = P - jnp.where(rowB > i, c, jnp.asarray(0.0, dt)) * ui
@@ -206,7 +224,7 @@ def _mini_chol_inv(Dblk, block):
     return ud, jnp.concatenate(vrows, axis=0)
 
 
-def _mini_chol_inv_v2(Dblk, block):
+def _mini_chol_inv_v2(Dblk, block, pivot_floor=None):
     """Scalar-free variant of :func:`_mini_chol_inv`: pivot values are kept
     as (1,1)/(B,1) tiles extracted by masked sums, so every op in the
     unrolled loops stays on the vector unit — no scalar-register round
@@ -221,10 +239,8 @@ def _mini_chol_inv_v2(Dblk, block):
         onehot = (colB == i).astype(dt)
         ri = P[i:i + 1, :]
         d = jnp.sum(ri * onehot, axis=1, keepdims=True)       # (1,1)
-        dis = jnp.where(d > 0,
-                        jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
-                        jnp.asarray(jnp.nan, dt))
-        ui = ri * dis * (colB >= i).astype(dt)
+        ui, dis = _pivot_row(ri, d, onehot, (colB >= i).astype(dt),
+                             pivot_floor, dt)
         rows.append(ui)
         cu = jnp.sum(P * onehot, axis=1, keepdims=True)       # (B,1)
         P = P - jnp.where(rowB > i, cu * dis, jnp.asarray(0.0, dt)) * ui
@@ -242,7 +258,8 @@ def _mini_chol_inv_v2(Dblk, block):
     return ud, jnp.concatenate(vrows, axis=0)
 
 
-def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16) -> None:
+def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16,
+                       pivot_floor=None) -> None:
     """Fused in-kernel U = chol(K)^T and V = U^-1 (MXU-dominant form).
 
     Pass 1 (Cholesky): per panel, the (block x block) diagonal block is
@@ -274,9 +291,9 @@ def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16) -> None:
         Dblk = _dg(p, Ej, 1, 1)                               # p[:, j0:j0+B]
         import os as _os
         if _os.environ.get("GGP_MINI_V1"):
-            ud, udinv = _mini_chol_inv(Dblk, block)
+            ud, udinv = _mini_chol_inv(Dblk, block, pivot_floor)
         else:
-            ud, udinv = _mini_chol_inv_v2(Dblk, block)
+            ud, udinv = _mini_chol_inv_v2(Dblk, block, pivot_floor)
         # U panel = ud^-T p, masked to lanes >= j0
         Up = _dg(udinv, p, 0, 0) * (col >= j0).astype(dt)
         U_ref[pl.ds(j0, block), :] = Up

@@ -33,6 +33,7 @@ the inducing-location terms dZs = -2(rowsum(Pmm) o Zs - Pmm Zs)
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -41,24 +42,106 @@ from jax.experimental import pallas as pl
 
 from .fused_bound import _dg, _round_up
 
-__all__ = ["svgp_gauss_loss_vg", "make_fused_svi",
-           "bsvgp_loss_vg", "make_fused_bsvgp"]
+__all__ = ["svgp_gauss_loss_vg", "svgp_loss_vg", "make_fused_svi",
+           "bsvgp_loss_vg", "make_fused_bsvgp", "quad_table"]
 
 _LANES = 128
+
+# Non-Gaussian data terms (round 3): the reference trains classification
+# and count SVGPs through gpytorch's VariationalELBO with Bernoulli /
+# Poisson likelihoods (reference models/svgp.py:40-46, README.md:5-11).
+# Our XLA path evaluates E_q[log p(y|f)] by 20-node Gauss-Hermite
+# (likelihoods.py Likelihood.variational_expectation); the fused kernel
+# uses the SAME nodes/weights, stacked as rows of one (QUAD_ROWS, NBp)
+# block so the whole quadrature is ~15 elementwise VPU ops.
+QUAD_N = 20
+QUAD_ROWS = 32  # sublane-aligned padding; pad rows carry zero weight
+
+_LOG_HALF = math.log(0.5)
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+# erfc rational approximation (Chebyshev-fitted, fractional error
+# < 1.2e-7 for all x): erfc(x) = t exp(-x^2 + c(t)), t = 1/(1 + x/2).
+# Mosaic has no erf primitive; this form is exp/log-only AND its
+# exp(-x^2) factor cancels exactly in the Mills ratio pdf/ndtr used for
+# the quadrature gradients.
+_ERFC_C = (-1.26551223, 1.00002368, 0.37409196, 0.09678418, -0.18628806,
+           0.27886807, -1.13520398, 1.48851587, -0.82215223, 0.17087277)
+
+
+def quad_table(dtype=jnp.float32):
+    """(QUAD_ROWS, 128) table: lane 0 = Gauss-Hermite nodes, lane 1 =
+    normalized weights (rows >= QUAD_N zero). Kernel input — Pallas
+    cannot capture array constants."""
+    import numpy as np
+    x, w = np.polynomial.hermite_e.hermegauss(QUAD_N)
+    w = w / np.sum(w)
+    tab = np.zeros((QUAD_ROWS, _LANES), np.float64)
+    tab[:QUAD_N, 0] = x
+    tab[:QUAD_N, 1] = w
+    return jnp.asarray(tab, dtype)
+
+
+def _erfc_c_poly(t):
+    """c(t) Horner evaluation for the erfc approximation."""
+    c = jnp.full_like(t, _ERFC_C[-1])
+    for coef in _ERFC_C[-2::-1]:
+        c = c * t + coef
+    return c
+
+
+def _log_ndtr_and_ratio(z):
+    """Elementwise (log Phi(z), pdf(z)/Phi(z)) — Mosaic-lowerable.
+
+    z <= 0: Phi(z) = erfc(-z/sqrt2)/2 = t exp(-z^2/2 + c)/2, so
+    log Phi = log(t/2) - z^2/2 + c and the ratio's exp(-z^2/2) cancels:
+    pdf/Phi = 2/(sqrt(2 pi) t e^c) — no underflow anywhere.
+    z > 0: Phi = 1 - erfc(z/sqrt2)/2 in [1/2, 1], both direct."""
+    ax = jnp.abs(z) * _INV_SQRT2
+    t = 1.0 / (1.0 + 0.5 * ax)
+    c = _erfc_c_poly(t)
+    ec = jnp.exp(c)
+    neg = z <= 0.0
+    lp_neg = _LOG_HALF + jnp.log(t) - 0.5 * z * z + c
+    half_erfc = 0.5 * t * jnp.exp(-0.5 * z * z + c)
+    ndtr_pos = 1.0 - half_erfc
+    lp_pos = jnp.log(ndtr_pos)
+    lp = jnp.where(neg, lp_neg, lp_pos)
+    r_neg = (2.0 * _INV_SQRT2PI) / (t * ec)
+    r_pos = _INV_SQRT2PI * jnp.exp(-0.5 * z * z) / ndtr_pos
+    r = jnp.where(neg, r_neg, r_pos)
+    return lp, r
 
 
 def svgp_gauss_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
                        chol_inv=None):
+    """Gaussian-likelihood alias of :func:`svgp_loss_vg` (original API)."""
+    return svgp_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
+                        chol_inv=chol_inv, likelihood="gauss")
+
+
+def svgp_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
+                 chol_inv=None, likelihood="gauss", quad=None):
     """loss and gradients for one minibatch, padded layout.
 
     params_pad: dict of padded arrays —
-      "hyp"   (1,128): lanes [log_ls (d), log_os, log_noise]
+      "hyp"   (1,128): lanes [log_ls (d), log_os, log_noise (gauss only)]
       "Z"     (Mp,128): rows :m, lanes :d
       "q_mu"  (Mp,1)
       "q_raw" (Mp,Mp)
     Xb (NBp,128) rows :nb lanes :d with y packed in lane 127; ``yb`` unused
     placeholder for clarity (y comes from lane 127). Returns (loss, grads)
     with grads matching params_pad's structure (zero in padding).
+
+    likelihood selects the data term (reference trains all three through
+    gpytorch's VariationalELBO, models/svgp.py:88-127):
+      "gauss":            closed form; noise hyper in lane d+1.
+      "bernoulli_probit": E[log Phi((2y-1) f)] by QUAD_N-node Gauss-Hermite
+                          (same rule as likelihoods.Likelihood default);
+                          requires ``quad`` = :func:`quad_table`.
+      "poisson":          log-Cox closed form y mu - exp(mu + var/2)
+                          - log y!, with lgamma(y+1) packed in lane 126
+                          (constant wrt params; Mosaic has no lgamma).
     """
     dt = jnp.float32
     hyp = params_pad["hyp"]
@@ -108,11 +191,17 @@ def svgp_gauss_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
 
     from .fused_bound import (block_chol_u, block_ut_inv, ut_solve_vec,
                               ut_t_solve_vec)
+    # modified-Cholesky pivot floor (outputscale-relative): during SVI the
+    # inducing locations MOVE, and a transient near-duplicate Z pair makes
+    # f32 Kmm borderline non-PSD — the samplers' NaN-on-non-PSD semantics
+    # would permanently poison Adam state here, so clamp instead (the
+    # reference escalates jitter in psd_safe_cholesky for the same reason)
+    pivot_floor = 1e-6 * jit_scale
     if chol_inv is None:
-        U = block_chol_u(Kmm_j, block=32)               # U = Lk^T
+        U = block_chol_u(Kmm_j, block=32, pivot_floor=pivot_floor)
         V = block_ut_inv(U, block=32)                   # V = Lk^-T
     else:
-        U, V = chol_inv(Kmm_j)                          # in-kernel path
+        U, V = chol_inv(Kmm_j, pivot_floor)             # in-kernel path
     # blocked SUBSTITUTION for the conditional (not the formed inverse):
     # 1-D/clustered inducing sets drive cond(Kmm) high during training and
     # V^T Kms loses ~cond*eps digits where the solve stays backward-stable
@@ -132,11 +221,50 @@ def svgp_gauss_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
     clamp = (var_raw > 1e-12).astype(dt)
     var = jnp.maximum(var_raw, 1e-12)
 
-    e = (yv - mean) * nmask                             # (NBp,1)
-    see = jnp.sum(e * e)
-    svar = jnp.sum(var * nmaskT)
-    ve_sum = (-0.5 * nb * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
-              - 0.5 * (see + svar) / s2)
+    cm = clamp * nmaskT
+    # ---- per-likelihood data term: ve_sum = sum_i E[log p(y_i|f_i)],
+    # alpha = scale * dve/dmean (NBp,1), bv = scale * dve/dvar * cm (1,NBp),
+    # g_log_noise = dELBO/d log_noise (gauss only) ----
+    if likelihood == "gauss":
+        e = (yv - mean) * nmask                         # (NBp,1)
+        see = jnp.sum(e * e)
+        svar = jnp.sum(var * nmaskT)
+        ve_sum = (-0.5 * nb * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+                  - 0.5 * (see + svar) / s2)
+        alpha = scale * e / s2                          # (NBp,1)
+        bv = (-0.5 * scale / s2) * cm                   # (1,NBp)
+        d_s2 = (-0.5 * nb / s2 + 0.5 * (see + svar) / (s2 * s2))
+        g_log_noise = scale * d_s2 * s2
+    elif likelihood == "bernoulli_probit":
+        meanT = _dg(one11, mean, 1, 1)                  # (1,NBp)
+        yrow = _dg(one11, yv, 1, 1)
+        srow = 2.0 * yrow - 1.0
+        sig = jnp.sqrt(var)
+        lane0 = (lane == 0).astype(dt)
+        lane1 = (lane == 1).astype(dt)
+        xcol = jnp.sum(quad * lane0, axis=1, keepdims=True)   # (Q,1) nodes
+        wcol = jnp.sum(quad * lane1, axis=1, keepdims=True)   # (Q,1) weights
+        zq = srow * (meanT + xcol * sig)                # (Q,NBp)
+        lp, r = _log_ndtr_and_ratio(zq)
+        ve_sum = jnp.sum(jnp.sum(wcol * lp, axis=0, keepdims=True) * nmaskT)
+        dmu_row = srow * jnp.sum(wcol * r, axis=0, keepdims=True)
+        dvar_row = (srow * jnp.sum(wcol * xcol * r, axis=0, keepdims=True)
+                    / (2.0 * sig))
+        alpha = scale * _dg(dmu_row * nmaskT, one11, 0, 0)    # (NBp,1)
+        bv = scale * dvar_row * cm
+        g_log_noise = jnp.zeros((), dt)
+    elif likelihood == "poisson":
+        meanT = _dg(one11, mean, 1, 1)
+        yrow = _dg(one11, yv, 1, 1)
+        e126 = (lane == 126).astype(dt)
+        lgrow = _dg(e126, Xb, 1, 1)                     # (1,NBp) lgamma(y+1)
+        rate = jnp.exp(meanT + 0.5 * var)               # E[exp f]
+        ve_sum = jnp.sum((yrow * meanT - rate - lgrow) * nmaskT)
+        alpha = scale * _dg((yrow - rate) * nmaskT, one11, 0, 0)
+        bv = scale * (-0.5 * rate) * cm
+        g_log_noise = jnp.zeros((), dt)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown likelihood {likelihood!r}")
 
     diag_qL = jnp.sum(qL * eyeM, axis=1, keepdims=True)
     logdet = 2.0 * jnp.sum(jnp.log(diag_qL) * mrow)
@@ -146,18 +274,15 @@ def svgp_gauss_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
     loss = -elbo
 
     # ---- adjoints (of ELBO; negated at the end) ----
-    alpha = scale * e / s2                              # (NBp,1)
-    beta = -0.5 * scale / s2                            # scalar (per point)
     # dELBO/dA: mean term + var terms (through -A^2 and +SA^2)
     alphaT = _dg(one11, alpha, 1, 1)                    # (1,NBp)
-    cm = clamp * nmaskT
     G = (q_mu * alphaT
-         + 2.0 * beta * (_dg(qL, SA, 1, 0) - A) * cm)   # (Mp,NBp)
+         + 2.0 * (_dg(qL, SA, 1, 0) - A) * bv)          # (Mp,NBp)
     # dELBO/dq_mu = A alpha - q_mu (KL)
     g_qmu = _dg(A, alpha, 1, 0) - q_mu
     g_qmu = g_qmu * mrow
-    # dELBO/dqL = 2 beta A SA^T (var) - (qL - diag(1/diag qL)) (KL)
-    g_qL = 2.0 * beta * _dg(A, SA * cm, 1, 1) - qL + (1.0 / diag_qL) * eyeM
+    # dELBO/dqL = 2 A (SA dvar)^T (var) - (qL - diag(1/diag qL)) (KL)
+    g_qL = 2.0 * _dg(A, SA * bv, 1, 1) - qL + (1.0 / diag_qL) * eyeM
     g_qL = g_qL * mrow * (colm < m).astype(dt)
     # chain to q_raw: strict-lower direct; diagonal times exp(diag_raw)
     g_qraw = g_qL * strict + (jnp.sum(g_qL * eyeM, axis=1, keepdims=True)
@@ -173,12 +298,9 @@ def svgp_gauss_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
     Kmm_bT = _dg(eyeM, Kmm_b, 1, 1)
     Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
 
-    d_s2 = (-0.5 * nb / s2 + 0.5 * (see + svar) / (s2 * s2))
-    g_log_noise = scale * d_s2 * s2
-    n_eff = jnp.sum(cm)                                 # clamped kdiag terms
     g_log_os = (jnp.sum(Kmm_b * Kmm) + jnp.sum(Kms_b * Kms)
                 + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
-                + beta * n_eff * sf2)                   # kdiag = sf2 per pt
+                + jnp.sum(bv) * sf2)                    # kdiag = sf2 per pt
 
     Pmm = Kmm_b * Kmm
     Pms = Kms_b * Kms
@@ -318,9 +440,10 @@ def _bsvgp_chunk_body(scal_ref, slab_ref, eps_ref,
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     t0 = scal_ref[0]
 
-    def ref_chol_inv(Kmat):
+    def ref_chol_inv(Kmat, pivot_floor):
         Ks[:] = Kmat
-        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block)
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block,
+                           pivot_floor=pivot_floor)
         return Us[:], Vs[:]
 
     def step(t, carry):
@@ -406,7 +529,14 @@ def make_fused_bsvgp(num_data, nb, m, d, S, prior_var, jitter, *,
 # ---------------------------------------------------------------------------
 
 def _adam_update(p, g, mm, vv, t, lr, b1=0.9, b2=0.999, eps=1e-8):
-    """optax.adam defaults (bias-corrected moments, eps_root=0)."""
+    """optax.adam defaults (bias-corrected moments, eps_root=0).
+
+    Non-finite gradient entries are zeroed first (optax.zero_nans
+    semantics, extended to inf — poisson's exp data term can overflow
+    f32): one poisoned minibatch must not corrupt Adam state for the rest
+    of training. ``abs(g) <= 3e38`` is false for both NaN and inf and
+    lowers in Mosaic (no is_finite primitive there)."""
+    g = jnp.where(jnp.abs(g) <= 3.0e38, g, jnp.zeros_like(g))
     mm1 = b1 * mm + (1.0 - b1) * g
     vv1 = b2 * vv + (1.0 - b2) * g * g
     bc1 = 1.0 - jnp.exp(t * jnp.log(b1))
@@ -415,35 +545,42 @@ def _adam_update(p, g, mm, vv, t, lr, b1=0.9, b2=0.999, eps=1e-8):
     return p - step, mm1, vv1
 
 
-def _svi_chunk_body(scal_ref, slab_ref, hyp_ref, z_ref, qmu_ref, qraw_ref,
+def _svi_chunk_body(scal_ref, slab_ref, quad_ref,
+                    hyp_ref, z_ref, qmu_ref, qraw_ref,
                     m_hyp, m_z, m_qmu, m_qraw, v_hyp, v_z, v_qmu, v_qraw,
                     hyp_o, z_o, qmu_o, qraw_o,
                     mo_hyp, mo_z, mo_qmu, mo_qraw,
                     vo_hyp, vo_z, vo_qmu, vo_qraw, loss_o,
                     Ks, Us, Vs, Ds,
-                    *, num_data, nb, nbp, m, d, jitter, K, lr, block):
+                    *, num_data, nb, nbp, m, d, jitter, K, lr, block,
+                    likelihood):
     """K SVI Adam steps on pre-gathered minibatch slabs.
 
     scal_ref (SMEM f32, 1): adam step counter before this chunk.
     slab_ref (K*nbp, 128): step t's rows at [t*nbp, (t+1)*nbp), X in lanes
-    [0,d), y in lane 127. loss_o (K, 8) lane 0 = per-step loss."""
+    [0,d), y in lane 127 (poisson: lgamma(y+1) in lane 126).
+    quad_ref (QUAD_ROWS, 128): Gauss-Hermite table (zeros unless
+    bernoulli_probit). loss_o (K, 8) lane 0 = per-step loss."""
     from .fused_bound import chol_u_inv_inplace
 
     f32 = jnp.float32
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     t0 = scal_ref[0]
+    quad = quad_ref[:]
 
-    def ref_chol_inv(Kmat):
+    def ref_chol_inv(Kmat, pivot_floor):
         Ks[:] = Kmat
-        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block)
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block,
+                           pivot_floor=pivot_floor)
         return Us[:], Vs[:]
 
     def step(t, carry):
         (hyp, Z, qmu, qraw, mh, mz, mq, mr, vh, vz, vq, vr) = carry
         Xb = slab_ref[pl.ds(t * nbp, nbp), :]
         params = {"hyp": hyp, "Z": Z, "q_mu": qmu, "q_raw": qraw}
-        loss, g = svgp_gauss_loss_vg(params, Xb, None, num_data, nb, m, d,
-                                     jitter, chol_inv=ref_chol_inv)
+        loss, g = svgp_loss_vg(params, Xb, None, num_data, nb, m, d,
+                               jitter, chol_inv=ref_chol_inv,
+                               likelihood=likelihood, quad=quad)
         ta = t0 + t.astype(f32) + 1.0
         hyp, mh, vh = _adam_update(hyp, g["hyp"], mh, vh, ta, lr)
         Z, mz, vz = _adam_update(Z, g["Z"], mz, vz, ta, lr)
@@ -472,15 +609,21 @@ def _svi_chunk_body(scal_ref, slab_ref, hyp_ref, z_ref, qmu_ref, qraw_ref,
 
 
 def make_fused_svi(num_data, nb, m, d, jitter, *, steps_per_call,
-                   lr=0.01, block=32, interpret=False):
+                   lr=0.01, block=32, interpret=False,
+                   likelihood="gauss"):
     """Factory: ``svi_chunk(params_pad, adam_state, slab, t0) ->
     (params_pad, adam_state, losses (K,))``. ``slab`` is
-    (steps_per_call*nbp, 128) pre-gathered rows (y in lane 127). Envelope:
-    m <= 128, nb <= 512, d + 2 <= 127. Returns None outside it."""
+    (steps_per_call*nbp, 128) pre-gathered rows (y in lane 127; poisson
+    additionally lgamma(y+1) in lane 126). Envelope: m <= 128, nb <= 512,
+    d + 2 <= 127 (poisson: d <= 125 — lane 126 is taken).
+    Returns None outside it."""
     from jax.experimental import pallas as pl  # noqa: F811
     from jax.experimental.pallas import tpu as pltpu
 
-    if m > _LANES or d + 2 > _LANES - 1 or nb > 512:
+    if likelihood not in ("gauss", "bernoulli_probit", "poisson"):
+        return None
+    max_d = 125 if likelihood == "poisson" else _LANES - 3
+    if m > _LANES or d > max_d or nb > 512:
         return None
     Mp = _LANES
     nbp = _round_up(nb, 8)
@@ -495,9 +638,10 @@ def make_fused_svi(num_data, nb, m, d, jitter, *, steps_per_call,
                  + [jax.ShapeDtypeStruct((K, 8), f32)])
     call = pl.pallas_call(
         partial(_svi_chunk_body, num_data=num_data, nb=nb, nbp=nbp, m=m,
-                d=d, jitter=float(jitter), K=K, lr=float(lr), block=block),
+                d=d, jitter=float(jitter), K=K, lr=float(lr), block=block,
+                likelihood=likelihood),
         out_shape=tuple(out_shape),
-        in_specs=[smem] + [vmem] * 13,
+        in_specs=[smem] + [vmem] * 14,
         out_specs=(vmem,) * 13,
         scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
         + [pltpu.VMEM((Mp, _LANES), f32)],
@@ -505,9 +649,11 @@ def make_fused_svi(num_data, nb, m, d, jitter, *, steps_per_call,
             vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
         interpret=interpret,
     )
+    qtab = (quad_table() if likelihood == "bernoulli_probit"
+            else jnp.zeros((QUAD_ROWS, _LANES), f32))
 
     def svi_chunk(params_pad, adam_m, adam_v, slab, t0):
-        outs = call(jnp.asarray([t0], f32), slab,
+        outs = call(jnp.asarray([t0], f32), slab, qtab,
                     params_pad["hyp"], params_pad["Z"], params_pad["q_mu"],
                     params_pad["q_raw"],
                     adam_m["hyp"], adam_m["Z"], adam_m["q_mu"],

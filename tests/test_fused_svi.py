@@ -389,3 +389,228 @@ def test_fused_bsvgp_gate_and_envelope(monkeypatch):
                             steps_per_call=2) is None
     assert make_fused_bsvgp(100, 600, 8, 2, 5, 0.01, 1e-6,
                             steps_per_call=2) is None
+
+
+# ---------------------------------------------------------------------------
+# Non-Gaussian fused data terms (bernoulli_probit quadrature, poisson)
+# ---------------------------------------------------------------------------
+
+def test_log_ndtr_approx_accuracy():
+    """In-kernel erfc-based log_ndtr + Mills ratio vs scipy-grade truth.
+    Mosaic has no erf; the kernel uses the rational erfc approximation
+    (fractional error < 1.2e-7) whose exp(-z^2/2) factor cancels in the
+    ratio."""
+    from ggp_tpu.ops.fused_svi import _log_ndtr_and_ratio
+
+    z = jnp.asarray(np.linspace(-30.0, 12.0, 4001), jnp.float64)
+    lp, r = _log_ndtr_and_ratio(z)
+    lp_ref = jax.scipy.special.log_ndtr(z)
+    r_ref = jnp.exp(jax.scipy.stats.norm.logpdf(z) - lp_ref)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               atol=5e-7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=1e-6)
+    # f32 (the kernel dtype) stays finite and close far into the tail
+    lp32, r32 = _log_ndtr_and_ratio(z.astype(jnp.float32))
+    assert np.all(np.isfinite(np.asarray(lp32)))
+    assert np.all(np.isfinite(np.asarray(r32)))
+    np.testing.assert_allclose(np.asarray(lp32), np.asarray(lp_ref),
+                               rtol=2e-5, atol=1e-4)
+
+
+def _nongauss_case(likname, nb, m, d, rng):
+    from ggp_tpu.likelihoods import BernoulliProbit, PoissonLogCox
+    if likname == "bernoulli_probit":
+        lik = BernoulliProbit()
+        y = (rng.random(nb) < 0.5).astype(np.float64)
+    else:
+        lik = PoissonLogCox()
+        y = rng.poisson(2.0, nb).astype(np.float64)
+    params = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(d,)) * 0.3,
+                                        jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.2, jnp.float32)},
+        "lik": {},
+        "Z": jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+        "q_mu": jnp.asarray(rng.normal(size=(m, 1)) * 0.4, jnp.float32),
+        "q_sqrt_raw": jnp.asarray(rng.normal(size=(1, m, m)) * 0.1,
+                                  jnp.float32),
+    }
+    return lik, jnp.asarray(y, jnp.float32), params
+
+
+def _pad_params_nolik(p, m, d, Mp=128):
+    hyp = jnp.zeros((1, 128), jnp.float32)
+    hyp = hyp.at[0, :d].set(p["kernel"]["base"]["log_lengthscale"])
+    hyp = hyp.at[0, d].set(p["kernel"]["log_outputscale"])
+    Z = jnp.zeros((Mp, 128), jnp.float32).at[:m, :d].set(p["Z"])
+    q_mu = jnp.zeros((Mp, 1), jnp.float32).at[:m].set(p["q_mu"])
+    q_raw = jnp.zeros((Mp, Mp), jnp.float32).at[:m, :m].set(
+        p["q_sqrt_raw"][0])
+    return {"hyp": hyp, "Z": Z, "q_mu": q_mu, "q_raw": q_raw}
+
+
+@pytest.mark.parametrize("likname", ["bernoulli_probit", "poisson"])
+@pytest.mark.parametrize("nmd", [(40, 8, 3), (33, 16, 2)])
+def test_svi_loss_nongauss_matches_autodiff(likname, nmd):
+    """svgp_loss_vg(likelihood=...) == jax.grad of -svgp_elbo with the
+    matching likelihoods.py object (f64 ground truth)."""
+    from ggp_tpu.ops.fused_svi import quad_table, svgp_loss_vg
+
+    nb, m, d = nmd
+    N = 10 * nb
+    jitter = 1e-6
+    rng = np.random.default_rng(7)
+    Xb = jnp.asarray(rng.normal(size=(nb, d)), jnp.float32)
+    kern = default_rbf(ard=True)
+    lik, yb, params = _nongauss_case(likname, nb, m, d, rng)
+
+    def ref_loss(p, X_, y_):
+        return -svgp_elbo(kern, lik, p, X_, y_, N, jitter)
+
+    p64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+    loss_ref, g_ref = jax.value_and_grad(ref_loss)(
+        p64, Xb.astype(jnp.float64), yb.astype(jnp.float64))
+
+    pp = _pad_params_nolik(params, m, d)
+    NBp = -(-nb // 8) * 8
+    Xslab = jnp.zeros((NBp, 128), jnp.float32).at[:nb, :d].set(Xb)
+    Xslab = Xslab.at[:nb, 127].set(yb)
+    if likname == "poisson":
+        Xslab = Xslab.at[:nb, 126].set(
+            jax.scipy.special.gammaln(yb + 1.0))
+    loss_f, g_f = svgp_loss_vg(pp, Xslab, None, N, nb, m, d, jitter,
+                               likelihood=likname, quad=quad_table())
+
+    np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-4)
+
+    def close(a, b):
+        a = np.asarray(a, np.float64).reshape(-1)
+        b = np.asarray(b, np.float64).reshape(-1)
+        tol = 2e-3 * (1.0 + np.abs(b).max())
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+    close(g_f["hyp"][0, :d], g_ref["kernel"]["base"]["log_lengthscale"])
+    close(g_f["hyp"][0, d], g_ref["kernel"]["log_outputscale"])
+    assert float(jnp.abs(g_f["hyp"][0, d + 1])) == 0.0  # no noise hyper
+    close(g_f["Z"][:m, :d], g_ref["Z"])
+    close(g_f["q_mu"][:m], g_ref["q_mu"])
+    close(g_f["q_raw"][:m, :m], g_ref["q_sqrt_raw"][0])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("likname", ["bernoulli_probit", "poisson"])
+def test_svi_chunk_nongauss_matches_optax(likname):
+    """Interpret-mode chunk kernel with a non-Gaussian data term reproduces
+    the optax.adam trajectory of the XLA model loss."""
+    import optax
+
+    from ggp_tpu.ops.fused_svi import make_fused_svi
+
+    nb, m, d, K = 16, 8, 2, 4
+    N = 64
+    jitter = 1e-6
+    lr = 0.02
+    rng = np.random.default_rng(13)
+    X = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+    kern = default_rbf(ard=True)
+    lik, y, params = _nongauss_case(likname, N, m, d, rng)
+    idx = rng.integers(0, N, size=(K, nb))
+
+    opt = optax.adam(lr)
+    p_ref = params
+    state = opt.init(p_ref)
+    losses_ref = []
+
+    def loss_fn(p, Xb, yb):
+        return -svgp_elbo(kern, lik, p, Xb, yb, N, jitter)
+
+    for t in range(K):
+        lval, g = jax.value_and_grad(loss_fn)(p_ref, X[idx[t]], y[idx[t]])
+        upd, state = opt.update(g, state)
+        p_ref = optax.apply_updates(p_ref, upd)
+        losses_ref.append(float(lval))
+
+    svi = make_fused_svi(N, nb, m, d, jitter, steps_per_call=K, lr=lr,
+                         interpret=True, likelihood=likname)
+    pp = _pad_params_nolik(params, m, d)
+    zeros = {k: jnp.zeros_like(v) for k, v in pp.items()}
+    nbp = -(-nb // 8) * 8
+    slab = jnp.zeros((K * nbp, 128), jnp.float32)
+    for t in range(K):
+        slab = slab.at[t * nbp:t * nbp + nb, :d].set(X[idx[t]])
+        slab = slab.at[t * nbp:t * nbp + nb, 127].set(y[idx[t]])
+        if likname == "poisson":
+            slab = slab.at[t * nbp:t * nbp + nb, 126].set(
+                jax.scipy.special.gammaln(y[idx[t]] + 1.0))
+    p1, m1, v1, losses = svi(pp, dict(zeros), dict(zeros), slab, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(p1["hyp"][0, :d + 1]),
+        np.r_[np.asarray(p_ref["kernel"]["base"]["log_lengthscale"]),
+              float(p_ref["kernel"]["log_outputscale"])], atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["Z"][:m, :d]),
+                               np.asarray(p_ref["Z"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["q_mu"][:m]),
+                               np.asarray(p_ref["q_mu"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["q_raw"][:m, :m]),
+                               np.asarray(p_ref["q_sqrt_raw"][0]),
+                               atol=3e-4)
+
+
+def test_fused_svi_nongauss_gate(monkeypatch):
+    """Bernoulli/Poisson SVGPs are fused-eligible; Softmax is not."""
+    from ggp_tpu.likelihoods import BernoulliProbit, PoissonLogCox, Softmax
+    from ggp_tpu.models.svgp import StochasticVariationalGP
+    from ggp_tpu.ops.fused_svi import make_fused_svi
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(64, 2)), jnp.float32)
+    yb = jnp.asarray((rng.random(64) < 0.5).astype(np.float32))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    mb = StochasticVariationalGP(X, yb, likelihood=BernoulliProbit(),
+                                 Z_init=X[:8])
+    assert mb._fused_svi_ok(32)
+    mp = StochasticVariationalGP(X, yb, likelihood=PoissonLogCox(),
+                                 Z_init=X[:8])
+    assert mp._fused_svi_ok(32)
+    ms = StochasticVariationalGP(X, (yb > 0).astype(jnp.int32),
+                                 likelihood=Softmax(num_classes=2),
+                                 Z_init=X[:8])
+    assert not ms._fused_svi_ok(32)
+    assert make_fused_svi(100, 32, 8, 2, 1e-6, steps_per_call=2,
+                          likelihood="softmax") is None
+
+
+def test_pivot_floor_and_adam_guard():
+    """SVI robustness pieces: (1) the pivot-floored blocked Cholesky stays
+    finite on a borderline non-PSD matrix where the sampler-semantics path
+    NaNs; (2) the in-kernel Adam zeroes non-finite gradient entries
+    (optax.zero_nans semantics extended to inf)."""
+    from ggp_tpu.ops.fused_bound import block_chol_u
+    from ggp_tpu.ops.fused_svi import _adam_update
+
+    # rank-deficient PSD + a perturbation pushing one eigenvalue slightly
+    # negative: plain f32 chol (and the NaN-semantics blocked chol) fails
+    rng = np.random.default_rng(2)
+    B = rng.normal(size=(128, 4))
+    K = jnp.asarray(B @ B.T - 1e-3 * np.eye(128), jnp.float32)
+    U_nan = block_chol_u(K, block=32)
+    assert not bool(jnp.all(jnp.isfinite(U_nan)))
+    U = block_chol_u(K, block=32, pivot_floor=jnp.asarray(1e-6, jnp.float32))
+    assert bool(jnp.all(jnp.isfinite(U)))
+    # U^T U reconstructs a nearby PSD matrix: residual bounded by the
+    # deficiency scale (1e-3 eigen-perturbation on a ~4-scale matrix),
+    # not amplified to O(1/floor)
+    resid = np.asarray(U.T @ U - K)
+    assert np.abs(resid).max() < 0.2
+
+    g = jnp.asarray([1.0, jnp.nan, jnp.inf, -jnp.inf, 2.0], jnp.float32)
+    p0 = jnp.zeros(5, jnp.float32)
+    p1, m1, v1 = _adam_update(p0, g, p0, p0, jnp.asarray(1.0, jnp.float32),
+                              0.1)
+    assert bool(jnp.all(jnp.isfinite(p1)))
+    np.testing.assert_array_equal(np.asarray(p1[1:4]), np.zeros(3))
+    assert float(p1[0]) != 0.0 and float(p1[4]) != 0.0

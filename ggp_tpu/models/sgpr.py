@@ -334,10 +334,44 @@ class SparseGPR:
         return -sgpr_elbo(self.kernel, params, self.train_x, self.train_y,
                           self.jitter)
 
+    def _fused_train_ok(self) -> bool:
+        """Gate for the whole-chunk Pallas trainer (ops/fused_sgpr):
+        Scale(RBF-ARD) x Gaussian, N <= 2048, M <= 128, on TPU.
+        GGP_FUSED_SGPR=0 disables."""
+        import os
+
+        import jax as _jax
+        if os.environ.get("GGP_FUSED_SGPR", "1") == "0":
+            return False
+        if _jax.default_backend() != "tpu":
+            return False
+        from ..kernels.base import RBF, Scale
+        if not (isinstance(self.kernel, Scale)
+                and type(self.kernel.base) is RBF and self.kernel.base.ard):
+            return False
+        if type(self.likelihood) is not GaussianLikelihood:
+            return False
+        n, d = self.train_x.shape
+        return (n <= 2048 and self.params["Z"].shape[0] <= 128
+                and d <= 125)
+
     def train_model(self, optimizer=None, max_steps: int = 2000, lr: float = 0.01,
                     log_interval: int = 1000, verbose: bool = True):
         """Adam on (theta, Z) via one jitted lax.scan (reference loop:
         models/sgpr.py:110-144). Returns the per-step loss trajectory."""
+        if optimizer is None and self._fused_train_ok():
+            # whole-chunk Pallas trainer: both grams, both blocked
+            # factorizations, the (theta, Z) adjoint, the optax chain and
+            # the box projection all in-kernel (ops/fused_sgpr); same
+            # trajectory as the XLA scan (tests/test_fused_sgpr.py)
+            self.params, losses = _run_adam_fused(
+                self.train_x, self.train_y, self.jitter, self.params,
+                max_steps, lr)
+            if verbose and log_interval:
+                for j in range(0, max_steps, log_interval):
+                    print(f"Iter {j}/{max_steps} - Loss: "
+                          f"{float(losses[j]):.3f}")
+            return losses
         if optimizer is None:
             # clip guards against Cholesky-gradient blow-ups on
             # ill-conditioned composite kernels in f32
@@ -404,3 +438,54 @@ def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps,
     (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
                                        length=max_steps)
     return params, losses
+
+
+@partial(jax.jit, static_argnums=(2, 4, 5))
+def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4):
+    """Whole-chunk fused trainer: K=200 Adam steps per Pallas call under a
+    lax.scan, plus one remainder chunk (ops/fused_sgpr). Same optimizer
+    chain and projections as :func:`_run_adam`."""
+    from ..ops.fused_sgpr import make_fused_sgpr
+
+    n, d = X.shape
+    M = params["Z"].shape[0]
+    dt = jnp.float32
+    Mp, Np = 128, -(-n // 8) * 8
+    theta = jnp.zeros((1, 128), dt)
+    theta = theta.at[0, :d].set(params["kernel"]["base"]["log_lengthscale"])
+    theta = theta.at[0, d].set(params["kernel"]["log_outputscale"])
+    theta = theta.at[0, d + 1].set(params["log_noise"])
+    Z = jnp.zeros((Mp, 128), dt).at[:M, :d].set(params["Z"].astype(dt))
+    Xp = jnp.zeros((Np, 128), dt).at[:n, :d].set(X.astype(dt))
+    yp = jnp.zeros((Np, 1), dt).at[:n, 0].set(y.astype(dt))
+    zero = {"theta": jnp.zeros((1, 128), dt), "Z": jnp.zeros((Mp, 128), dt)}
+
+    K = min(int(max_steps), 200)
+    n_full, rem = divmod(int(max_steps), K)
+    chunk = make_fused_sgpr(n, M, d, jitter, steps_per_call=K, lr=lr,
+                            min_noise=min_noise)
+
+    def body(carry, t0):
+        theta, Z, am, av = carry
+        theta, Z, am, av, losses = chunk(theta, Z, am, av, Xp, yp, t0)
+        return (theta, Z, am, av), losses
+
+    t0s = jnp.arange(n_full, dtype=dt) * K
+    (theta, Z, am, av), losses = jax.lax.scan(
+        body, (theta, Z, dict(zero), dict(zero)), t0s)
+    losses = losses.reshape(-1)
+    if rem:
+        tail = make_fused_sgpr(n, M, d, jitter, steps_per_call=rem, lr=lr,
+                               min_noise=min_noise)
+        theta, Z, am, av, l2 = tail(theta, Z, am, av, Xp, yp,
+                                    jnp.asarray(n_full * K, dt))
+        losses = jnp.concatenate([losses, l2])
+
+    out = {
+        "kernel": {"base": {"log_lengthscale":
+                            theta[0, :d].astype(X.dtype)},
+                   "log_outputscale": theta[0, d].astype(X.dtype)},
+        "log_noise": theta[0, d + 1].astype(X.dtype),
+        "Z": Z[:M, :d].astype(X.dtype),
+    }
+    return out, losses

@@ -422,13 +422,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _default_chol_inv(K):
-    U = block_chol_u(K)
+def _default_chol_inv(K, pivot_floor=None):
+    U = block_chol_u(K, pivot_floor=pivot_floor)
     return U, block_ut_inv(U)
 
 
 def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
-                            chol_inv=_default_chol_inv):
+                            chol_inv=_default_chol_inv, want_z_grad=False,
+                            want_prior=True, pivot_floor=None):
     """Potential U = -(collapsed ELBO + log prior) and dU/dtheta.
 
     Shapes: theta_pad (1,128) [lanes 0..d-1 log-lengthscale, d log-outputscale,
@@ -438,6 +439,14 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     -(sgpr_elbo + log_prior(prior_tree_rbf())) bit-for-bit in structure:
     same sq_dist clamping, same relative jitter (ops/linalg.py:add_jitter),
     same prior parameterisation (priors.py:142-153).
+
+    ``want_z_grad=True`` additionally returns dU/dZ (Mp,128) — the
+    inducing-location chain through BOTH grams (fused SGPR training,
+    ops/fused_sgpr.py; Z carries no prior, reference models/sgpr.py:110).
+    ``want_prior=False`` drops the hyperprior (ML-II training objective,
+    reference models/sgpr.py:121). ``pivot_floor`` forwards to the blocked
+    Cholesky (training-only modified-Cholesky semantics; sampler callers
+    leave it None to keep NaN divergence detection).
     """
     dt = Xp.dtype
     Np, Mp = Xp.shape[0], Zp.shape[0]
@@ -476,10 +485,16 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     jit_scale = jnp.maximum(sf2, 1.0)                         # mean diag = sf2
     Kmm_j = Kmm + (jitter * jit_scale) * eyeM
 
-    U, V = chol_inv(Kmm_j)                                    # U = L^T, V = L^-T
+    if pivot_floor is None:
+        U, V = chol_inv(Kmm_j)                                # U = L^T, V = L^-T
+    else:
+        U, V = chol_inv(Kmm_j, pivot_floor * jit_scale)
     An = _dg(Knm, V, 1, 0) / sigma                            # A^T = Knm L^-T / sigma
     B = _dg(An, An, 0, 0) + eyeM
-    UB, VB = chol_inv(B)
+    if pivot_floor is None:
+        UB, VB = chol_inv(B)
+    else:
+        UB, VB = chol_inv(B, pivot_floor)                     # diag(B) >= 1
     Binv = _dg(VB, VB, 1, 1)                                  # VB VB^T = B^-1
     u = _dg(An, yp, 0, 0)                                     # (Mp,1) A y
     # value- and gradient-critical VECTORS go through triangular SOLVES
@@ -533,6 +548,27 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
            + _dg(rs_nm, Xs2, 0, 0) + cs_nm @ Zs2
            - 2.0 * jnp.sum(Xs * (Pnm @ Zs), axis=0, keepdims=True))  # (1,128)
 
+    dZ = None
+    if want_z_grad:
+        # inducing-location chain (same pattern as the SVI kernel,
+        # ops/fused_svi.py): Pmm is symmetric, so the mm gram contributes
+        # -2(rowsum o Zs - Pmm Zs); the nm gram's column entity gives
+        # -(colsum o Zs - Pnm^T Xs). dZ = dZs / ls (capped inv_ls, the
+        # same smooth-region approximation dls makes).
+        cs_nmT = _dg(cs_nm, one11, 0, 0)                      # (Mp,1)
+        dZs = (-2.0 * (rs_mm * Zs - Pmm @ Zs)
+               - (cs_nmT * Zs - _dg(Pnm, Xs, 0, 0)))
+        dZ = dZs * inv_ls * mrow_mask * ls_mask
+
+    if not want_prior:
+        g = dls
+        g = jnp.where(lane == d, dlog_os, g)
+        g = jnp.where(lane == d + 1, dlog_noise, g)
+        g = g * (lane < d + 2).astype(dt)
+        if want_z_grad:
+            return -F, -g, -dZ
+        return -F, -g
+
     # ---- priors (priors.py: Gamma(2,1) on ls, HalfCauchyOnStd(1) on os/noise)
     lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
     log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
@@ -549,6 +585,8 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     g = jnp.where(lane == d, dlog_os + g_os, g)
     g = jnp.where(lane == d + 1, dlog_noise + g_noise, g)
     g = g * (lane < d + 2).astype(dt)
+    if want_z_grad:
+        return -(F + lp), -g, -dZ
     return -(F + lp), -g
 
 

@@ -1,0 +1,157 @@
+"""Fused SGPR (Titsias) training: whole chunks of full-batch Adam steps
+inside one Pallas kernel.
+
+The reference trains SGPR with one gpytorch ELBO + Adam step per Python
+iteration (reference models/sgpr.py:110-144); our XLA path already scans
+steps under jit (models/sgpr.py `_run_adam`), but every step still pays
+this runtime's per-iteration custom-call floor for the two Cholesky
+factorizations (~80-90 us each, PERF.md) plus XLA op-issue — measured
+~717 us/step at Boston size. Here the ENTIRE step runs in-kernel: both
+grams, the two blocked in-VMEM factorizations, the collapsed-bound value,
+the hand adjoint wrt ALL parameters (hypers AND inducing locations — the
+``want_z_grad`` extension of ops/fused_bound._rbf_vfe_neg_logpost_vg),
+the optax chain (zero_nans -> clip_by_global_norm(100) -> adam), and the
+log-param box projection — with K steps per Pallas call on resident X/y.
+
+Scope: Scale(RBF-ARD) x Gaussian (the reference's regression benchmark
+configuration), n <= 2048 resident rows, m <= 128, d <= 125. The
+optimizer chain mirrors models/sgpr.py `_run_adam` exactly, with one
+documented deviation: optax's clip_by_global_norm zeroes the WHOLE update
+when any gradient entry is inf (norm = inf -> scale 0), while the kernel
+masks non-finite entries per-element before the norm — they differ only
+on blow-up events that would otherwise stall training.
+
+Training-only robustness: the blocked Cholesky runs with the SVI
+modified-Cholesky pivot floor (ops/fused_bound._pivot_row) — a NaN factor
+would permanently poison Adam state; sampler kernels keep NaN divergence
+semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .fused_bound import _rbf_vfe_neg_logpost_vg, _round_up
+from .fused_svi import _adam_update
+
+__all__ = ["sgpr_loss_vg", "make_fused_sgpr"]
+
+_LANES = 128
+_PIVOT_FLOOR = 1e-6           # relative; scaled by max(sf2,1) in the core
+_CLIP_NORM = 100.0            # models/sgpr.py train_model optax chain
+_BOX = 15.0                   # log-hyper box projection (models/sgpr.py)
+
+
+def sgpr_loss_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter, chol_inv=None):
+    """loss = -sgpr_elbo (NO prior — the ML-II training objective,
+    reference models/sgpr.py:121) and gradients wrt (theta, Z), padded
+    layout. Thin wrapper over the sampler potential core with
+    ``want_z_grad``/``want_prior=False`` (ops/fused_bound.py)."""
+    kwargs = {} if chol_inv is None else {"chol_inv": chol_inv}
+    return _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
+                                   want_z_grad=True, want_prior=False,
+                                   pivot_floor=_PIVOT_FLOOR, **kwargs)
+
+
+def _sgpr_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
+                     m_th, m_z, v_th, v_z,
+                     th_o, z_o, mo_th, mo_z, vo_th, vo_z, loss_o,
+                     Ks, Us, Vs, Ds,
+                     *, n, m, d, jitter, K, lr, block, min_noise):
+    """K full-batch SGPR Adam steps on resident X (Np,128) / y (Np,1)."""
+    from .fused_bound import chol_u_inv_inplace
+
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    hyp_mask = (lane < d + 2).astype(f32)
+    noise_lane = (lane == d + 1).astype(f32)
+    t0 = scal_ref[0]
+    X = x_ref[:]
+    y = y_ref[:]
+    log_floor = math.log(min_noise)
+
+    def ref_chol_inv(Kmat, pivot_floor):
+        Ks[:] = Kmat
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block,
+                           pivot_floor=pivot_floor)
+        return Us[:], Vs[:]
+
+    def step(t, carry):
+        theta, Z, mt, mz, vt, vz = carry
+        loss, gt, gZ = sgpr_loss_vg(theta, X, y, Z, n, m, d, jitter,
+                                    chol_inv=ref_chol_inv)
+        # optax chain: zero_nans (per-element, extended to inf) then
+        # clip_by_global_norm(100) over the whole (theta, Z) tree
+        gt = jnp.where(jnp.abs(gt) <= 3.0e38, gt, jnp.zeros_like(gt))
+        gZ = jnp.where(jnp.abs(gZ) <= 3.0e38, gZ, jnp.zeros_like(gZ))
+        gn = jnp.sqrt(jnp.sum(gt * gt) + jnp.sum(gZ * gZ))
+        sc = jnp.minimum(jnp.asarray(1.0, f32), _CLIP_NORM / gn)
+        gt = gt * sc
+        gZ = gZ * sc
+        ta = t0 + t.astype(f32) + 1.0
+        theta, mt, vt = _adam_update(theta, gt, mt, vt, ta, lr)
+        Z, mz, vz = _adam_update(Z, gZ, mz, vz, ta, lr)
+        # box-project log hypers (never Z) + noise floor (models/sgpr.py)
+        theta = jnp.clip(theta, -_BOX, _BOX) * hyp_mask
+        theta = jnp.maximum(theta, log_floor * noise_lane
+                            - _BOX * (1.0 - noise_lane))
+        loss_o[pl.ds(t, 1), :] = loss * (lane8 == 0).astype(f32)
+        return theta, Z, mt, mz, vt, vz
+
+    init = (th_ref[:], z_ref[:], m_th[:], m_z[:], v_th[:], v_z[:])
+    theta, Z, mt, mz, vt, vz = jax.lax.fori_loop(0, K, step, init)
+    th_o[:] = theta
+    z_o[:] = Z
+    mo_th[:] = mt
+    mo_z[:] = mz
+    vo_th[:] = vt
+    vo_z[:] = vz
+
+
+def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
+                    min_noise=1e-4, block=32, interpret=False):
+    """Factory: ``chunk(theta, Z, adam_m, adam_v, Xp, yp, t0) ->
+    (theta, Z, adam_m, adam_v, losses (K,))`` with adam_m/v =
+    {"theta": (1,128), "Z": (Mp,128)}. Envelope: n <= 2048 resident rows,
+    m <= 128, d <= 125. Returns None outside it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if n > 2048 or m > _LANES or d > _LANES - 3:
+        return None
+    Mp = _LANES
+    Np = _round_up(n, 8)
+    K = int(steps_per_call)
+    f32 = jnp.float32
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    shapes = [(1, _LANES), (Mp, _LANES)] * 3
+    out_shape = tuple([jax.ShapeDtypeStruct(s, f32) for s in shapes]
+                      + [jax.ShapeDtypeStruct((K, 8), f32)])
+    call = pl.pallas_call(
+        partial(_sgpr_chunk_body, n=n, m=m, d=d, jitter=float(jitter), K=K,
+                lr=float(lr), block=block, min_noise=float(min_noise)),
+        out_shape=out_shape,
+        in_specs=[smem] + [vmem] * 8,
+        out_specs=(vmem,) * 7,
+        scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
+        + [pltpu.VMEM((Mp, _LANES), f32)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
+        interpret=interpret,
+    )
+
+    def chunk(theta, Z, adam_m, adam_v, Xp, yp, t0):
+        outs = call(jnp.asarray([t0], f32), Xp, yp, theta, Z,
+                    adam_m["theta"], adam_m["Z"],
+                    adam_v["theta"], adam_v["Z"])
+        th1, z1, mt, mz, vt, vz, losses = outs
+        return (th1, z1, {"theta": mt, "Z": mz}, {"theta": vt, "Z": vz},
+                losses[:, 0])
+
+    return chunk

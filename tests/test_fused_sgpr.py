@@ -1,0 +1,172 @@
+"""Fused SGPR trainer: hand (theta, Z) value+grad parity vs jax.grad of the
+model ELBO, and whole-chunk trajectory parity vs the XLA optax chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggp_tpu.kernels import default_rbf
+from ggp_tpu.models.sgpr import SparseGPR, sgpr_elbo
+from ggp_tpu.ops.fused_sgpr import make_fused_sgpr, sgpr_loss_vg
+
+
+def _case(n, m, d, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    w = rng.normal(size=d)
+    y = np.sin(X @ w) + 0.3 * rng.normal(size=n)
+    params = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=d) * 0.3,
+                                        jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.2, jnp.float32)},
+        "log_noise": jnp.asarray(-1.0, jnp.float32),
+        "Z": jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+    }
+    return (jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+            params)
+
+
+def _pad(params, n, m, d, X, y):
+    Np = -(-n // 8) * 8
+    theta = jnp.zeros((1, 128), jnp.float32)
+    theta = theta.at[0, :d].set(params["kernel"]["base"]["log_lengthscale"])
+    theta = theta.at[0, d].set(params["kernel"]["log_outputscale"])
+    theta = theta.at[0, d + 1].set(params["log_noise"])
+    Z = jnp.zeros((128, 128), jnp.float32).at[:m, :d].set(params["Z"])
+    Xp = jnp.zeros((Np, 128), jnp.float32).at[:n, :d].set(X)
+    yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
+    return theta, Z, Xp, yp
+
+
+@pytest.mark.parametrize("nmd", [(120, 24, 5), (64, 16, 2)])
+def test_sgpr_loss_and_grads_match_autodiff(nmd):
+    """sgpr_loss_vg == jax.grad of -sgpr_elbo over (theta, Z), f64 truth."""
+    n, m, d = nmd
+    jitter = 1e-6
+    X, y, params = _case(n, m, d)
+    kern = default_rbf(ard=True)
+
+    def ref_loss(p, X_, y_):
+        return -sgpr_elbo(kern, p, X_, y_, jitter)
+
+    p64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+    loss_ref, g_ref = jax.value_and_grad(ref_loss)(
+        p64, X.astype(jnp.float64), y.astype(jnp.float64))
+    # f32 XLA autodiff error vs the f64 truth defines the legitimate
+    # precision envelope at this conditioning (cond(Kmm) ~ 1e5 for the
+    # 2-D/16-point case) — same comparison pattern as
+    # test_fused_svi.test_svi_loss_ill_conditioned_within_f32_envelope
+    _, g32 = jax.value_and_grad(ref_loss)(params, X, y)
+
+    theta, Z, Xp, yp = _pad(params, n, m, d, X, y)
+    loss_f, g_t, g_z = sgpr_loss_vg(theta, Xp, yp, Z, n, m, d, jitter)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-4)
+
+    def close(a, b, b32):
+        a = np.asarray(a, np.float64).reshape(-1)
+        b = np.asarray(b, np.float64).reshape(-1)
+        e32 = np.abs(np.asarray(b32, np.float64).reshape(-1) - b).max()
+        tol = max(2e-3 * (1.0 + np.abs(b).max()), 3.0 * e32)
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+    close(g_t[0, :d], g_ref["kernel"]["base"]["log_lengthscale"],
+          g32["kernel"]["base"]["log_lengthscale"])
+    close(g_t[0, d], g_ref["kernel"]["log_outputscale"],
+          g32["kernel"]["log_outputscale"])
+    close(g_t[0, d + 1], g_ref["log_noise"], g32["log_noise"])
+    close(g_z[:m, :d], g_ref["Z"], g32["Z"])
+
+
+@pytest.mark.slow
+def test_sgpr_chunk_kernel_matches_optax_chain():
+    """Interpret-mode chunk kernel reproduces the XLA `_run_adam` loop
+    (zero_nans -> clip_by_global_norm(100) -> adam, box projection, noise
+    floor): per-step losses and final parameters."""
+    import optax
+
+    from ggp_tpu.models.sgpr import _run_adam
+
+    n, m, d, K = 48, 8, 2, 6
+    jitter = 1e-6
+    lr = 0.02
+    X, y, params = _case(n, m, d, seed=4)
+    kern = default_rbf(ard=True)
+
+    optimizer = optax.chain(optax.zero_nans(),
+                            optax.clip_by_global_norm(100.0),
+                            optax.adam(lr))
+    p_ref, losses_ref = _run_adam(kern, X, y, jitter, params, optimizer, K)
+
+    chunk = make_fused_sgpr(n, m, d, jitter, steps_per_call=K, lr=lr,
+                            interpret=True)
+    theta, Z, Xp, yp = _pad(params, n, m, d, X, y)
+    zero = {"theta": jnp.zeros((1, 128), jnp.float32),
+            "Z": jnp.zeros((128, 128), jnp.float32)}
+    th1, Z1, _, _, losses = chunk(theta, Z, dict(zero), dict(zero),
+                                  Xp, yp, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(th1[0, :d + 2]),
+        np.r_[np.asarray(p_ref["kernel"]["base"]["log_lengthscale"]),
+              float(p_ref["kernel"]["log_outputscale"]),
+              float(p_ref["log_noise"])], atol=3e-4)
+    np.testing.assert_allclose(np.asarray(Z1[:m, :d]),
+                               np.asarray(p_ref["Z"]), atol=3e-4)
+
+
+def test_fused_sgpr_gate_and_envelope(monkeypatch):
+    X, y, params = _case(64, 8, 2)
+    model = SparseGPR(X, y, Z_init=params["Z"])
+    assert not model._fused_train_ok()        # CPU backend in CI
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert model._fused_train_ok()
+    monkeypatch.setenv("GGP_FUSED_SGPR", "0")
+    assert not model._fused_train_ok()
+    monkeypatch.delenv("GGP_FUSED_SGPR")
+    big = SparseGPR(jnp.zeros((4096, 2)), jnp.zeros(4096),
+                    Z_init=params["Z"])
+    assert not big._fused_train_ok()          # N too large
+    assert make_fused_sgpr(4096, 8, 2, 1e-6, steps_per_call=4) is None
+    assert make_fused_sgpr(100, 200, 2, 1e-6, steps_per_call=4) is None
+
+
+def test_fused_runner_matches_xla_runner_cpu():
+    """_run_adam_fused (interpret path unavailable — force via monkeypatch
+    of make_fused_sgpr to interpret=True) == _run_adam end-to-end, chunked
+    with a remainder (max_steps=9, K capped at 200 -> single 9-step call)."""
+    import optax
+
+    import ggp_tpu.models.sgpr as sgpr_mod
+    from ggp_tpu.ops import fused_sgpr as fs
+
+    n, m, d = 40, 8, 2
+    jitter = 1e-6
+    lr = 0.02
+    X, y, params = _case(n, m, d, seed=9)
+    kern = default_rbf(ard=True)
+
+    optimizer = optax.chain(optax.zero_nans(),
+                            optax.clip_by_global_norm(100.0),
+                            optax.adam(lr))
+    p_ref, losses_ref = sgpr_mod._run_adam(
+        kern, X, y, jitter, params, optimizer, 9)
+
+    orig = fs.make_fused_sgpr
+    def interp_factory(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+    import unittest.mock as mock
+    with mock.patch.object(fs, "make_fused_sgpr", interp_factory):
+        p_f, losses_f = sgpr_mod._run_adam_fused(X, y, jitter, params, 9, lr)
+
+    np.testing.assert_allclose(np.asarray(losses_f),
+                               np.asarray(losses_ref), rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(p_f["Z"]), np.asarray(p_ref["Z"]),
+                               atol=3e-4)
+    np.testing.assert_allclose(float(p_f["log_noise"]),
+                               float(p_ref["log_noise"]), atol=3e-4)

@@ -336,7 +336,7 @@ class SparseGPR:
 
     def _fused_train_ok(self) -> bool:
         """Gate for the whole-chunk Pallas trainer (ops/fused_sgpr):
-        Scale(RBF-ARD) x Gaussian, N <= 2048, M <= 128, on TPU.
+        Scale(RBF-ARD) x Gaussian, N <= 2048, M <= 512, on TPU.
         GGP_FUSED_SGPR=0 disables."""
         import os
 
@@ -352,7 +352,7 @@ class SparseGPR:
         if type(self.likelihood) is not GaussianLikelihood:
             return False
         n, d = self.train_x.shape
-        return (n <= 2048 and self.params["Z"].shape[0] <= 128
+        return (n <= 2048 and self.params["Z"].shape[0] <= 512
                 and d <= 125)
 
     def train_model(self, optimizer=None, max_steps: int = 2000, lr: float = 0.01,
@@ -450,7 +450,7 @@ def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4):
     n, d = X.shape
     M = params["Z"].shape[0]
     dt = jnp.float32
-    Mp, Np = 128, -(-n // 8) * 8
+    Mp, Np = max(128, -(-M // 128) * 128), -(-n // 8) * 8
     theta = jnp.zeros((1, 128), dt)
     theta = theta.at[0, :d].set(params["kernel"]["base"]["log_lengthscale"])
     theta = theta.at[0, d].set(params["kernel"]["log_outputscale"])

@@ -119,12 +119,14 @@ def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
     """Factory: ``chunk(theta, Z, adam_m, adam_v, Xp, yp, t0) ->
     (theta, Z, adam_m, adam_v, losses (K,))`` with adam_m/v =
     {"theta": (1,128), "Z": (Mp,128)}. Envelope: n <= 2048 resident rows,
-    m <= 128, d <= 125. Returns None outside it."""
+    m <= 512 (Mp = next 128-multiple; the blocked linalg is Mp-generic,
+    same as the M<=512 fused-NUTS envelope), d <= 125.
+    Returns None outside it."""
     from jax.experimental.pallas import tpu as pltpu
 
-    if n > 2048 or m > _LANES or d > _LANES - 3:
+    if n > 2048 or m > 512 or d > _LANES - 3:
         return None
-    Mp = _LANES
+    Mp = max(_LANES, _round_up(m, _LANES))
     Np = _round_up(n, 8)
     K = int(steps_per_call)
     f32 = jnp.float32
@@ -141,8 +143,10 @@ def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
         out_specs=(vmem,) * 7,
         scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
         + [pltpu.VMEM((Mp, _LANES), f32)],
+        # 100MB suffices at Mp=128 but the Mp=512/N~1600 step's scoped
+        # stack measures ~101MB — the v5e chip has 128MB; leave headroom
         compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
+            vmem_limit_bytes=112 * 1024 * 1024) if not interpret else None),
         interpret=interpret,
     )
 

@@ -30,17 +30,18 @@ def _case(n, m, d, seed=0):
 
 def _pad(params, n, m, d, X, y):
     Np = -(-n // 8) * 8
+    Mp = max(128, -(-m // 128) * 128)
     theta = jnp.zeros((1, 128), jnp.float32)
     theta = theta.at[0, :d].set(params["kernel"]["base"]["log_lengthscale"])
     theta = theta.at[0, d].set(params["kernel"]["log_outputscale"])
     theta = theta.at[0, d + 1].set(params["log_noise"])
-    Z = jnp.zeros((128, 128), jnp.float32).at[:m, :d].set(params["Z"])
+    Z = jnp.zeros((Mp, 128), jnp.float32).at[:m, :d].set(params["Z"])
     Xp = jnp.zeros((Np, 128), jnp.float32).at[:n, :d].set(X)
     yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
     return theta, Z, Xp, yp
 
 
-@pytest.mark.parametrize("nmd", [(120, 24, 5), (64, 16, 2)])
+@pytest.mark.parametrize("nmd", [(120, 24, 5), (64, 16, 2), (96, 160, 3)])
 def test_sgpr_loss_and_grads_match_autodiff(nmd):
     """sgpr_loss_vg == jax.grad of -sgpr_elbo over (theta, Z), f64 truth."""
     n, m, d = nmd
@@ -132,7 +133,8 @@ def test_fused_sgpr_gate_and_envelope(monkeypatch):
                     Z_init=params["Z"])
     assert not big._fused_train_ok()          # N too large
     assert make_fused_sgpr(4096, 8, 2, 1e-6, steps_per_call=4) is None
-    assert make_fused_sgpr(100, 200, 2, 1e-6, steps_per_call=4) is None
+    assert make_fused_sgpr(100, 600, 2, 1e-6, steps_per_call=4) is None
+    assert make_fused_sgpr(100, 500, 2, 1e-6, steps_per_call=4) is not None
 
 
 def test_fused_runner_matches_xla_runner_cpu():

@@ -336,8 +336,8 @@ class SparseGPR:
 
     def _fused_train_ok(self) -> bool:
         """Gate for the whole-chunk Pallas trainer (ops/fused_sgpr):
-        Scale(RBF-ARD) x Gaussian, N <= 2048, M <= 512, on TPU.
-        GGP_FUSED_SGPR=0 disables."""
+        Scale(RBF-ARD) x Gaussian, N <= 16384 (> 2048 streams X/y from
+        HBM), M <= 512, on TPU. GGP_FUSED_SGPR=0 disables."""
         import os
 
         import jax as _jax
@@ -352,7 +352,7 @@ class SparseGPR:
         if type(self.likelihood) is not GaussianLikelihood:
             return False
         n, d = self.train_x.shape
-        return (n <= 2048 and self.params["Z"].shape[0] <= 512
+        return (n <= 16384 and self.params["Z"].shape[0] <= 512
                 and d <= 125)
 
     def train_model(self, optimizer=None, max_steps: int = 2000, lr: float = 0.01,

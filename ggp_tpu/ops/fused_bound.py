@@ -591,7 +591,9 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
 
 
 def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
-                                      chol_inv, loop_blocks, NB):
+                                      chol_inv, loop_blocks, NB,
+                                      want_z_grad=False, want_prior=True,
+                                      pivot_floor=None):
     """Streaming variant of :func:`_rbf_vfe_neg_logpost_vg` for N past the
     VMEM-resident envelope (VERDICT r2 item 2): X and y live in HBM packed
     into ONE (Np, 128) array — X in lanes [0, d), y in lane 127 (Mosaic
@@ -638,7 +640,10 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
     Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)
     jit_scale = jnp.maximum(sf2, 1.0)
     Kmm_j = Kmm + (jitter * jit_scale) * eyeM
-    U, V = chol_inv(Kmm_j)                                    # U = L^T, V = L^-T
+    if pivot_floor is None:
+        U, V = chol_inv(Kmm_j)                                # U = L^T, V = L^-T
+    else:
+        U, V = chol_inv(Kmm_j, pivot_floor * jit_scale)
 
     ey = (lane == (_LANES - 1)).astype(dt)                    # y lane one-hot
 
@@ -666,7 +671,10 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
         jnp.zeros((), dt)))
     B = Bacc + eyeM
 
-    UB, VB = chol_inv(B)
+    if pivot_floor is None:
+        UB, VB = chol_inv(B)
+    else:
+        UB, VB = chol_inv(B, pivot_floor)                     # diag(B) >= 1
     Binv = _dg(VB, VB, 1, 1)
     # vector solves against the factors (see the resident version)
     c_u = ut_t_solve_vec(UB, VB, u)
@@ -688,24 +696,27 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
     wT = _dg(one11, w, 1, 1)                                  # (1,Mp)
 
     def adj_body(t, XYb, carry):
-        alpha2, osum, dls_nm, cs_nm, cross = carry
+        alpha2, osum, dls_nm, cs_nm, cross, pnmx = carry
         Xs_b, yb, Knm_b, An_b = _block_An(t, XYb)
         alpha_b = (yb - An_b @ v) / s2                        # (NB,1)
         dKnm_b = (An_b @ Y1 + alpha_b * wT) / sigma
         Pnm_b = dKnm_b * Knm_b
         Xs2_b = Xs_b * Xs_b
+        if want_z_grad:
+            pnmx = pnmx + _dg(Pnm_b, Xs_b, 0, 0)              # Pnm^T Xs
         return (alpha2 + jnp.sum(alpha_b * alpha_b),
                 osum + jnp.sum(Pnm_b),
                 dls_nm + _dg(jnp.sum(Pnm_b, axis=1, keepdims=True),
                              Xs2_b, 0, 0),
                 cs_nm + jnp.sum(Pnm_b, axis=0, keepdims=True),
                 cross + jnp.sum(Xs_b * (Pnm_b @ Zs), axis=0,
-                                keepdims=True))
+                                keepdims=True),
+                pnmx)
 
-    alpha2, osum, dls_nm, cs_nm, cross = loop_blocks(adj_body, (
+    alpha2, osum, dls_nm, cs_nm, cross, pnmx = loop_blocks(adj_body, (
         jnp.zeros((), dt), jnp.zeros((), dt),
         jnp.zeros((1, _LANES), dt), jnp.zeros((1, Mp), dt),
-        jnp.zeros((1, _LANES), dt)))
+        jnp.zeros((1, _LANES), dt), jnp.zeros((Mp, _LANES), dt)))
 
     T0 = 2.0 * eyeM - B - Binv
     dKmm = (-(w * wT) / (2.0 * s2)
@@ -724,6 +735,24 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
            - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
            + dls_nm + cs_nm @ Zs2 - 2.0 * cross)
 
+    dZ = None
+    if want_z_grad:
+        # same chain as the resident version; the streamed nm part uses
+        # the accumulated column sums and Pnm^T Xs
+        cs_nmT = _dg(cs_nm, one11, 0, 0)                      # (Mp,1)
+        dZs = (-2.0 * (rs_mm * Zs - Pmm @ Zs)
+               - (cs_nmT * Zs - pnmx))
+        dZ = dZs * inv_ls * mrow_mask * ls_mask
+
+    if not want_prior:
+        g = dls
+        g = jnp.where(lane == d, dlog_os, g)
+        g = jnp.where(lane == d + 1, dlog_noise, g)
+        g = g * (lane < d + 2).astype(dt)
+        if want_z_grad:
+            return -F, -g, -dZ
+        return -F, -g
+
     # ---- priors (identical to the resident version) ----
     lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
     log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
@@ -740,6 +769,8 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
     g = jnp.where(lane == d, dlog_os + g_os, g)
     g = jnp.where(lane == d + 1, dlog_noise + g_noise, g)
     g = g * (lane < d + 2).astype(dt)
+    if want_z_grad:
+        return -(F + lp), -g, -dZ
     return -(F + lp), -g
 
 

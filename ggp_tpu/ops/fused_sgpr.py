@@ -114,46 +114,159 @@ def _sgpr_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
     vo_z[:] = vz
 
 
+def _sgpr_stream_chunk_body(scal_ref, x_ref, th_ref, z_ref,
+                            m_th, m_z, v_th, v_z,
+                            th_o, z_o, mo_th, mo_z, vo_th, vo_z, loss_o,
+                            Ks, Us, Vs, Ds, xsbuf, dsem,
+                            *, n, m, d, jitter, K, lr, block, min_noise,
+                            NB, nblocks):
+    """Streaming variant: X/y live in HBM packed into one (Np, 128) array
+    (X lanes [0,d), y lane 127 — a 1-lane column cannot be DMA-sliced),
+    visited in double-buffered (NB, 128) blocks per gram/adjoint pass
+    (same iterator as the streaming fused-NUTS kernels). O(M^2) VMEM."""
+    from .fused_bound import (_rbf_vfe_neg_logpost_vg_streaming,
+                              chol_u_inv_inplace)
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    hyp_mask = (lane < d + 2).astype(f32)
+    noise_lane = (lane == d + 1).astype(f32)
+    t0 = scal_ref[0]
+    log_floor = math.log(min_noise)
+
+    def ref_chol_inv(Kmat, pivot_floor):
+        Ks[:] = Kmat
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block,
+                           pivot_floor=pivot_floor)
+        return Us[:], Vs[:]
+
+    def _dma(slot, t):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(t * NB, NB), :], xsbuf.at[slot], dsem.at[slot])
+
+    def loop_blocks(body, carry):
+        _dma(0, 0).start()
+
+        def lb(t, c):
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < nblocks)
+            def _():
+                _dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+            _dma(slot, t).wait()
+            return body(t, xsbuf[slot], c)
+
+        return jax.lax.fori_loop(0, nblocks, lb, carry)
+
+    def step(t, carry):
+        theta, Z, mt, mz, vt, vz = carry
+        loss, gt, gZ = _rbf_vfe_neg_logpost_vg_streaming(
+            theta, Z, n, m, d, jitter, chol_inv=ref_chol_inv,
+            loop_blocks=loop_blocks, NB=NB, want_z_grad=True,
+            want_prior=False, pivot_floor=_PIVOT_FLOOR)
+        gt = jnp.where(jnp.abs(gt) <= 3.0e38, gt, jnp.zeros_like(gt))
+        gZ = jnp.where(jnp.abs(gZ) <= 3.0e38, gZ, jnp.zeros_like(gZ))
+        gn = jnp.sqrt(jnp.sum(gt * gt) + jnp.sum(gZ * gZ))
+        sc = jnp.minimum(jnp.asarray(1.0, f32), _CLIP_NORM / gn)
+        gt = gt * sc
+        gZ = gZ * sc
+        ta = t0 + t.astype(f32) + 1.0
+        theta, mt, vt = _adam_update(theta, gt, mt, vt, ta, lr)
+        Z, mz, vz = _adam_update(Z, gZ, mz, vz, ta, lr)
+        theta = jnp.clip(theta, -_BOX, _BOX) * hyp_mask
+        theta = jnp.maximum(theta, log_floor * noise_lane
+                            - _BOX * (1.0 - noise_lane))
+        loss_o[pl.ds(t, 1), :] = loss * (lane8 == 0).astype(f32)
+        return theta, Z, mt, mz, vt, vz
+
+    init = (th_ref[:], z_ref[:], m_th[:], m_z[:], v_th[:], v_z[:])
+    theta, Z, mt, mz, vt, vz = jax.lax.fori_loop(0, K, step, init)
+    th_o[:] = theta
+    z_o[:] = Z
+    mo_th[:] = mt
+    mo_z[:] = mz
+    vo_th[:] = vt
+    vo_z[:] = vz
+
+
+STREAM_NB = 1024
+MAX_N_STREAM = 16384
+
+
 def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
                     min_noise=1e-4, block=32, interpret=False):
     """Factory: ``chunk(theta, Z, adam_m, adam_v, Xp, yp, t0) ->
     (theta, Z, adam_m, adam_v, losses (K,))`` with adam_m/v =
-    {"theta": (1,128), "Z": (Mp,128)}. Envelope: n <= 2048 resident rows,
-    m <= 512 (Mp = next 128-multiple; the blocked linalg is Mp-generic,
-    same as the M<=512 fused-NUTS envelope), d <= 125.
-    Returns None outside it."""
+    {"theta": (1,128), "Z": (Mp,128)}. Envelope: m <= 512 (Mp = next
+    128-multiple; the blocked linalg is Mp-generic, same as the M<=512
+    fused-NUTS envelope), d <= 125; n <= 2048 rows VMEM-resident, past
+    that up to 16384 rows streamed from HBM in double-buffered (1024,128)
+    blocks (y repacked into lane 127). Returns None outside it."""
     from jax.experimental.pallas import tpu as pltpu
 
-    if n > 2048 or m > 512 or d > _LANES - 3:
+    if n > MAX_N_STREAM or m > 512 or d > _LANES - 3:
         return None
     Mp = max(_LANES, _round_up(m, _LANES))
-    Np = _round_up(n, 8)
     K = int(steps_per_call)
     f32 = jnp.float32
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    streaming = n > 2048
+    Np = _round_up(n, STREAM_NB if streaming else 8)
     shapes = [(1, _LANES), (Mp, _LANES)] * 3
     out_shape = tuple([jax.ShapeDtypeStruct(s, f32) for s in shapes]
                       + [jax.ShapeDtypeStruct((K, 8), f32)])
-    call = pl.pallas_call(
-        partial(_sgpr_chunk_body, n=n, m=m, d=d, jitter=float(jitter), K=K,
-                lr=float(lr), block=block, min_noise=float(min_noise)),
-        out_shape=out_shape,
-        in_specs=[smem] + [vmem] * 8,
-        out_specs=(vmem,) * 7,
-        scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
-        + [pltpu.VMEM((Mp, _LANES), f32)],
-        # 100MB suffices at Mp=128 but the Mp=512/N~1600 step's scoped
-        # stack measures ~101MB — the v5e chip has 128MB; leave headroom
-        compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024) if not interpret else None),
-        interpret=interpret,
-    )
+    scratch = ([pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
+               + [pltpu.VMEM((Mp, _LANES), f32)])
+    # 100MB suffices at Mp=128 but the Mp=512/N~1600 resident step's
+    # scoped stack measures ~101MB — the v5e chip has 128MB headroom
+    cparams = (pltpu.CompilerParams(
+        vmem_limit_bytes=112 * 1024 * 1024) if not interpret else None)
+    if streaming:
+        scratch += [pltpu.VMEM((2, STREAM_NB, _LANES), f32),
+                    pltpu.SemaphoreType.DMA((2,))]
+        call = pl.pallas_call(
+            partial(_sgpr_stream_chunk_body, n=n, m=m, d=d,
+                    jitter=float(jitter), K=K, lr=float(lr), block=block,
+                    min_noise=float(min_noise), NB=STREAM_NB,
+                    nblocks=Np // STREAM_NB),
+            out_shape=out_shape,
+            in_specs=[smem, pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 6,
+            out_specs=(vmem,) * 7,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            partial(_sgpr_chunk_body, n=n, m=m, d=d, jitter=float(jitter),
+                    K=K, lr=float(lr), block=block,
+                    min_noise=float(min_noise)),
+            out_shape=out_shape,
+            in_specs=[smem] + [vmem] * 8,
+            out_specs=(vmem,) * 7,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+        )
 
     def chunk(theta, Z, adam_m, adam_v, Xp, yp, t0):
-        outs = call(jnp.asarray([t0], f32), Xp, yp, theta, Z,
-                    adam_m["theta"], adam_m["Z"],
-                    adam_v["theta"], adam_v["Z"])
+        if streaming:
+            # repack y into lane 127 of the HBM slab (1-lane columns
+            # cannot be DMA-sliced); pad rows to whole DMA blocks
+            slab = jnp.zeros((Np, _LANES), f32)
+            slab = slab.at[:Xp.shape[0], :].set(Xp)
+            slab = slab.at[:yp.shape[0], _LANES - 1].set(yp[:, 0])
+            outs = call(jnp.asarray([t0], f32), slab, theta, Z,
+                        adam_m["theta"], adam_m["Z"],
+                        adam_v["theta"], adam_v["Z"])
+        else:
+            outs = call(jnp.asarray([t0], f32), Xp, yp, theta, Z,
+                        adam_m["theta"], adam_m["Z"],
+                        adam_v["theta"], adam_v["Z"])
         th1, z1, mt, mz, vt, vz, losses = outs
         return (th1, z1, {"theta": mt, "Z": mz}, {"theta": vt, "Z": vz},
                 losses[:, 0])

@@ -129,12 +129,13 @@ def test_fused_sgpr_gate_and_envelope(monkeypatch):
     monkeypatch.setenv("GGP_FUSED_SGPR", "0")
     assert not model._fused_train_ok()
     monkeypatch.delenv("GGP_FUSED_SGPR")
-    big = SparseGPR(jnp.zeros((4096, 2)), jnp.zeros(4096),
+    big = SparseGPR(jnp.zeros((20000, 2)), jnp.zeros(20000),
                     Z_init=params["Z"])
-    assert not big._fused_train_ok()          # N too large
-    assert make_fused_sgpr(4096, 8, 2, 1e-6, steps_per_call=4) is None
+    assert not big._fused_train_ok()          # N past the streaming cap
+    assert make_fused_sgpr(20000, 8, 2, 1e-6, steps_per_call=4) is None
     assert make_fused_sgpr(100, 600, 2, 1e-6, steps_per_call=4) is None
     assert make_fused_sgpr(100, 500, 2, 1e-6, steps_per_call=4) is not None
+    assert make_fused_sgpr(8192, 8, 2, 1e-6, steps_per_call=4) is not None
 
 
 def test_fused_runner_matches_xla_runner_cpu():
@@ -172,3 +173,78 @@ def test_fused_runner_matches_xla_runner_cpu():
                                atol=3e-4)
     np.testing.assert_allclose(float(p_f["log_noise"]),
                                float(p_ref["log_noise"]), atol=3e-4)
+
+
+def test_sgpr_streaming_core_matches_resident():
+    """The streaming VFE core with want_z_grad/want_prior=False (host-loop
+    loop_blocks, NB=64 blocks) reproduces the resident sgpr_loss_vg."""
+    from ggp_tpu.ops.fused_bound import _rbf_vfe_neg_logpost_vg_streaming
+
+    n, m, d = 200, 24, 4
+    NB = 64
+    jitter = 1e-6
+    X, y, params = _case(n, m, d, seed=2)
+    theta, Z, Xp, yp = _pad(params, n, m, d, X, y)
+    loss_r, gt_r, gz_r = sgpr_loss_vg(theta, Xp, yp, Z, n, m, d, jitter)
+
+    Np = -(-n // NB) * NB
+    slab = jnp.zeros((Np, 128), jnp.float32).at[:n, :d].set(X)
+    slab = slab.at[:n, 127].set(y)
+
+    def loop_blocks(body, carry):
+        for t in range(Np // NB):
+            carry = body(jnp.asarray(t, jnp.int32),
+                         slab[t * NB:(t + 1) * NB], carry)
+        return carry
+
+    from ggp_tpu.ops.fused_bound import _default_chol_inv
+    loss_s, gt_s, gz_s = _rbf_vfe_neg_logpost_vg_streaming(
+        theta, Z, n, m, d, jitter, chol_inv=_default_chol_inv,
+        loop_blocks=loop_blocks, NB=NB, want_z_grad=True,
+        want_prior=False, pivot_floor=1e-6)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gt_s[0, :d + 2]),
+                               np.asarray(gt_r[0, :d + 2]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gz_s[:m, :d]),
+                               np.asarray(gz_r[:m, :d]),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sgpr_streaming_chunk_matches_optax_chain():
+    """Interpret-mode STREAMING chunk kernel (n=2304 > resident cap, 3 DMA
+    blocks) reproduces the XLA optax-chain trajectory."""
+    import optax
+
+    from ggp_tpu.models.sgpr import _run_adam
+
+    n, m, d, K = 2304, 8, 2, 2
+    jitter = 1e-6
+    lr = 0.02
+    X, y, params = _case(n, m, d, seed=6)
+    kern = default_rbf(ard=True)
+
+    optimizer = optax.chain(optax.zero_nans(),
+                            optax.clip_by_global_norm(100.0),
+                            optax.adam(lr))
+    p_ref, losses_ref = _run_adam(kern, X, y, jitter, params, optimizer, K)
+
+    chunk = make_fused_sgpr(n, m, d, jitter, steps_per_call=K, lr=lr,
+                            interpret=True)
+    theta, Z, Xp, yp = _pad(params, n, m, d, X, y)
+    zero = {"theta": jnp.zeros((1, 128), jnp.float32),
+            "Z": jnp.zeros((128, 128), jnp.float32)}
+    th1, Z1, _, _, losses = chunk(theta, Z, dict(zero), dict(zero),
+                                  Xp, yp, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(th1[0, :d + 2]),
+        np.r_[np.asarray(p_ref["kernel"]["base"]["log_lengthscale"]),
+              float(p_ref["kernel"]["log_outputscale"]),
+              float(p_ref["log_noise"])], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(Z1[:m, :d]),
+                               np.asarray(p_ref["Z"]), atol=5e-4)

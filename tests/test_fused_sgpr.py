@@ -41,7 +41,11 @@ def _pad(params, n, m, d, X, y):
     return theta, Z, Xp, yp
 
 
-@pytest.mark.parametrize("nmd", [(120, 24, 5), (64, 16, 2), (96, 160, 3)])
+@pytest.mark.parametrize("nmd", [
+    pytest.param((120, 24, 5), marks=pytest.mark.slow),
+    (64, 16, 2),
+    pytest.param((96, 160, 3), marks=pytest.mark.slow),
+])
 def test_sgpr_loss_and_grads_match_autodiff(nmd):
     """sgpr_loss_vg == jax.grad of -sgpr_elbo over (theta, Z), f64 truth."""
     n, m, d = nmd

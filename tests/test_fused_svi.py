@@ -24,7 +24,11 @@ def _pad_params(p, m, d, Mp=128):
     return {"hyp": hyp, "Z": Z, "q_mu": q_mu, "q_raw": q_raw}
 
 
-@pytest.mark.parametrize("nmd", [(40, 8, 3), (200, 32, 5), (33, 8, 2)])
+@pytest.mark.parametrize("nmd", [
+    pytest.param((40, 8, 3), marks=pytest.mark.slow),
+    pytest.param((200, 32, 5), marks=pytest.mark.slow),
+    (33, 8, 2),
+])
 def test_svi_loss_and_grads_match_autodiff(nmd):
     nb, m, d = nmd
     N = 10 * nb
@@ -243,7 +247,10 @@ def _bsvgp_pad(p, m, d, h):
     }
 
 
-@pytest.mark.parametrize("nmds", [(40, 8, 3, 5), (64, 16, 2, 3)])
+@pytest.mark.parametrize("nmds", [
+    (40, 8, 3, 5),
+    pytest.param((64, 16, 2, 3), marks=pytest.mark.slow),
+])
 def test_bsvgp_loss_and_grads_match_autodiff(nmds):
     """bsvgp_loss_vg == jax.grad of -bsvgp_elbo (fixed eps, f64 truth)."""
     from ggp_tpu.models.bayesian_svgp import bsvgp_elbo
@@ -451,7 +458,10 @@ def _pad_params_nolik(p, m, d, Mp=128):
 
 
 @pytest.mark.parametrize("likname", ["bernoulli_probit", "poisson"])
-@pytest.mark.parametrize("nmd", [(40, 8, 3), (33, 16, 2)])
+@pytest.mark.parametrize("nmd", [
+    (40, 8, 3),
+    pytest.param((33, 16, 2), marks=pytest.mark.slow),
+])
 def test_svi_loss_nongauss_matches_autodiff(likname, nmd):
     """svgp_loss_vg(likelihood=...) == jax.grad of -svgp_elbo with the
     matching likelihoods.py object (f64 ground truth)."""

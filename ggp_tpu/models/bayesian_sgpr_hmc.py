@@ -235,6 +235,17 @@ class BayesianSparseGPR_HMC:
     # Phase A: joint ML-II warm start (reference: models/bayesian_sgpr_hmc.py:104-115)
     # ------------------------------------------------------------------
     def warm_start(self, num_steps=500, lr=0.01):
+        if self._fused_zopt_ok(need_trace=False):
+            # same fused whole-chunk trainer as SparseGPR.train_model but
+            # with this phase's optax chain (clip_by_global_norm(10.0))
+            from .sgpr import _run_adam_fused
+            params = {**self.hypers, "Z": self.Z}
+            params, losses = _run_adam_fused(
+                self.train_x, self.train_y, self.jitter, params,
+                num_steps, lr, 1e-4, 10.0)
+            self.Z = params.pop("Z")
+            self.hypers = params
+            return losses
         params = {**self.hypers, "Z": self.Z}
         optimizer = optax.chain(optax.zero_nans(),
                                 optax.clip_by_global_norm(10.0),
@@ -251,11 +262,47 @@ class BayesianSparseGPR_HMC:
     # ------------------------------------------------------------------
     def optimize_Z(self, num_steps=200, lr=0.01):
         assert self.trace is not None, "sample_hypers first"
+        if self._fused_zopt_ok():
+            # whole-chunk Pallas Z-trainer: all S trace evaluations of the
+            # bound + the Z adjoint + Adam in-kernel (ops/fused_sgpr.
+            # make_fused_z_adam); same zero_nans+adam trajectory as the
+            # XLA path (tests/test_fused_sgpr.py)
+            self.Z, losses = _adam_Z_fused(
+                self.train_x, self.train_y, self.jitter, self.Z,
+                self.trace, num_steps, lr)
+            return losses
         optimizer = optax.chain(optax.zero_nans(), optax.adam(lr))
         self.Z, losses = _adam_Z(self.kernel, self.train_x, self.train_y,
                                  self.jitter, self.Z, self.trace, optimizer,
                                  num_steps)
         return losses
+
+    def _fused_zopt_ok(self, need_trace: bool = True) -> bool:
+        """Gate for the fused training chunk kernels (optimize_Z and
+        warm_start): same structural conditions as the fused sampler
+        target plus the envelope. The multi-theta Z kernel is resident-N
+        only (2048); the warm-start kernel streams to 16384.
+        GGP_FUSED_ZOPT=0 disables both."""
+        import os
+
+        import jax as _jax
+
+        from ..ops.fused_bound import fused_structure_matches
+        if os.environ.get("GGP_FUSED_ZOPT", "1") == "0":
+            return False
+        if os.environ.get("GGP_FAST_ELBO"):
+            return False
+        if _jax.default_backend() != "tpu" or self.mesh is not None:
+            return False
+        if not fused_structure_matches(self.kernel, self.likelihood,
+                                       self.prior_tree):
+            return False
+        n, d = self.train_x.shape
+        if self.Z.shape[0] > 512 or d > 125:
+            return False
+        if need_trace:
+            return n <= 2048 and self.trace["log_noise"].shape[0] <= 512
+        return n <= 16384
 
     # ------------------------------------------------------------------
     # Orchestration
@@ -389,3 +436,49 @@ def _adam_Z(kernel, X, y, jitter, Z, trace, optimizer, num_steps):
 
     (Z, _), losses = jax.lax.scan(step, (Z, opt_state), None, length=num_steps)
     return Z, losses
+
+
+@partial(jax.jit, static_argnums=(2, 5, 6))
+def _adam_Z_fused(X, y, jitter, Z, trace, num_steps, lr):
+    """Whole-chunk fused Z optimisation: K<=200 Adam steps per Pallas call,
+    each step evaluating the bound + Z adjoint over ALL S trace hypers
+    in-kernel (ops/fused_sgpr.make_fused_z_adam). Same objective and
+    zero_nans+adam trajectory as :func:`_adam_Z`."""
+    from ..ops.fused_sgpr import make_fused_z_adam
+
+    n, d = X.shape
+    M = Z.shape[0]
+    dt = jnp.float32
+    S = trace["log_noise"].shape[0]
+    Mp = max(128, -(-M // 128) * 128)
+    Np = -(-n // 8) * 8
+    thetas = jnp.zeros((S, 128), dt)
+    thetas = thetas.at[:, :d].set(
+        trace["kernel"]["base"]["log_lengthscale"].astype(dt))
+    thetas = thetas.at[:, d].set(trace["kernel"]["log_outputscale"].astype(dt))
+    thetas = thetas.at[:, d + 1].set(trace["log_noise"].astype(dt))
+    Zp = jnp.zeros((Mp, 128), dt).at[:M, :d].set(Z.astype(dt))
+    Xp = jnp.zeros((Np, 128), dt).at[:n, :d].set(X.astype(dt))
+    yp = jnp.zeros((Np, 1), dt).at[:n, 0].set(y.astype(dt))
+    mz = jnp.zeros((Mp, 128), dt)
+    vz = jnp.zeros((Mp, 128), dt)
+
+    K = min(int(num_steps), 200)
+    n_full, rem = divmod(int(num_steps), K)
+    chunk = make_fused_z_adam(n, M, d, S, jitter, steps_per_call=K, lr=lr)
+
+    def body(carry, t0):
+        Zc, mzc, vzc = carry
+        Zc, mzc, vzc, losses = chunk(Zc, mzc, vzc, thetas, Xp, yp, t0)
+        return (Zc, mzc, vzc), losses
+
+    t0s = jnp.arange(n_full, dtype=dt) * K
+    (Zp, mz, vz), losses = jax.lax.scan(body, (Zp, mz, vz), t0s)
+    losses = losses.reshape(-1)
+    if rem:
+        tail = make_fused_z_adam(n, M, d, S, jitter, steps_per_call=rem,
+                                 lr=lr)
+        Zp, mz, vz, l2 = tail(Zp, mz, vz, thetas, Xp, yp,
+                              jnp.asarray(n_full * K, dt))
+        losses = jnp.concatenate([losses, l2])
+    return Zp[:M, :d].astype(X.dtype), losses

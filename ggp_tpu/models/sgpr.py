@@ -440,8 +440,9 @@ def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps,
     return params, losses
 
 
-@partial(jax.jit, static_argnums=(2, 4, 5))
-def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4):
+@partial(jax.jit, static_argnums=(2, 4, 5, 6, 7))
+def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4,
+                    clip_norm=100.0):
     """Whole-chunk fused trainer: K=200 Adam steps per Pallas call under a
     lax.scan, plus one remainder chunk (ops/fused_sgpr). Same optimizer
     chain and projections as :func:`_run_adam`."""
@@ -463,7 +464,7 @@ def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4):
     K = min(int(max_steps), 200)
     n_full, rem = divmod(int(max_steps), K)
     chunk = make_fused_sgpr(n, M, d, jitter, steps_per_call=K, lr=lr,
-                            min_noise=min_noise)
+                            min_noise=min_noise, clip_norm=clip_norm)
 
     def body(carry, t0):
         theta, Z, am, av = carry
@@ -476,7 +477,7 @@ def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4):
     losses = losses.reshape(-1)
     if rem:
         tail = make_fused_sgpr(n, M, d, jitter, steps_per_call=rem, lr=lr,
-                               min_noise=min_noise)
+                               min_noise=min_noise, clip_norm=clip_norm)
         theta, Z, am, av, l2 = tail(theta, Z, am, av, Xp, yp,
                                     jnp.asarray(n_full * K, dt))
         losses = jnp.concatenate([losses, l2])

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from .fused_bound import _rbf_vfe_neg_logpost_vg, _round_up
 from .fused_svi import _adam_update
 
-__all__ = ["sgpr_loss_vg", "make_fused_sgpr"]
+__all__ = ["sgpr_loss_vg", "make_fused_sgpr", "make_fused_z_adam"]
 
 _LANES = 128
 _PIVOT_FLOOR = 1e-6           # relative; scaled by max(sf2,1) in the core
@@ -62,7 +62,8 @@ def _sgpr_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
                      m_th, m_z, v_th, v_z,
                      th_o, z_o, mo_th, mo_z, vo_th, vo_z, loss_o,
                      Ks, Us, Vs, Ds,
-                     *, n, m, d, jitter, K, lr, block, min_noise):
+                     *, n, m, d, jitter, K, lr, block, min_noise,
+                     clip_norm):
     """K full-batch SGPR Adam steps on resident X (Np,128) / y (Np,1)."""
     from .fused_bound import chol_u_inv_inplace
 
@@ -91,7 +92,7 @@ def _sgpr_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
         gt = jnp.where(jnp.abs(gt) <= 3.0e38, gt, jnp.zeros_like(gt))
         gZ = jnp.where(jnp.abs(gZ) <= 3.0e38, gZ, jnp.zeros_like(gZ))
         gn = jnp.sqrt(jnp.sum(gt * gt) + jnp.sum(gZ * gZ))
-        sc = jnp.minimum(jnp.asarray(1.0, f32), _CLIP_NORM / gn)
+        sc = jnp.minimum(jnp.asarray(1.0, f32), clip_norm / gn)
         gt = gt * sc
         gZ = gZ * sc
         ta = t0 + t.astype(f32) + 1.0
@@ -119,7 +120,7 @@ def _sgpr_stream_chunk_body(scal_ref, x_ref, th_ref, z_ref,
                             th_o, z_o, mo_th, mo_z, vo_th, vo_z, loss_o,
                             Ks, Us, Vs, Ds, xsbuf, dsem,
                             *, n, m, d, jitter, K, lr, block, min_noise,
-                            NB, nblocks):
+                            clip_norm, NB, nblocks):
     """Streaming variant: X/y live in HBM packed into one (Np, 128) array
     (X lanes [0,d), y lane 127 — a 1-lane column cannot be DMA-sliced),
     visited in double-buffered (NB, 128) blocks per gram/adjoint pass
@@ -170,7 +171,7 @@ def _sgpr_stream_chunk_body(scal_ref, x_ref, th_ref, z_ref,
         gt = jnp.where(jnp.abs(gt) <= 3.0e38, gt, jnp.zeros_like(gt))
         gZ = jnp.where(jnp.abs(gZ) <= 3.0e38, gZ, jnp.zeros_like(gZ))
         gn = jnp.sqrt(jnp.sum(gt * gt) + jnp.sum(gZ * gZ))
-        sc = jnp.minimum(jnp.asarray(1.0, f32), _CLIP_NORM / gn)
+        sc = jnp.minimum(jnp.asarray(1.0, f32), clip_norm / gn)
         gt = gt * sc
         gZ = gZ * sc
         ta = t0 + t.astype(f32) + 1.0
@@ -196,8 +197,105 @@ STREAM_NB = 1024
 MAX_N_STREAM = 16384
 
 
+# ---------------------------------------------------------------------------
+# Fused Z-only Adam under the MC-averaged bound (BayesianSGPR_HMC phase B)
+# ---------------------------------------------------------------------------
+
+def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
+                      m_z, v_z, z_o, mo_z, vo_z, loss_o,
+                      Ks, Us, Vs, Ds,
+                      *, n, m, d, S, jitter, K, lr, block):
+    """K Adam steps on Z only; per-step loss/grad = mean over the S hyper
+    rows of th_ref (the current HMC trace) of -sgpr_elbo(theta_s, Z) —
+    the reference's interleaved Z-optimisation objective
+    (models/bayesian_sgpr_hmc.py:119-134). Resident X/y; theta gradients
+    from the shared core are computed and discarded (same matrices)."""
+    from .fused_bound import chol_u_inv_inplace
+
+    f32 = jnp.float32
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    t0 = scal_ref[0]
+    X = x_ref[:]
+    y = y_ref[:]
+    inv_s = 1.0 / S
+
+    def ref_chol_inv(Kmat, pivot_floor):
+        Ks[:] = Kmat
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block,
+                           pivot_floor=pivot_floor)
+        return Us[:], Vs[:]
+
+    def step(t, carry):
+        Z, mz, vz = carry
+
+        def one(s, acc):
+            lacc, gacc = acc
+            th = th_ref[pl.ds(s, 1), :]
+            loss, _, gZ = sgpr_loss_vg(th, X, y, Z, n, m, d, jitter,
+                                       chol_inv=ref_chol_inv)
+            return lacc + inv_s * loss, gacc + inv_s * gZ
+
+        loss, gZ = jax.lax.fori_loop(
+            0, S, one, (jnp.zeros((), f32), jnp.zeros_like(Z)))
+        # zero_nans on the averaged gradient (matches the XLA chain's
+        # placement: optax.chain(zero_nans, adam) on the mean grad)
+        ta = t0 + t.astype(f32) + 1.0
+        Z, mz, vz = _adam_update(Z, gZ, mz, vz, ta, lr)
+        loss_o[pl.ds(t, 1), :] = loss * (lane8 == 0).astype(f32)
+        return Z, mz, vz
+
+    Z, mz, vz = jax.lax.fori_loop(0, K, step,
+                                  (z_ref[:], m_z[:], v_z[:]))
+    z_o[:] = Z
+    mo_z[:] = mz
+    vo_z[:] = vz
+
+
+def make_fused_z_adam(n, m, d, S, jitter, *, steps_per_call, lr=0.01,
+                      block=32, interpret=False):
+    """Factory: ``chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0) ->
+    (Z, adam_m, adam_v, losses (K,))``; ``thetas`` is the (Sp,128) packed
+    hyper trace. Envelope: n <= 2048 resident, m <= 512, d <= 125,
+    S <= 512 rows. Returns None outside it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if n > 2048 or m > 512 or d > _LANES - 3 or S > 512:
+        return None
+    Mp = max(_LANES, _round_up(m, _LANES))
+    Np = _round_up(n, 8)
+    Sp = _round_up(S, 8)
+    K = int(steps_per_call)
+    f32 = jnp.float32
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = tuple([jax.ShapeDtypeStruct((Mp, _LANES), f32)] * 3
+                      + [jax.ShapeDtypeStruct((K, 8), f32)])
+    call = pl.pallas_call(
+        partial(_zadam_chunk_body, n=n, m=m, d=d, S=S,
+                jitter=float(jitter), K=K, lr=float(lr), block=block),
+        out_shape=out_shape,
+        in_specs=[smem] + [vmem] * 6,
+        out_specs=(vmem,) * 4,
+        scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
+        + [pltpu.VMEM((Mp, _LANES), f32)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024) if not interpret else None),
+        interpret=interpret,
+    )
+
+    def chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0):
+        th = jnp.zeros((Sp, _LANES), f32).at[:S, :].set(thetas)
+        outs = call(jnp.asarray([t0], f32), Xp, yp, th, Z,
+                    adam_m, adam_v)
+        z1, mz, vz, losses = outs
+        return z1, mz, vz, losses[:, 0]
+
+    return chunk
+
+
 def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
-                    min_noise=1e-4, block=32, interpret=False):
+                    min_noise=1e-4, clip_norm=_CLIP_NORM, block=32,
+                    interpret=False):
     """Factory: ``chunk(theta, Z, adam_m, adam_v, Xp, yp, t0) ->
     (theta, Z, adam_m, adam_v, losses (K,))`` with adam_m/v =
     {"theta": (1,128), "Z": (Mp,128)}. Envelope: m <= 512 (Mp = next
@@ -231,8 +329,8 @@ def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
         call = pl.pallas_call(
             partial(_sgpr_stream_chunk_body, n=n, m=m, d=d,
                     jitter=float(jitter), K=K, lr=float(lr), block=block,
-                    min_noise=float(min_noise), NB=STREAM_NB,
-                    nblocks=Np // STREAM_NB),
+                    min_noise=float(min_noise), clip_norm=float(clip_norm),
+                    NB=STREAM_NB, nblocks=Np // STREAM_NB),
             out_shape=out_shape,
             in_specs=[smem, pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 6,
             out_specs=(vmem,) * 7,
@@ -244,7 +342,7 @@ def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
         call = pl.pallas_call(
             partial(_sgpr_chunk_body, n=n, m=m, d=d, jitter=float(jitter),
                     K=K, lr=float(lr), block=block,
-                    min_noise=float(min_noise)),
+                    min_noise=float(min_noise), clip_norm=float(clip_norm)),
             out_shape=out_shape,
             in_specs=[smem] + [vmem] * 8,
             out_specs=(vmem,) * 7,

@@ -252,3 +252,107 @@ def test_sgpr_streaming_chunk_matches_optax_chain():
               float(p_ref["log_noise"])], atol=5e-4)
     np.testing.assert_allclose(np.asarray(Z1[:m, :d]),
                                np.asarray(p_ref["Z"]), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_fused_z_adam_matches_xla_zopt():
+    """Interpret-mode fused Z-only chunk (mean over S trace hypers) ==
+    the XLA _adam_Z loop (zero_nans -> adam): losses and final Z."""
+    import optax
+
+    from ggp_tpu.models.bayesian_sgpr_hmc import _adam_Z
+    from ggp_tpu.ops.fused_sgpr import make_fused_z_adam
+
+    n, m, d, S, K = 40, 8, 2, 5, 3
+    jitter = 1e-6
+    lr = 0.02
+    rng = np.random.default_rng(8)
+    X, y, params = _case(n, m, d, seed=8)
+    kern = default_rbf(ard=True)
+    trace = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(S, d)) * 0.3,
+                                        jnp.float32)},
+                   "log_outputscale": jnp.asarray(rng.normal(size=S) * 0.2,
+                                                  jnp.float32)},
+        "log_noise": jnp.asarray(-1.0 + rng.normal(size=S) * 0.1,
+                                 jnp.float32),
+    }
+
+    optimizer = optax.chain(optax.zero_nans(), optax.adam(lr))
+    Z_ref, losses_ref = _adam_Z(kern, X, y, jitter, params["Z"], trace,
+                                optimizer, K)
+
+    chunk = make_fused_z_adam(n, m, d, S, jitter, steps_per_call=K, lr=lr,
+                              interpret=True)
+    thetas = jnp.zeros((S, 128), jnp.float32)
+    thetas = thetas.at[:, :d].set(trace["kernel"]["base"]["log_lengthscale"])
+    thetas = thetas.at[:, d].set(trace["kernel"]["log_outputscale"])
+    thetas = thetas.at[:, d + 1].set(trace["log_noise"])
+    _, Zp, Xp, yp = _pad(params, n, m, d, X, y)
+    zeros = jnp.zeros((128, 128), jnp.float32)
+    Z1, _, _, losses = chunk(Zp, zeros, zeros, thetas, Xp, yp, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(Z1[:m, :d]), np.asarray(Z_ref),
+                               atol=3e-4)
+
+
+def test_fused_zopt_gate(monkeypatch):
+    from ggp_tpu.models.bayesian_sgpr_hmc import BayesianSparseGPR_HMC
+    from ggp_tpu.ops.fused_sgpr import make_fused_z_adam
+
+    X, y, params = _case(64, 8, 2)
+    model = BayesianSparseGPR_HMC(X, y, Z_init=params["Z"])
+    model.trace = {
+        "kernel": {"base": {"log_lengthscale": jnp.zeros((4, 2))},
+                   "log_outputscale": jnp.zeros(4)},
+        "log_noise": jnp.zeros(4),
+    }
+    assert not model._fused_zopt_ok()         # CPU backend in CI
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert model._fused_zopt_ok()
+    monkeypatch.setenv("GGP_FUSED_ZOPT", "0")
+    assert not model._fused_zopt_ok()
+    monkeypatch.delenv("GGP_FUSED_ZOPT")
+    assert make_fused_z_adam(4096, 8, 2, 4, 1e-6, steps_per_call=2) is None
+    assert make_fused_z_adam(100, 8, 2, 600, 1e-6, steps_per_call=2) is None
+
+
+def test_fused_warmstart_matches_adam_all_cpu():
+    """_run_adam_fused with clip_norm=10 == bayesian_sgpr_hmc._adam_all
+    (the warm-start chain) — interpret-forced, 7 steps."""
+    import optax
+
+    import ggp_tpu.models.sgpr as sgpr_mod
+    from ggp_tpu.models.bayesian_sgpr_hmc import _adam_all
+    from ggp_tpu.ops import fused_sgpr as fs
+
+    n, m, d = 40, 8, 2
+    jitter = 1e-6
+    lr = 0.02
+    X, y, params = _case(n, m, d, seed=12)
+    kern = default_rbf(ard=True)
+
+    optimizer = optax.chain(optax.zero_nans(),
+                            optax.clip_by_global_norm(10.0),
+                            optax.adam(lr))
+    p_ref, losses_ref = _adam_all(kern, X, y, jitter, params, optimizer, 7)
+
+    orig = fs.make_fused_sgpr
+    def interp_factory(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+    import unittest.mock as mock
+    with mock.patch.object(fs, "make_fused_sgpr", interp_factory):
+        p_f, losses_f = sgpr_mod._run_adam_fused(X, y, jitter, params, 7,
+                                                 lr, 1e-4, 10.0)
+
+    np.testing.assert_allclose(np.asarray(losses_f),
+                               np.asarray(losses_ref), rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(p_f["Z"]), np.asarray(p_ref["Z"]),
+                               atol=3e-4)
+    np.testing.assert_allclose(
+        float(p_f["kernel"]["log_outputscale"]),
+        float(p_ref["kernel"]["log_outputscale"]), atol=3e-4)

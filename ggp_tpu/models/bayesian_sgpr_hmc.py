@@ -280,9 +280,8 @@ class BayesianSparseGPR_HMC:
     def _fused_zopt_ok(self, need_trace: bool = True) -> bool:
         """Gate for the fused training chunk kernels (optimize_Z and
         warm_start): same structural conditions as the fused sampler
-        target plus the envelope. The multi-theta Z kernel is resident-N
-        only (2048); the warm-start kernel streams to 16384.
-        GGP_FUSED_ZOPT=0 disables both."""
+        target plus the envelope (both kernels stream X/y from HBM past
+        2048 rows, up to 16384). GGP_FUSED_ZOPT=0 disables both."""
         import os
 
         import jax as _jax
@@ -300,8 +299,8 @@ class BayesianSparseGPR_HMC:
         n, d = self.train_x.shape
         if self.Z.shape[0] > 512 or d > 125:
             return False
-        if need_trace:
-            return n <= 2048 and self.trace["log_noise"].shape[0] <= 512
+        if need_trace and self.trace["log_noise"].shape[0] > 512:
+            return False
         return n <= 16384
 
     # ------------------------------------------------------------------

@@ -203,20 +203,24 @@ MAX_N_STREAM = 16384
 
 def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
                       m_z, v_z, z_o, mo_z, vo_z, loss_o,
-                      Ks, Us, Vs, Ds,
-                      *, n, m, d, S, jitter, K, lr, block):
+                      Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
+                      *, n, m, d, S, jitter, K, lr, block,
+                      NB=None, nblocks=None):
     """K Adam steps on Z only; per-step loss/grad = mean over the S hyper
     rows of th_ref (the current HMC trace) of -sgpr_elbo(theta_s, Z) —
     the reference's interleaved Z-optimisation objective
-    (models/bayesian_sgpr_hmc.py:119-134). Resident X/y; theta gradients
-    from the shared core are computed and discarded (same matrices)."""
-    from .fused_bound import chol_u_inv_inplace
+    (models/bayesian_sgpr_hmc.py:119-134). Resident X/y by default; with
+    ``NB`` set, X/y live in HBM (y packed in lane 127) and every theta's
+    gram/adjoint passes stream double-buffered row blocks. Theta
+    gradients from the shared core are computed and discarded (same
+    matrices)."""
+    from .fused_bound import (_rbf_vfe_neg_logpost_vg_streaming,
+                              chol_u_inv_inplace)
+    from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     t0 = scal_ref[0]
-    X = x_ref[:]
-    y = y_ref[:]
     inv_s = 1.0 / S
 
     def ref_chol_inv(Kmat, pivot_floor):
@@ -225,14 +229,47 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
                            pivot_floor=pivot_floor)
         return Us[:], Vs[:]
 
+    if NB is None:
+        X = x_ref[:]
+        y = y_ref[:]
+
+        def eval_one(th, Z):
+            return sgpr_loss_vg(th, X, y, Z, n, m, d, jitter,
+                                chol_inv=ref_chol_inv)
+    else:
+        def _dma(slot, t):
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(t * NB, NB), :], xsbuf.at[slot],
+                dsem.at[slot])
+
+        def loop_blocks(body, carry):
+            _dma(0, 0).start()
+
+            def lb(t, c):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < nblocks)
+                def _():
+                    _dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+                _dma(slot, t).wait()
+                return body(t, xsbuf[slot], c)
+
+            return jax.lax.fori_loop(0, nblocks, lb, carry)
+
+        def eval_one(th, Z):
+            return _rbf_vfe_neg_logpost_vg_streaming(
+                th, Z, n, m, d, jitter, chol_inv=ref_chol_inv,
+                loop_blocks=loop_blocks, NB=NB, want_z_grad=True,
+                want_prior=False, pivot_floor=_PIVOT_FLOOR)
+
     def step(t, carry):
         Z, mz, vz = carry
 
         def one(s, acc):
             lacc, gacc = acc
             th = th_ref[pl.ds(s, 1), :]
-            loss, _, gZ = sgpr_loss_vg(th, X, y, Z, n, m, d, jitter,
-                                       chol_inv=ref_chol_inv)
+            loss, _, gZ = eval_one(th, Z)
             return lacc + inv_s * loss, gacc + inv_s * gZ
 
         loss, gZ = jax.lax.fori_loop(
@@ -255,38 +292,66 @@ def make_fused_z_adam(n, m, d, S, jitter, *, steps_per_call, lr=0.01,
                       block=32, interpret=False):
     """Factory: ``chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0) ->
     (Z, adam_m, adam_v, losses (K,))``; ``thetas`` is the (Sp,128) packed
-    hyper trace. Envelope: n <= 2048 resident, m <= 512, d <= 125,
-    S <= 512 rows. Returns None outside it."""
+    hyper trace. Envelope: m <= 512, d <= 125, S <= 512 rows; n <= 2048
+    resident, up to 16384 streamed from HBM. Returns None outside it."""
     from jax.experimental.pallas import tpu as pltpu
 
-    if n > 2048 or m > 512 or d > _LANES - 3 or S > 512:
+    if n > MAX_N_STREAM or m > 512 or d > _LANES - 3 or S > 512:
         return None
     Mp = max(_LANES, _round_up(m, _LANES))
-    Np = _round_up(n, 8)
     Sp = _round_up(S, 8)
     K = int(steps_per_call)
     f32 = jnp.float32
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    streaming = n > 2048
+    Np = _round_up(n, STREAM_NB if streaming else 8)
     out_shape = tuple([jax.ShapeDtypeStruct((Mp, _LANES), f32)] * 3
                       + [jax.ShapeDtypeStruct((K, 8), f32)])
-    call = pl.pallas_call(
-        partial(_zadam_chunk_body, n=n, m=m, d=d, S=S,
-                jitter=float(jitter), K=K, lr=float(lr), block=block),
-        out_shape=out_shape,
-        in_specs=[smem] + [vmem] * 6,
-        out_specs=(vmem,) * 4,
-        scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
-        + [pltpu.VMEM((Mp, _LANES), f32)],
-        compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024) if not interpret else None),
-        interpret=interpret,
-    )
+    scratch = ([pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
+               + [pltpu.VMEM((Mp, _LANES), f32)])
+    cparams = (pltpu.CompilerParams(
+        vmem_limit_bytes=112 * 1024 * 1024) if not interpret else None)
+    if streaming:
+        scratch += [pltpu.VMEM((2, STREAM_NB, _LANES), f32),
+                    pltpu.SemaphoreType.DMA((2,))]
+        # y_ref becomes an unused (8,1) dummy: y rides lane 127 of the slab
+        call = pl.pallas_call(
+            partial(_zadam_chunk_body, n=n, m=m, d=d, S=S,
+                    jitter=float(jitter), K=K, lr=float(lr), block=block,
+                    NB=STREAM_NB, nblocks=Np // STREAM_NB),
+            out_shape=out_shape,
+            in_specs=[smem, pl.BlockSpec(memory_space=pl.ANY)]
+            + [vmem] * 5,
+            out_specs=(vmem,) * 4,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            partial(_zadam_chunk_body, n=n, m=m, d=d, S=S,
+                    jitter=float(jitter), K=K, lr=float(lr), block=block),
+            out_shape=out_shape,
+            in_specs=[smem] + [vmem] * 6,
+            out_specs=(vmem,) * 4,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+        )
 
     def chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0):
         th = jnp.zeros((Sp, _LANES), f32).at[:S, :].set(thetas)
-        outs = call(jnp.asarray([t0], f32), Xp, yp, th, Z,
-                    adam_m, adam_v)
+        if streaming:
+            slab = jnp.zeros((Np, _LANES), f32)
+            slab = slab.at[:Xp.shape[0], :].set(Xp)
+            slab = slab.at[:yp.shape[0], _LANES - 1].set(yp[:, 0])
+            outs = call(jnp.asarray([t0], f32), slab,
+                        jnp.zeros((8, 1), f32), th, Z,
+                        adam_m, adam_v)
+        else:
+            outs = call(jnp.asarray([t0], f32), Xp, yp, th, Z,
+                        adam_m, adam_v)
         z1, mz, vz, losses = outs
         return z1, mz, vz, losses[:, 0]
 

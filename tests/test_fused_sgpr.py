@@ -316,8 +316,53 @@ def test_fused_zopt_gate(monkeypatch):
     monkeypatch.setenv("GGP_FUSED_ZOPT", "0")
     assert not model._fused_zopt_ok()
     monkeypatch.delenv("GGP_FUSED_ZOPT")
-    assert make_fused_z_adam(4096, 8, 2, 4, 1e-6, steps_per_call=2) is None
+    assert make_fused_z_adam(20000, 8, 2, 4, 1e-6, steps_per_call=2) is None
     assert make_fused_z_adam(100, 8, 2, 600, 1e-6, steps_per_call=2) is None
+    assert make_fused_z_adam(4096, 8, 2, 4, 1e-6,
+                             steps_per_call=2) is not None  # streams
+
+
+@pytest.mark.slow
+def test_fused_z_adam_streaming_matches_xla():
+    """Streaming (n=2304, 3 DMA blocks) fused Z chunk == _adam_Z."""
+    import optax
+
+    from ggp_tpu.models.bayesian_sgpr_hmc import _adam_Z
+    from ggp_tpu.ops.fused_sgpr import make_fused_z_adam
+
+    n, m, d, S, K = 2304, 8, 2, 3, 2
+    jitter = 1e-6
+    lr = 0.02
+    rng = np.random.default_rng(3)
+    X, y, params = _case(n, m, d, seed=3)
+    kern = default_rbf(ard=True)
+    trace = {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(S, d)) * 0.3,
+                                        jnp.float32)},
+                   "log_outputscale": jnp.asarray(rng.normal(size=S) * 0.2,
+                                                  jnp.float32)},
+        "log_noise": jnp.asarray(-1.0 + rng.normal(size=S) * 0.1,
+                                 jnp.float32),
+    }
+    optimizer = optax.chain(optax.zero_nans(), optax.adam(lr))
+    Z_ref, losses_ref = _adam_Z(kern, X, y, jitter, params["Z"], trace,
+                                optimizer, K)
+
+    chunk = make_fused_z_adam(n, m, d, S, jitter, steps_per_call=K, lr=lr,
+                              interpret=True)
+    thetas = jnp.zeros((S, 128), jnp.float32)
+    thetas = thetas.at[:, :d].set(trace["kernel"]["base"]["log_lengthscale"])
+    thetas = thetas.at[:, d].set(trace["kernel"]["log_outputscale"])
+    thetas = thetas.at[:, d + 1].set(trace["log_noise"])
+    _, Zp, Xp, yp = _pad(params, n, m, d, X, y)
+    zeros = jnp.zeros((128, 128), jnp.float32)
+    Z1, _, _, losses = chunk(Zp, zeros, zeros, thetas, Xp, yp, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(Z1[:m, :d]), np.asarray(Z_ref),
+                               atol=5e-4)
 
 
 def test_fused_warmstart_matches_adam_all_cpu():

@@ -153,7 +153,7 @@ class BayesianStochasticVariationalGP:
 
     def _fused_bsvi_ok(self, batch_size) -> bool:
         """Gate for the whole-epoch Pallas BSVGP kernel (ops/fused_svi):
-        Scale(RBF-ARD) x Gaussian, M <= 128, batch <= 512, S <= 8, on TPU.
+        Scale(RBF-ARD) x Gaussian, M <= 512, batch <= 512, S <= 8, on TPU.
         GGP_FUSED_BSVGP=0 disables."""
         import os
         if os.environ.get("GGP_FUSED_BSVGP", "1") == "0":
@@ -168,7 +168,7 @@ class BayesianStochasticVariationalGP:
             return False
         M = self.params["Z"].shape[0]
         d = self.train_x.shape[-1]
-        return (M <= 128 and batch_size <= 512 and d + 2 <= 126
+        return (M <= 512 and batch_size <= 512 and d + 2 <= 126
                 and self.num_hyper_samples <= 8)
 
     def train_model(self, optimizer=None, num_epochs: int = 100,
@@ -316,7 +316,7 @@ def _run_bsvi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
                              steps_per_call=steps_per_epoch, lr=lr)
 
     il = jnp.tril_indices(h)
-    Mp = 128
+    Mp = max(128, -(-M // 128) * 128)
     pp = {
         "hmu": jnp.zeros((1, 128), dt).at[0, :h].set(
             params["hyper_mu"].astype(dt)),

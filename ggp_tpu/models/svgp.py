@@ -142,7 +142,7 @@ class StochasticVariationalGP:
 
     def _fused_svi_ok(self, batch_size) -> bool:
         """Gate for the whole-epoch Pallas SVI kernel (ops/fused_svi):
-        Scale(RBF-ARD) x {Gaussian, Bernoulli-probit, Poisson}, M <= 128,
+        Scale(RBF-ARD) x {Gaussian, Bernoulli-probit, Poisson}, M <= 512,
         batch <= 512, on TPU. GGP_FUSED_SVI=0 disables."""
         import os
         if os.environ.get("GGP_FUSED_SVI", "1") == "0":
@@ -157,7 +157,7 @@ class StochasticVariationalGP:
             return False
         M = self.params["Z"].shape[0]
         d = self.train_x.shape[-1]
-        return M <= 128 and batch_size <= 512 and d + 2 <= 127
+        return M <= 512 and batch_size <= 512 and d + 2 <= 127
 
     def train_model(self, optimizer=None, num_epochs: int = 100,
                     batch_size: int = 200, lr: float = 0.01, key=None,
@@ -287,7 +287,7 @@ def _run_svi_fused(kernel, X, y, jitter, params, num_epochs, batch_size,
                          likelihood=lik_tag)
 
     # pack params into the padded kernel layout
-    Mp = 128
+    Mp = max(128, -(-M // 128) * 128)
     hyp = jnp.zeros((1, 128), dt)
     hyp = hyp.at[0, :d].set(params["kernel"]["base"]["log_lengthscale"])
     hyp = hyp.at[0, d].set(params["kernel"]["log_outputscale"])

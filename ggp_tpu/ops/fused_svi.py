@@ -482,9 +482,9 @@ def make_fused_bsvgp(num_data, nb, m, d, S, prior_var, jitter, *,
     nb <= 512, d + 2 <= 126, S <= 8. Returns None outside it."""
     from jax.experimental.pallas import tpu as pltpu
 
-    if m > _LANES or d + 2 > _LANES - 2 or nb > 512 or S > 8:
+    if m > 512 or d + 2 > _LANES - 2 or nb > 512 or S > 8:
         return None
-    Mp = _LANES
+    Mp = max(_LANES, _round_up(m, _LANES))
     nbp = _round_up(nb, 8)
     Sp = 8
     K = int(steps_per_call)
@@ -623,9 +623,9 @@ def make_fused_svi(num_data, nb, m, d, jitter, *, steps_per_call,
     if likelihood not in ("gauss", "bernoulli_probit", "poisson"):
         return None
     max_d = 125 if likelihood == "poisson" else _LANES - 3
-    if m > _LANES or d > max_d or nb > 512:
+    if m > 512 or d > max_d or nb > 512:
         return None
-    Mp = _LANES
+    Mp = max(_LANES, _round_up(m, _LANES))
     nbp = _round_up(nb, 8)
     K = int(steps_per_call)
     f32 = jnp.float32

@@ -12,7 +12,8 @@ from ggp_tpu.models.svgp import svgp_elbo
 from ggp_tpu.ops.fused_svi import svgp_gauss_loss_vg
 
 
-def _pad_params(p, m, d, Mp=128):
+def _pad_params(p, m, d, Mp=None):
+    Mp = Mp or max(128, -(-m // 128) * 128)
     hyp = jnp.zeros((1, 128), jnp.float32)
     hyp = hyp.at[0, :d].set(p["kernel"]["base"]["log_lengthscale"])
     hyp = hyp.at[0, d].set(p["kernel"]["log_outputscale"])
@@ -28,6 +29,7 @@ def _pad_params(p, m, d, Mp=128):
     pytest.param((40, 8, 3), marks=pytest.mark.slow),
     pytest.param((200, 32, 5), marks=pytest.mark.slow),
     (33, 8, 2),
+    pytest.param((64, 160, 5), marks=pytest.mark.slow),  # Mp=256 envelope
 ])
 def test_svi_loss_and_grads_match_autodiff(nmd):
     nb, m, d = nmd
@@ -212,7 +214,9 @@ def test_fused_svi_gate_and_envelope(monkeypatch):
     assert not m._fused_svi_ok(1024)      # batch too large
     # factory envelope
     assert make_fused_svi(1000, 600, 32, 3, 1e-6, steps_per_call=4) is None
-    assert make_fused_svi(1000, 64, 200, 3, 1e-6, steps_per_call=4) is None
+    assert make_fused_svi(1000, 64, 600, 3, 1e-6, steps_per_call=4) is None
+    assert make_fused_svi(1000, 64, 200, 3, 1e-6,
+                          steps_per_call=4) is not None  # M pads to 256
 
 
 # ---------------------------------------------------------------------------
@@ -446,7 +450,8 @@ def _nongauss_case(likname, nb, m, d, rng):
     return lik, jnp.asarray(y, jnp.float32), params
 
 
-def _pad_params_nolik(p, m, d, Mp=128):
+def _pad_params_nolik(p, m, d, Mp=None):
+    Mp = Mp or max(128, -(-m // 128) * 128)
     hyp = jnp.zeros((1, 128), jnp.float32)
     hyp = hyp.at[0, :d].set(p["kernel"]["base"]["log_lengthscale"])
     hyp = hyp.at[0, d].set(p["kernel"]["log_outputscale"])

@@ -22,10 +22,12 @@ with vmapped chains.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import default_jitter
 from ..inference.hmc import NUTSConfig, build_sampler
@@ -118,31 +120,37 @@ class SGPMC:
     def warm_start(self, num_steps: int = 100, lr: float = 0.01):
         """Optimise (v, theta, Z) by Adam on the same target + Z free, then
         freeze Z (reference: Scipy 100 iters then freeze,
-        models/sgp_hmc.py:54-56)."""
+        models/sgp_hmc.py:54-56). One jitted lax.scan — the former
+        Python step loop paid a dispatch + host sync per iteration."""
         import optax
         params = {"state": self.state, "Z": self.Z}
         optimizer = optax.chain(optax.zero_nans(),
                                 optax.clip_by_global_norm(10.0),
                                 optax.adam(lr))
-        opt_state = optimizer.init(params)
 
-        @jax.jit
-        def step(params, opt_state):
+        @partial(jax.jit, static_argnums=(1,))
+        def run(params, num_steps):
+            opt_state = optimizer.init(params)
+
             def loss(p):
                 return -(self._loglik(p["state"],
                                       (self.train_x, self.train_y, p["Z"]))
                          - 0.5 * jnp.sum(p["state"]["v"] ** 2))
-            val, g = jax.value_and_grad(loss)(params)
-            updates, opt_state = optimizer.update(g, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, val
 
-        losses = []
-        for _ in range(num_steps):
-            params, opt_state, val = step(params, opt_state)
-            losses.append(float(val))
+            def step(carry, _):
+                p, s = carry
+                val, g = jax.value_and_grad(loss)(p)
+                updates, s = optimizer.update(g, s, p)
+                return (optax.apply_updates(p, updates), s), val
+
+            (p, _), vals = jax.lax.scan(step, (params, opt_state), None,
+                                        length=num_steps)
+            return p, vals
+
+        params, vals = run(params, num_steps)
         self.state = params["state"]
         self.Z = params["Z"]
-        return losses
+        return list(np.asarray(vals))
 
     def _fused_builder(self, algorithm, num_leapfrog, num_chains=1,
                        max_depth=8):

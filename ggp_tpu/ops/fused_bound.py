@@ -233,13 +233,19 @@ def _mini_chol_inv_v2(Dblk, block, pivot_floor=None):
     dt = Dblk.dtype
     colB = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
     rowB = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    # loop-invariant mask matrices: the per-pivot one-hot / cumulative
+    # masks become FREE static row slices instead of an iota compare +
+    # cast per unrolled iteration (~4 vector ops saved per pivot — these
+    # unrolled loops are the op-issue-bound floor of every fused eval)
+    eyeB = (rowB == colB).astype(dt)                          # (B,B)
+    geB = (colB >= rowB).astype(dt)
     P = Dblk
     rows = []
     for i in range(block):
-        onehot = (colB == i).astype(dt)
+        onehot = eyeB[i:i + 1, :]
         ri = P[i:i + 1, :]
         d = jnp.sum(ri * onehot, axis=1, keepdims=True)       # (1,1)
-        ui, dis = _pivot_row(ri, d, onehot, (colB >= i).astype(dt),
+        ui, dis = _pivot_row(ri, d, onehot, geB[i:i + 1, :],
                              pivot_floor, dt)
         rows.append(ui)
         cu = jnp.sum(P * onehot, axis=1, keepdims=True)       # (B,1)
@@ -247,9 +253,9 @@ def _mini_chol_inv_v2(Dblk, block, pivot_floor=None):
     ud = jnp.concatenate(rows, axis=0)
 
     vrows: list = [None] * block
-    R = (rowB == colB).astype(dt)
+    R = eyeB
     for k in range(block - 1, -1, -1):
-        onehot = (colB == k).astype(dt)
+        onehot = eyeB[k:k + 1, :]
         ukk = jnp.sum(ud[k:k + 1, :] * onehot, axis=1, keepdims=True)
         vk = R[k:k + 1, :] / ukk
         vrows[k] = vk

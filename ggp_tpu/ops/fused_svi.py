@@ -377,27 +377,37 @@ def bsvgp_loss_vg(params_pad, Xb, eps_blk, num_data, nb, m, d, S,
          + ((rows == d) & (cols == 0)).astype(dt)
          + 2.0 * ((rows == d + 1) & (cols == d + 1)).astype(dt))
 
+    # one lax.fori_loop over draws — a Python-unrolled loop compiles S
+    # copies of the SVGP core through Mosaic (~5 min first-call wall at
+    # S=5); theta rows are extracted and gradient rows scattered with
+    # one-hot MXU contractions (no dynamic value slicing in Mosaic)
     inv_s = 1.0 / S
-    loss_acc = jnp.zeros((), dt)
-    gZ = jnp.zeros_like(params_pad["Z"])
-    gqmu = jnp.zeros_like(params_pad["q_mu"])
-    gqraw = jnp.zeros_like(params_pad["q_raw"])
-    g_theta_rows = []
-    for s in range(S):
-        theta_row = thetas[s:s + 1, :]
-        hyp_row = _dg(theta_row, P, 1, 1) * (lane < d + 2).astype(dt)
+    hyp_mask = (lane < d + 2).astype(dt)
+    Sp = eps_blk.shape[0]
+    scol = jax.lax.broadcasted_iota(jnp.int32, (1, Sp), 1)
+
+    def draw(s, acc):
+        loss_acc, gZ, gqmu, gqraw, G_theta = acc
+        Es = (scol == s).astype(dt)                           # (1,Sp)
+        theta_row = _dg(Es, thetas, 1, 0)                     # (1,128)
+        hyp_row = _dg(theta_row, P, 1, 1) * hyp_mask
         ps = {"hyp": hyp_row, "Z": params_pad["Z"],
               "q_mu": params_pad["q_mu"], "q_raw": params_pad["q_raw"]}
         loss_s, g_s = svgp_gauss_loss_vg(ps, Xb, None, num_data, nb, m, d,
                                          jitter, chol_inv=chol_inv)
-        loss_acc = loss_acc + inv_s * loss_s
-        gZ = gZ + inv_s * g_s["Z"]
-        gqmu = gqmu + inv_s * g_s["q_mu"]
-        gqraw = gqraw + inv_s * g_s["q_raw"]
-        g_theta_rows.append(_dg(g_s["hyp"], P, 1, 0) * hrow)
-    G_theta = jnp.concatenate(
-        g_theta_rows + [jnp.zeros((eps_blk.shape[0] - S, _LANES), dt)],
-        axis=0)                                               # (Sp,128)
+        grow = _dg(g_s["hyp"], P, 1, 0) * hrow
+        return (loss_acc + inv_s * loss_s,
+                gZ + inv_s * g_s["Z"],
+                gqmu + inv_s * g_s["q_mu"],
+                gqraw + inv_s * g_s["q_raw"],
+                G_theta + _dg(Es, grow, 0, 0))                # scatter row s
+
+    loss_acc, gZ, gqmu, gqraw, G_theta = jax.lax.fori_loop(
+        0, S, draw,
+        (jnp.zeros((), dt), jnp.zeros_like(params_pad["Z"]),
+         jnp.zeros_like(params_pad["q_mu"]),
+         jnp.zeros_like(params_pad["q_raw"]),
+         jnp.zeros((Sp, _LANES), dt)))
 
     # reparameterisation chain + hyper KL (loss space: klh enters with +)
     g_hmu = inv_s * jnp.sum(G_theta, axis=0, keepdims=True)

@@ -53,6 +53,7 @@ def _enable_compile_cache():
     # (explicit env still wins).
     os.environ.setdefault("GGP_FUSED_ZOPT", "0")
     os.environ.setdefault("GGP_FUSED_SGPR", "0")
+    os.environ.setdefault("GGP_FUSED_WARM", "0")
 
 # reference CPU sampling seconds (sampler_runtimes.csv:1-4).
 # Order = execution order: headline first (priority), then the JointHMC

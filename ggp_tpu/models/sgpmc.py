@@ -117,12 +117,84 @@ class SGPMC:
                          "mean": state["mean"]})
         return lp
 
+    def _fused_warm_ok(self) -> bool:
+        """Gate for the whole-chunk Pallas warm start (ops/fused_sgpmc):
+        Scale(RBF-ARD) x Gaussian x Zero mean on TPU, n <= 2048 resident,
+        state row d + 2 + M <= 128. GGP_FUSED_WARM=0 disables."""
+        import os
+
+        from ..kernels.base import RBF, Scale
+
+        if os.environ.get("GGP_FUSED_WARM", "1") == "0":
+            return False
+        if jax.default_backend() != "tpu" or self.mesh is not None:
+            return False
+        if not (isinstance(self.kernel, Scale)
+                and type(self.kernel.base) is RBF and self.kernel.base.ard
+                and type(self.likelihood) is GaussianLikelihood
+                and type(self.mean_fn) is Zero):
+            return False
+        n, d = self.train_x.shape
+        M = self.Z.shape[0]
+        return n <= 2048 and d + 2 + M <= 128
+
+    def _warm_start_fused(self, num_steps: int, lr: float):
+        """Whole-chunk Pallas warm start: every Adam step (grams + blocked
+        chol + (theta, v, Z) adjoint + the XLA path's exact optax chain)
+        in-kernel (ops/fused_sgpmc), one kernel call for all steps."""
+        from ..ops.fused_sgpmc import make_fused_sgpmc_warm
+
+        n, d = self.train_x.shape
+        M = self.Z.shape[0]
+        dt = jnp.float32
+        chunk = make_fused_sgpmc_warm(n, M, d, self.jitter,
+                                      steps_per_call=num_steps, lr=lr)
+        if chunk is None:
+            return None
+
+        @jax.jit
+        def run(state, Z, X, y):
+            Np = -(-n // 128) * 128
+            Xp = jnp.zeros((Np, 128), dt).at[:n, :d].set(X.astype(dt))
+            yrow = jnp.zeros((1, Np), dt).at[0, :n].set(y.astype(dt))
+            st = jnp.zeros((1, 128), dt)
+            st = st.at[0, :d].set(state["kernel"]["base"]["log_lengthscale"])
+            st = st.at[0, d].set(state["kernel"]["log_outputscale"])
+            st = st.at[0, d + 1].set(state["lik"]["log_noise"])
+            st = st.at[0, d + 2:d + 2 + M].set(state["v"])
+            Zp = jnp.zeros((128, 128), dt).at[:M, :d].set(Z.astype(dt))
+            zeros = {"state": jnp.zeros_like(st), "Z": jnp.zeros_like(Zp)}
+            st, Zp, _, _, losses = chunk(st, Zp, zeros,
+                                         {k: jnp.zeros_like(v)
+                                          for k, v in zeros.items()},
+                                         Xp, yrow, jnp.asarray(0.0, dt))
+            return st, Zp, losses
+
+        st, Zp, losses = run(self.state, self.Z, self.train_x, self.train_y)
+        xdt = self.train_x.dtype
+        self.state = {
+            "v": st[0, d + 2:d + 2 + M].astype(xdt),
+            "kernel": {"base": {"log_lengthscale": st[0, :d].astype(xdt)},
+                       "log_outputscale": st[0, d].astype(xdt)},
+            "lik": {"log_noise": st[0, d + 1].astype(xdt)},
+            "mean": self.state["mean"],
+        }
+        self.Z = Zp[:M, :d].astype(xdt)
+        return list(np.asarray(losses))
+
     def warm_start(self, num_steps: int = 100, lr: float = 0.01):
         """Optimise (v, theta, Z) by Adam on the same target + Z free, then
         freeze Z (reference: Scipy 100 iters then freeze,
         models/sgp_hmc.py:54-56). One jitted lax.scan — the former
-        Python step loop paid a dispatch + host sync per iteration."""
+        Python step loop paid a dispatch + host sync per iteration. On TPU
+        in the flagship configuration the whole loop runs as ONE Pallas
+        kernel (ops/fused_sgpmc), replicating this optax chain
+        step-for-step (tests/test_fused_sgpmc_warm.py)."""
         import optax
+        if self._fused_warm_ok():
+            out = self._warm_start_fused(num_steps, lr)
+            if out is not None:
+                return out
         params = {"state": self.state, "Z": self.Z}
         optimizer = optax.chain(optax.zero_nans(),
                                 optax.clip_by_global_norm(10.0),

@@ -25,6 +25,8 @@ from .fused_multichain import (  # noqa: E402
     make_fused_hmc_multichain,
 )
 from .fused_nuts import FusedNUTS, fused_nuts_supported, make_fused_nuts  # noqa: E402
+from .fused_sgpmc import (make_fused_sgpmc_warm,  # noqa: E402
+                          sgpmc_warm_loss_vg)
 from .fused_sgpr import (make_fused_sgpr, make_fused_z_adam,  # noqa: E402
                          sgpr_loss_vg)
 from .fused_svi import (bsvgp_loss_vg, make_fused_bsvgp,  # noqa: E402

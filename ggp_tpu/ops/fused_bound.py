@@ -950,7 +950,8 @@ def _gpr_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
 
 
 def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
-                          chol_inv=_default_chol_inv):
+                          chol_inv=_default_chol_inv, want_z_grad=False,
+                          want_prior=True, pivot_floor=None):
     """Potential U = -(whitened-SGPMC log posterior) and dU/dstate for the
     Scale(RBF-ARD) x Gaussian x Zero-mean JointHMC target
     (models/sgpmc.py:_logpost; reference gpflow SGPMC, models/sgp_hmc.py:32-91).
@@ -967,6 +968,13 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
       Kmm_b  = -sym(L^-T Phi(Abar A^T) L^-1)     [Phi = tril, half diag]
     then the same RBF chain rules as the VFE potential. Verified against
     jax.grad of SGPMC._logpost (tests/test_fused_nuts.py).
+
+    ``want_prior=False`` drops the Gamma hyperpriors but KEEPS the N(0,I)
+    whitened-v term — exactly the reference's warm-start objective
+    (models/sgp_hmc.py:54-56; models/sgpmc.py warm_start). ``want_z_grad``
+    additionally returns dU/dZ (fused warm start trains Z before freezing
+    it). ``pivot_floor`` forwards modified-Cholesky clamping to the blocked
+    factorisation (training-only; samplers keep NaN divergence semantics).
     """
     dt = Xp.dtype
     Np, Mp = Xp.shape[0], Zp.shape[0]
@@ -1011,7 +1019,10 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
     r2_ms = jnp.maximum(zn + xnT - 2.0 * _dg(Zs, Xs, 1, 1), 0.0)  # (Mp,Np)
     Kms = sf2 * jnp.exp(-0.5 * r2_ms) * mrow_mask * ncol_mask
 
-    U, V = chol_inv(Kmm_j)                                    # U=L^T, V=L^-T
+    if pivot_floor is None:
+        U, V = chol_inv(Kmm_j)                                # U=L^T, V=L^-T
+    else:
+        U, V = chol_inv(Kmm_j, pivot_floor * jit_scale)
     A = _dg(V, Kms, 0, 0)                                     # L^-1 Kms (Mp,Np)
     mean = _dg(vrow, A, 1, 0)                                 # (1,Np)
     e = (yrow - mean) * ncol_mask
@@ -1024,9 +1035,10 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
     F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
          - 0.5 * (see + svar) / s2
          - 0.5 * jnp.sum(vrow * vrow))
-    # Gamma(2,1) priors on the d+2 positive hypers: lp = 2u - e^u each
-    F = F + jnp.sum((2.0 * state_pad - jnp.exp(state_pad)) * ls_mask)
-    F = F + (2.0 * log_os - sf2) + (2.0 * log_noise - s2)
+    if want_prior:
+        # Gamma(2,1) priors on the d+2 positive hypers: lp = 2u - e^u each
+        F = F + jnp.sum((2.0 * state_pad - jnp.exp(state_pad)) * ls_mask)
+        F = F + (2.0 * log_os - sf2) + (2.0 * log_noise - s2)
 
     # ---- adjoints ----
     g_v = _dg(e, A, 1, 1) / s2 - vrow                         # (1,Mp)
@@ -1042,11 +1054,12 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
     Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
 
     dF_ds2 = (-0.5 * n / s2 + 0.5 * (see + svar) / (s2 * s2))
-    dlog_noise = dF_ds2 * s2 + (2.0 - s2)
+    pr = jnp.asarray(1.0 if want_prior else 0.0, dt)
+    dlog_noise = dF_ds2 * s2 + pr * (2.0 - s2)
     dlog_os = (jnp.sum(Kmm_b * Kmm) + jnp.sum(Kms_b * Kms)
                + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
                + jnp.sum(msk) * sf2 * (-0.5 / s2)             # kdiag term
-               + (2.0 - sf2))
+               + pr * (2.0 - sf2))
 
     Pmm = Kmm_b * Kmm
     Pms = Kms_b * Kms
@@ -1058,7 +1071,7 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
            - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
            + _dg(rs_ms, Zs2, 0, 0) + cs_ms @ Xs2
            - 2.0 * jnp.sum(Zs * _dg(Pms, Xs, 1, 0), axis=0, keepdims=True))
-    g_ls = (dls + (2.0 - jnp.exp(state_pad))) * ls_mask
+    g_ls = (dls + pr * (2.0 - jnp.exp(state_pad))) * ls_mask
 
     g = g_ls
     g = jnp.where(lane == d, dlog_os, g)
@@ -1067,4 +1080,12 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
     g_v_shift = _dg(g_v, perm, 1, 1)                          # (1,128)
     g = g + g_v_shift
     g = g * (lane < d + 2 + m).astype(dt)
+    if want_z_grad:
+        # inducing-location chain (same pattern as ops/fused_svi.py): Pmm
+        # symmetric -> -2(rowsum o Zs - Pmm Zs); the ms gram's row entity
+        # gives -(rowsum o Zs - Pms Xs). dZ = dZs / ls.
+        dZs = (-2.0 * (rs_mm * Zs - Pmm @ Zs)
+               - (rs_ms * Zs - _dg(Pms, Xs, 1, 0)))
+        dZ = dZs * inv_ls * mrow_mask * ls_mask
+        return -F, -g, -dZ
     return -F, -g

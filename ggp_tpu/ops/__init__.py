@@ -30,6 +30,7 @@ from .fused_sgpmc import (make_fused_sgpmc_warm,  # noqa: E402
 from .fused_sgpr import (make_fused_sgpr, make_fused_z_adam,  # noqa: E402
                          sgpr_loss_vg)
 from .fused_svi import (bsvgp_loss_vg, make_fused_bsvgp,  # noqa: E402
-                        make_fused_svi, quad_table, svgp_gauss_loss_vg,
-                        svgp_loss_vg)
+                        make_fused_svi, make_fused_svi_softmax, quad_table,
+                        svgp_gauss_loss_vg, svgp_loss_vg,
+                        svgp_softmax_loss_vg)
 from .pallas_vfe import rbf_vfe_stats, stationary_vfe_stats  # noqa: E402

@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from .fused_bound import _dg, _round_up
 
 __all__ = ["svgp_gauss_loss_vg", "svgp_loss_vg", "make_fused_svi",
-           "bsvgp_loss_vg", "make_fused_bsvgp", "quad_table"]
+           "bsvgp_loss_vg", "make_fused_bsvgp", "quad_table",
+           "svgp_softmax_loss_vg", "make_fused_svi_softmax"]
 
 _LANES = 128
 
@@ -325,6 +326,354 @@ def svgp_loss_vg(params_pad, Xb, yb, num_data, nb, m, d, jitter,
 
     grads = {"hyp": -g_hyp, "Z": -g_Z, "q_mu": -g_qmu, "q_raw": -g_qraw}
     return loss, grads
+
+
+# ---------------------------------------------------------------------------
+# Multi-class Softmax SVI loss: C latent functions, MC data term
+# ---------------------------------------------------------------------------
+
+def svgp_softmax_loss_vg(params_pad, Xb, num_data, nb, m, d, C, n_half,
+                         eps_get, jitter, chol_inv=None):
+    """loss + grads for one Softmax-SVGP minibatch, padded layout.
+
+    The reference routes multi-class classification through a multitask
+    SVGP wrapper (reference models/svgp.py:40-46) trained with an MC
+    softmax data term; our XLA path is ``svgp_elbo`` with
+    ``likelihoods.Softmax`` (antithetic MC, likelihoods.py:140-147). Here
+    the C latent functions SHARE the Kmm factorisation and the whitened
+    conditional A = Lk^-1 Kms — only q(u) moments and the data-term rows
+    are per-latent — so the per-step cost over the single-latent kernel is
+    C small MXU matmuls plus the VPU sample loop.
+
+    params_pad:
+      "hyp"   (1,128): lanes [log_ls (d), log_os]   (no noise hyper)
+      "Z"     (Mp,128): rows :m, lanes :d
+      "q_mu"  (Mp,128): lanes [0,C) = per-latent variational means
+      "q_raw" tuple of C (Mp,Mp) packed-Cholesky raw mats (tril(-1) direct,
+              exp diag) — separate arrays so Mosaic never slices values
+    Xb (NBp,128): X lanes [0,d), integer class label (as f32) in lane 127.
+    eps_get(c) -> (Sp, NBp): standard-normal draws for latent c — SAMPLES
+    in sublanes, batch points in lanes (rows >= n_half zero). This layout
+    is the speed-of-light one for the MC term: the whole antithetic sample
+    block is a handful of full-width VPU ops per class (classes-in-lanes
+    would burn 125/128 lanes at C=3 and force a per-sample loop), and the
+    per-point softmax max is EXACT — classes are separate blocks combined
+    by a static Python loop. The data term averages over S = 2*n_half
+    signed copies, matching Softmax.variational_expectation's
+    ``concatenate([eps, -eps])``.
+
+    Returns (loss, grads) with grads matching params_pad's structure.
+    """
+    dt = jnp.float32
+    hyp = params_pad["hyp"]
+    Zp = params_pad["Z"]
+    q_mu = params_pad["q_mu"]
+    q_raws = params_pad["q_raw"]
+    Mp = Zp.shape[0]
+    NBp = Xb.shape[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (NBp, 1), 0)
+    coln = jax.lax.broadcasted_iota(jnp.int32, (1, NBp), 1)
+    eyeM = (rowm == colm).astype(dt)
+    mrow = (rowm < m).astype(dt)
+    mcol = (colm < m).astype(dt)
+    nmask = (rown < nb).astype(dt)
+    nmaskT = (coln < nb).astype(dt)
+    ls_mask = (lane < d).astype(dt)
+    cmask = (lane < C).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+    ey = (lane == (_LANES - 1)).astype(dt)
+
+    inv_ls = jnp.exp(-hyp) * ls_mask
+    log_os = jnp.sum(hyp * (lane == d).astype(dt))
+    sf2 = jnp.exp(log_os)
+    scale = jnp.asarray(num_data / nb, dt)
+
+    yv = _dg(Xb, ey, 1, 1) * nmask                      # (NBp,1) labels
+
+    Zs = Zp * inv_ls
+    Xs = Xb * inv_ls                                    # y lane zeroed
+    Zs2 = Zs * Zs
+    Xs2 = Xs * Xs
+    zn = jnp.sum(Zs2, axis=1, keepdims=True)
+    xn = jnp.sum(Xs2, axis=1, keepdims=True)
+    znT = _dg(one11, zn, 1, 1)
+    xnT = _dg(one11, xn, 1, 1)
+    r2_mm = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+    Kmm = sf2 * jnp.exp(-0.5 * r2_mm)
+    Kmm = jnp.where((mrow * mcol) > 0, Kmm, eyeM)
+    jit_scale = jnp.maximum(sf2, 1.0)
+    Kmm_j = Kmm + (jitter * jit_scale) * eyeM
+    r2_ms = jnp.maximum(zn + xnT - 2.0 * _dg(Zs, Xs, 1, 1), 0.0)
+    Kms = sf2 * jnp.exp(-0.5 * r2_ms) * mrow * nmaskT   # (Mp,NBp)
+
+    from .fused_bound import (block_chol_u, block_ut_inv, ut_solve_vec,
+                              ut_t_solve_vec)
+    pivot_floor = 1e-6 * jit_scale                      # training semantics
+    if chol_inv is None:
+        U = block_chol_u(Kmm_j, block=32, pivot_floor=pivot_floor)
+        V = block_ut_inv(U, block=32)
+    else:
+        U, V = chol_inv(Kmm_j, pivot_floor)
+    A = ut_t_solve_vec(U, V, Kms, block=64)             # Lk^-1 Kms
+
+    # per-latent qL / SA / var; qL built exactly as the single-latent path
+    strict = (rowm > colm).astype(dt)
+    csA2 = jnp.sum(A * A, axis=0, keepdims=True)        # (1,NBp)
+    base_row = sf2 - csA2
+    mean_nb = _dg(A, q_mu, 0, 0)                        # (NBp,128) lanes C
+    yrow = _dg(one11, yv, 1, 1)                         # (1,NBp)
+    qLs, SAs, diag_raws, diag_qLs = [], [], [], []
+    mean_rows, sig_rows, clamp_rows, oh_rows = [], [], [], []
+    klq = jnp.zeros((), dt)
+    for c in range(C):
+        q_raw = q_raws[c]
+        diag_raw = jnp.sum(q_raw * eyeM, axis=1, keepdims=True)
+        qL = q_raw * strict + jnp.exp(diag_raw) * eyeM
+        qL = qL * mrow * mcol + eyeM * (1.0 - mrow)
+        SA = _dg(qL, A, 0, 0)                           # q_L^T A (Mp,NBp)
+        vrow = base_row + jnp.sum(SA * SA, axis=0, keepdims=True)
+        clamp_rows.append((vrow > 1e-12).astype(dt) * nmaskT)
+        sig_rows.append(jnp.sqrt(jnp.maximum(vrow, 1e-12)))
+        ec = (lane == c).astype(dt)
+        mean_rows.append(_dg(ec, mean_nb, 1, 1))        # (1,NBp)
+        oh_rows.append((yrow == c).astype(dt) * nmaskT)
+        diag_qL = jnp.sum(qL * eyeM, axis=1, keepdims=True)
+        logdet = 2.0 * jnp.sum(jnp.log(diag_qL) * mrow)
+        klq = klq + 0.5 * (jnp.sum(qL * qL * mrow) - m - logdet)
+        qLs.append(qL)
+        SAs.append(SA)
+        diag_raws.append(diag_raw)
+        diag_qLs.append(diag_qL)
+    klq = klq + 0.5 * jnp.sum((q_mu * cmask * mrow) ** 2)
+
+    # ---- MC softmax data term over 2*n_half antithetic draws ----
+    # samples in sublanes, points in lanes: the whole (Sp, NBp) block per
+    # class in one shot; per-point max over classes is a static C-loop
+    eps_blks = [eps_get(c) for c in range(C)]           # (Sp, NBp) each
+    Sp = eps_blks[0].shape[0]
+    srow = jax.lax.broadcasted_iota(jnp.int32, (Sp, 1), 0)
+    smask = (srow < n_half).astype(dt)
+
+    ve = jnp.zeros((), dt)
+    dmu_rows = [jnp.zeros((1, NBp), dt) for _ in range(C)]
+    dvar_rows = [jnp.zeros((1, NBp), dt) for _ in range(C)]
+    for sign in (1.0, -1.0):
+        fs = [mean_rows[c] + sig_rows[c] * (sign * eps_blks[c])
+              for c in range(C)]                        # (Sp, NBp)
+        mx = fs[0]
+        for c in range(1, C):
+            mx = jnp.maximum(mx, fs[c])
+        exs = [jnp.exp(fs[c] - mx) for c in range(C)]
+        se = exs[0]
+        for c in range(1, C):
+            se = se + exs[c]
+        lse = mx + jnp.log(se)
+        lp = -lse
+        for c in range(C):
+            lp = lp + oh_rows[c] * fs[c]
+        ve = ve + jnp.sum(lp * smask * nmaskT)
+        inv_se = 1.0 / se
+        for c in range(C):
+            gy = oh_rows[c] - exs[c] * inv_se           # dlp/df_c
+            gys = gy * smask
+            dmu_rows[c] = dmu_rows[c] + jnp.sum(gys, axis=0, keepdims=True)
+            dvar_rows[c] = dvar_rows[c] + jnp.sum(
+                gys * (sign * eps_blks[c]), axis=0, keepdims=True)
+    S = 2.0 * n_half
+    ve_sum = ve / S
+    bv_rows = [scale * (dvar_rows[c] / S) / (2.0 * sig_rows[c])
+               * clamp_rows[c] * nmaskT for c in range(C)]  # dELBO/dvar_c
+    alpha = jnp.zeros((NBp, _LANES), dt)                # dELBO/dmean
+    for c in range(C):
+        arow = scale * (dmu_rows[c] / S) * nmaskT
+        alpha = alpha + _dg(arow, one11, 0, 0) * (lane == c).astype(dt)
+
+    elbo = scale * ve_sum - klq
+    loss = -elbo
+
+    # ---- adjoints (of ELBO; negated at the end) ----
+    g_qmu = (_dg(A, alpha, 1, 0) - q_mu) * mrow * cmask
+    sum_bv_row = bv_rows[0]
+    for c in range(1, C):
+        sum_bv_row = sum_bv_row + bv_rows[c]            # (1,NBp)
+    G = _dg(q_mu, alpha, 1, 1) - 2.0 * A * sum_bv_row   # (Mp,NBp)
+    bv_total = jnp.sum(sum_bv_row)
+    g_qraws = []
+    for c in range(C):
+        bvc_row = bv_rows[c]                            # (1,NBp)
+        G = G + 2.0 * _dg(qLs[c], SAs[c], 1, 0) * bvc_row
+        g_qL = (2.0 * _dg(A, SAs[c] * bvc_row, 1, 1) - qLs[c]
+                + (1.0 / diag_qLs[c]) * eyeM)
+        g_qL = g_qL * mrow * mcol
+        g_qraw = (g_qL * strict
+                  + (jnp.sum(g_qL * eyeM, axis=1, keepdims=True)
+                     * jnp.exp(diag_raws[c])) * eyeM)
+        g_qraws.append(-g_qraw)
+
+    Kms_b = ut_solve_vec(U, V, G, block=64)             # Lk^-T G
+    T = _dg(G, A, 1, 1)
+    Phi = T * (strict + 0.5 * eyeM)
+    T1 = _dg(V, Phi, 1, 0)
+    Kmm_b = -_dg(T1, V, 1, 1)
+    Kmm_bT = _dg(eyeM, Kmm_b, 1, 1)
+    Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
+
+    g_log_os = (jnp.sum(Kmm_b * Kmm) + jnp.sum(Kms_b * Kms)
+                + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
+                + bv_total * sf2)                       # kdiag = sf2/pt/lat
+
+    Pmm = Kmm_b * Kmm
+    Pms = Kms_b * Kms
+    rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+    cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+    rs_ms = jnp.sum(Pms, axis=1, keepdims=True)
+    cs_ms = jnp.sum(Pms, axis=0, keepdims=True)
+    g_ls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+            - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+            + _dg(rs_ms, Zs2, 0, 0) + cs_ms @ Xs2
+            - 2.0 * jnp.sum(Zs * _dg(Pms, Xs, 1, 0), axis=0,
+                            keepdims=True)) * ls_mask
+    dZs = (-2.0 * (rs_mm * Zs - Pmm @ Zs)
+           - (rs_ms * Zs - _dg(Pms, Xs, 1, 0)))
+    g_Z = dZs * inv_ls * mrow * ls_mask
+
+    g_hyp = g_ls
+    g_hyp = jnp.where(lane == d, g_log_os, g_hyp)
+    g_hyp = g_hyp * (lane < d + 1).astype(dt)
+
+    grads = {"hyp": -g_hyp, "Z": -g_Z, "q_mu": -g_qmu,
+             "q_raw": tuple(g_qraws)}
+    return loss, grads
+
+
+def _svi_softmax_chunk_body(*refs, num_data, nb, nbp, m, d, C, n_half,
+                            jitter, K, lr, block):
+    """K softmax-SVI Adam steps on pre-gathered minibatch + eps slabs.
+
+    refs layout: [scal(SMEM,1), slab(K*nbp,128), eps(K*C*Sp,nbp)]
+    + params (3+C: hyp, Z, q_mu, q_raw_0..q_raw_{C-1}) + adam m (3+C)
+    + adam v (3+C) || outputs: params', m', v' (3+C each), loss (K,8)
+    || scratch: Ks, Us, Vs, Ds. Step t's eps block for class c sits at
+    rows [(t*C + c)*Sp, ...) — samples in sublanes, points in lanes."""
+    from .fused_bound import chol_u_inv_inplace
+
+    f32 = jnp.float32
+    P = 3 + C
+    scal_ref, slab_ref, eps_ref = refs[0:3]
+    in_refs = refs[3:3 + 3 * P]
+    out_refs = refs[3 + 3 * P:3 + 6 * P]
+    loss_o = refs[3 + 6 * P]
+    Ks, Us, Vs, Ds = refs[3 + 6 * P + 1:]
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    t0 = scal_ref[0]
+
+    def ref_chol_inv(Kmat, pivot_floor):
+        Ks[:] = Kmat
+        chol_u_inv_inplace(Ks, Us, Vs, Ds, block=block,
+                           pivot_floor=pivot_floor)
+        return Us[:], Vs[:]
+
+    Sp = _round_up(n_half, 8)
+
+    def step(t, carry):
+        ps, ms, vs = carry
+        Xb = slab_ref[pl.ds(t * nbp, nbp), :]
+
+        def eps_get(c):
+            return eps_ref[pl.ds((t * C + c) * Sp, Sp), :]
+
+        params = {"hyp": ps[0], "Z": ps[1], "q_mu": ps[2],
+                  "q_raw": tuple(ps[3:])}
+        loss, g = svgp_softmax_loss_vg(params, Xb, num_data, nb, m, d, C,
+                                       n_half, eps_get, jitter,
+                                       chol_inv=ref_chol_inv)
+        gl = [g["hyp"], g["Z"], g["q_mu"], *g["q_raw"]]
+        ta = t0 + t.astype(f32) + 1.0
+        new_p, new_m, new_v = [], [], []
+        for p_i, g_i, m_i, v_i in zip(ps, gl, ms, vs):
+            p1, m1, v1 = _adam_update(p_i, g_i, m_i, v_i, ta, lr)
+            new_p.append(p1)
+            new_m.append(m1)
+            new_v.append(v1)
+        loss_o[pl.ds(t, 1), :] = loss * (lane8 == 0).astype(f32)
+        return (tuple(new_p), tuple(new_m), tuple(new_v))
+
+    init = (tuple(r[:] for r in in_refs[0:P]),
+            tuple(r[:] for r in in_refs[P:2 * P]),
+            tuple(r[:] for r in in_refs[2 * P:3 * P]))
+    ps, ms, vs = jax.lax.fori_loop(0, K, step, init)
+    for ref, val in zip(out_refs, (*ps, *ms, *vs)):
+        ref[:] = val
+
+
+def make_fused_svi_softmax(num_data, nb, m, d, C, n_half, jitter, *,
+                           steps_per_call, lr=0.01, block=32,
+                           interpret=False):
+    """Factory: ``chunk(params_pad, adam_m, adam_v, slab, eps_slab, t0) ->
+    (params_pad, adam_m, adam_v, losses (K,))``.
+
+    ``slab`` is (K*nbp, 128) minibatch rows (X lanes [0,d), class label in
+    lane 127); ``eps_slab`` is (K*C*Sp, nbp) standard-normal blocks —
+    step-major, then class, SAMPLES in sublanes, batch points in lanes
+    (Sp = n_half rounded up to 8). Envelope: m <= 512, nb <= 512,
+    2 <= C <= 16, d + 1 <= 126, n_half <= 128, total resident state
+    <= ~64 MB. Returns None outside it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = int(steps_per_call)
+    nbp = _round_up(nb, 8)
+    Sp = _round_up(n_half, 8)
+    Mp = max(_LANES, _round_up(m, _LANES))
+    if (m > 512 or nb > 512 or not (2 <= C <= 16) or d + 1 > 126
+            or not (1 <= n_half <= 128)):
+        return None
+    state_bytes = (3 * C * Mp * Mp * 4 + K * nbp * 512
+                   + K * C * Sp * nbp * 4)
+    if state_bytes > 64 * 1024 * 1024:
+        return None
+    f32 = jnp.float32
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    shapes = ([(1, _LANES), (Mp, _LANES), (Mp, _LANES)]
+              + [(Mp, Mp)] * C)
+    P = 3 + C
+    out_shape = ([jax.ShapeDtypeStruct(s, f32) for s in shapes] * 3
+                 + [jax.ShapeDtypeStruct((K, 8), f32)])
+    call = pl.pallas_call(
+        partial(_svi_softmax_chunk_body, num_data=num_data, nb=nb, nbp=nbp,
+                m=m, d=d, C=C, n_half=n_half, jitter=float(jitter), K=K,
+                lr=float(lr), block=block),
+        out_shape=tuple(out_shape),
+        in_specs=[smem] + [vmem] * (2 + 3 * P),
+        out_specs=(vmem,) * (3 * P + 1),
+        scratch_shapes=[pltpu.VMEM((Mp, Mp), f32) for _ in range(3)]
+        + [pltpu.VMEM((Mp, _LANES), f32)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
+        interpret=interpret,
+    )
+
+    def chunk(params_pad, adam_m, adam_v, slab, eps_slab, t0):
+        def flat(pd):
+            return [pd["hyp"], pd["Z"], pd["q_mu"], *pd["q_raw"]]
+
+        outs = call(jnp.asarray([t0], f32), slab, eps_slab,
+                    *flat(params_pad), *flat(adam_m), *flat(adam_v))
+
+        def unflat(arrs):
+            return {"hyp": arrs[0], "Z": arrs[1], "q_mu": arrs[2],
+                    "q_raw": tuple(arrs[3:])}
+
+        p1 = unflat(outs[0:P])
+        m1 = unflat(outs[P:2 * P])
+        v1 = unflat(outs[2 * P:3 * P])
+        return p1, m1, v1, outs[3 * P][:, 0]
+
+    return chunk
 
 
 # ---------------------------------------------------------------------------

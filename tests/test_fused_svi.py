@@ -576,10 +576,11 @@ def test_svi_chunk_nongauss_matches_optax(likname):
 
 
 def test_fused_svi_nongauss_gate(monkeypatch):
-    """Bernoulli/Poisson SVGPs are fused-eligible; Softmax is not."""
+    """Bernoulli/Poisson/Softmax SVGPs are all fused-eligible on TPU;
+    the softmax kernel has its own envelope (eps-slab VMEM cap)."""
     from ggp_tpu.likelihoods import BernoulliProbit, PoissonLogCox, Softmax
     from ggp_tpu.models.svgp import StochasticVariationalGP
-    from ggp_tpu.ops.fused_svi import make_fused_svi
+    from ggp_tpu.ops.fused_svi import make_fused_svi, make_fused_svi_softmax
 
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(64, 2)), jnp.float32)
@@ -594,9 +595,196 @@ def test_fused_svi_nongauss_gate(monkeypatch):
     ms = StochasticVariationalGP(X, (yb > 0).astype(jnp.int32),
                                  likelihood=Softmax(num_classes=2),
                                  Z_init=X[:8])
-    assert not ms._fused_svi_ok(32)
+    assert ms._fused_svi_ok(32)
+    # make_fused_svi itself remains single-latent only
     assert make_fused_svi(100, 32, 8, 2, 1e-6, steps_per_call=2,
                           likelihood="softmax") is None
+    # softmax factory envelope: C bounds and the MC sample cap
+    assert make_fused_svi_softmax(100, 32, 8, 2, 1, 32, 1e-6,
+                                  steps_per_call=2) is None
+    assert make_fused_svi_softmax(100, 32, 8, 2, 3, 200, 1e-6,
+                                  steps_per_call=2) is None  # n_half > 128
+    assert make_fused_svi_softmax(100, 32, 8, 2, 3, 32, 1e-6,
+                                  steps_per_call=2) is not None
+
+
+# ---------------------------------------------------------------------------
+# Softmax (multi-class) fused path
+# ---------------------------------------------------------------------------
+
+def _softmax_params(m, d, C, rng):
+    return {
+        "kernel": {"base": {"log_lengthscale":
+                            jnp.asarray(rng.normal(size=(d,)) * 0.3,
+                                        jnp.float32)},
+                   "log_outputscale": jnp.asarray(0.3, jnp.float32)},
+        "Z": jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+        "q_mu": jnp.asarray(rng.normal(size=(m, C)) * 0.5, jnp.float32),
+        "q_sqrt_raw": jnp.asarray(rng.normal(size=(C, m, m)) * 0.1,
+                                  jnp.float32),
+    }
+
+
+def _softmax_ref_loss(p, Xb, yb, eps, N, jitter):
+    """Plain-JAX mirror of -svgp_elbo with Softmax and the eps draws
+    injected (antithetic ordering of likelihoods.Softmax)."""
+    from ggp_tpu.kernels import default_rbf
+    from ggp_tpu.models.svgp import _build_L, _kl_whitened, _whitened_q_f
+
+    kern = default_rbf(ard=True)
+    q_L = _build_L(p["q_sqrt_raw"])
+    mean, var = _whitened_q_f(kern, p["kernel"], p["Z"], p["q_mu"], q_L,
+                              Xb, jitter)
+    eps_full = jnp.concatenate([eps, -eps], axis=0)
+    f = mean[None] + jnp.sqrt(jnp.maximum(var, 1e-12))[None] * eps_full
+    logp = jax.nn.log_softmax(f, axis=-1)
+    yi = jnp.broadcast_to(yb, f.shape[:-1])[..., None].astype(jnp.int32)
+    lp = jnp.take_along_axis(logp, yi, axis=-1)[..., 0]
+    ve = jnp.mean(lp, axis=0)
+    scale = N / Xb.shape[0]
+    return -(scale * jnp.sum(ve) - _kl_whitened(p["q_mu"], q_L))
+
+
+def _pad_softmax_params(p, m, d, C, Mp=None):
+    Mp = Mp or max(128, -(-m // 128) * 128)
+    hyp = jnp.zeros((1, 128), jnp.float32)
+    hyp = hyp.at[0, :d].set(p["kernel"]["base"]["log_lengthscale"])
+    hyp = hyp.at[0, d].set(p["kernel"]["log_outputscale"])
+    Z = jnp.zeros((Mp, 128), jnp.float32).at[:m, :d].set(p["Z"])
+    q_mu = jnp.zeros((Mp, 128), jnp.float32).at[:m, :C].set(p["q_mu"])
+    q_raw = tuple(jnp.zeros((Mp, Mp), jnp.float32).at[:m, :m].set(
+        p["q_sqrt_raw"][c]) for c in range(C))
+    return {"hyp": hyp, "Z": Z, "q_mu": q_mu, "q_raw": q_raw}
+
+
+@pytest.mark.parametrize("nmdc", [(24, 8, 2, 3), (40, 16, 3, 4)])
+def test_softmax_loss_and_grads_match_autodiff(nmdc):
+    nb, m, d, C = nmdc
+    N = 10 * nb
+    n_half = 4
+    rng = np.random.default_rng(7)
+    Xb = jnp.asarray(rng.normal(size=(nb, d)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, C, size=(nb,)), jnp.float32)
+    params = _softmax_params(m, d, C, rng)
+    jitter = 1e-6
+    key = jax.random.PRNGKey(5)
+    eps = jax.random.normal(key, (n_half, nb, C), jnp.float32)
+
+    # sanity: the explicit-eps mirror equals the model ELBO at this key
+    from ggp_tpu.likelihoods import Softmax
+    from ggp_tpu.models.svgp import svgp_elbo
+    lik = Softmax(num_classes=C, num_mc=2 * n_half)
+    from ggp_tpu.kernels import default_rbf as _dr
+    loss_model = -svgp_elbo(_dr(ard=True), lik, params, Xb,
+                            yb.astype(jnp.int32), N, jitter, key=key)
+    loss_mirror = _softmax_ref_loss(params, Xb, yb, eps, N, jitter)
+    np.testing.assert_allclose(float(loss_mirror), float(loss_model),
+                               rtol=1e-5)
+
+    # f64 ground truth of the mirror (same eps values)
+    p64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+    loss_ref, g_ref = jax.value_and_grad(_softmax_ref_loss)(
+        p64, Xb.astype(jnp.float64), yb.astype(jnp.float64),
+        eps.astype(jnp.float64), N, jitter)
+
+    from ggp_tpu.ops.fused_svi import svgp_softmax_loss_vg
+    pp = _pad_softmax_params(params, m, d, C)
+    NBp = -(-nb // 8) * 8
+    Sp = -(-n_half // 8) * 8
+    Xslab = jnp.zeros((NBp, 128), jnp.float32).at[:nb, :d].set(Xb)
+    Xslab = Xslab.at[:nb, 127].set(yb)
+    eblk = jnp.zeros((C, Sp, NBp), jnp.float32).at[:, :n_half, :nb].set(
+        jnp.transpose(eps, (2, 0, 1)))
+
+    def eps_get(c):
+        return eblk[c]
+
+    loss_f, g_f = svgp_softmax_loss_vg(pp, Xslab, N, nb, m, d, C, n_half,
+                                       eps_get, jitter)
+    np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-4)
+
+    def close(a, b):
+        a = np.asarray(a, np.float64).reshape(-1)
+        b = np.asarray(b, np.float64).reshape(-1)
+        tol = 2e-3 * (1.0 + np.abs(b).max())
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+    close(g_f["hyp"][0, :d], g_ref["kernel"]["base"]["log_lengthscale"])
+    close(g_f["hyp"][0, d], g_ref["kernel"]["log_outputscale"])
+    close(g_f["Z"][:m, :d], g_ref["Z"])
+    close(g_f["q_mu"][:m, :C], g_ref["q_mu"])
+    for c in range(C):
+        close(g_f["q_raw"][c][:m, :m], g_ref["q_sqrt_raw"][c])
+
+
+@pytest.mark.slow
+def test_softmax_chunk_kernel_matches_optax():
+    """Interpret-mode softmax chunk kernel reproduces an optax.adam loop
+    over the same minibatches and eps draws: per-step losses and final
+    parameters."""
+    import optax
+
+    from ggp_tpu.ops.fused_svi import make_fused_svi_softmax
+
+    nb, m, d, C, K = 16, 8, 2, 3, 3
+    n_half = 4
+    N = 64
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.float32)
+    params = _softmax_params(m, d, C, rng)
+    jitter = 1e-6
+    idx = rng.integers(0, N, size=(K, nb))
+    eps_all = jax.random.normal(jax.random.PRNGKey(9), (K, n_half, nb, C),
+                                jnp.float32)
+
+    lr = 0.02
+    opt = optax.adam(lr)
+    p_ref = params
+    state = opt.init(p_ref)
+    losses_ref = []
+    for t in range(K):
+        Xb, yb = X[idx[t]], y[idx[t]]
+        lval, g = jax.value_and_grad(_softmax_ref_loss)(
+            p_ref, Xb, yb, eps_all[t], N, jitter)
+        g = jax.tree_util.tree_map(
+            lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g)
+        upd, state = opt.update(g, state)
+        p_ref = optax.apply_updates(p_ref, upd)
+        losses_ref.append(float(lval))
+
+    svi = make_fused_svi_softmax(N, nb, m, d, C, n_half, jitter,
+                                 steps_per_call=K, lr=lr, interpret=True)
+    pp = _pad_softmax_params(params, m, d, C)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, pp)
+    nbp = -(-nb // 8) * 8
+    Sp = -(-n_half // 8) * 8
+    slab = jnp.zeros((K * nbp, 128), jnp.float32)
+    erows = jnp.zeros((K * C * Sp, nbp), jnp.float32)
+    for t in range(K):
+        slab = slab.at[t * nbp:t * nbp + nb, :d].set(X[idx[t]])
+        slab = slab.at[t * nbp:t * nbp + nb, 127].set(y[idx[t]])
+        for c in range(C):
+            r0 = (t * C + c) * Sp
+            erows = erows.at[r0:r0 + n_half, :nb].set(eps_all[t, :, :, c])
+    p1, m1, v1, losses = svi(pp, zeros,
+                             jax.tree_util.tree_map(jnp.zeros_like, pp),
+                             slab, erows, 0.0)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(p1["hyp"][0, :d + 1]),
+        np.r_[np.asarray(p_ref["kernel"]["base"]["log_lengthscale"]),
+              float(p_ref["kernel"]["log_outputscale"])], atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["Z"][:m, :d]),
+                               np.asarray(p_ref["Z"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(p1["q_mu"][:m, :C]),
+                               np.asarray(p_ref["q_mu"]), atol=3e-4)
+    for c in range(C):
+        np.testing.assert_allclose(np.asarray(p1["q_raw"][c][:m, :m]),
+                                   np.asarray(p_ref["q_sqrt_raw"][c]),
+                                   atol=3e-4)
 
 
 def test_pivot_floor_and_adam_guard():

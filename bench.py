@@ -9,11 +9,27 @@ MIN over 2 identical repeats (remote-link dispatch variance, CLAUDE.md);
 round-1 records were single-run. Per-rep wall times are emitted under
 "rep_times" in every cell so records can be compared like-for-like.
 
-Round 3 (VERDICT r2 item 1): all cell subprocesses share a persistent JAX
-compilation cache under .jax_cache/ so retries and later cells skip
-recompilation, and unhealthy/timed-out cells are retried once while the
-global budget allows — the round-2 record lost both JointHMC cells to
-cold-compile timeouts on a slow link session.
+Round 4 (VERDICT r3 item 1): the round-3 driver artifact was EMPTY —
+results accumulated in memory and the external `timeout`'s SIGTERM killed
+the process before the single JSON line was printed (BENCH_r03.json:
+rc=124, tail=""). This version is timeout-proof by construction:
+
+* SIGTERM/SIGINT/SIGALRM handlers immediately print the JSON line with
+  whatever cells have completed, kill the in-flight cell subprocess, and
+  exit — any external timeout now yields a parseable tail instead of
+  nothing.
+* The schedule is anytime-valid: the HEADLINE cell runs first on the
+  cheap-compile XLA sampler path (GGP_FUSED_TRANSITION=0 — ~10x cheaper
+  cold compile, within ~1.5x sampling wall, PERF.md), so a healthy
+  headline exists within minutes even with a cold cache; the remaining
+  matrix follows on the same cheap path; fused-kernel UPGRADES re-run
+  cells (headline and JointHMC first — the largest fused gains) only
+  while budget remains, replacing a cell's record when healthy and
+  faster.
+* The internal budget default (GGP_BENCH_BUDGET_S, 1380 s) fits inside a
+  600-1800 s external window once the persistent compile cache is warm,
+  and a self-armed SIGALRM at the budget guarantees emission even if a
+  cell wedges the link.
 
 Matrix (VERDICT r1 item 7): the reference's sampler_runtimes.csv grid
 {SGPR+HMC, GPR+HMC, JointHMC} x {Boston-shaped, WineRed-shaped}, each cell
@@ -26,18 +42,23 @@ timed under that model's reference sampling protocol:
 All cells are divergence-gated and report min-ESS/sec. Compile is excluded
 on both sides (pymc3 excludes Theano compile from perf_counter_diff).
 
-Prints ONE JSON line: the driver's {metric, value, unit, vs_baseline}
-contract, with the matrix embedded under "cells" and the geometric-mean
-speedup under "matrix_geomean_speedup".
+Prints ONE JSON line on stdout: the driver's {metric, value, unit,
+vs_baseline} contract, with the matrix embedded under "cells" and the
+geometric-mean speedup under "matrix_geomean_speedup". Progress goes to
+stderr only.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def _enable_compile_cache():
@@ -55,18 +76,15 @@ def _enable_compile_cache():
     os.environ.setdefault("GGP_FUSED_SGPR", "0")
     os.environ.setdefault("GGP_FUSED_WARM", "0")
 
+
 # reference CPU sampling seconds (sampler_runtimes.csv:1-4).
-# Order = execution order: headline first (priority), then the JointHMC
-# cells — their whole-chunk kernels have the longest cold compiles and are
-# what round 2 lost to timeouts — while the wall budget is fresh; the
-# cheap-compile GPR cells and the second SGPR cell close the run.
 BASELINES = {
     ("SGPR+HMC", "boston"): 14.57,
-    ("JointHMC", "boston"): 38.83,
-    ("JointHMC", "winered"): 89.21,
+    ("SGPR+HMC", "winered"): 32.83,
     ("GPR+HMC", "boston"): 27.88,
     ("GPR+HMC", "winered"): 478.54,
-    ("SGPR+HMC", "winered"): 32.83,
+    ("JointHMC", "boston"): 38.83,
+    ("JointHMC", "winered"): 89.21,
 }
 # GGP_BENCH_FULL=1: the reference's COMPLETE sampler_runtimes.csv grid
 # (3 models x 5 datasets). Kept opt-in because 9 extra cells of cold
@@ -86,6 +104,7 @@ FULL_EXTRA = {
 SHAPES = {"boston": (506, 13), "winered": (1599, 11),
           "concrete": (1030, 8), "energy": (768, 8), "yacht": (308, 6)}
 BASELINE_SECONDS = BASELINES[("SGPR+HMC", "boston")]
+HEADLINE = ("SGPR+HMC", "boston")
 
 
 def _make_data(name, seed=173):
@@ -219,10 +238,11 @@ def cell_joint_hmc(name):
 
 RUNNERS = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
            "JointHMC": cell_joint_hmc}
-# headline cells get more slack (alternating schedule = several compiles);
-# a hung link is recovered by killing the stuck client, which the
-# per-cell-process design does for free
-CELL_TIMEOUT_S = {"SGPR+HMC": 900, "GPR+HMC": 420, "JointHMC": 700}
+# per-cell subprocess hard timeouts: generous on the fused path (Mosaic
+# cold compiles), tight on the XLA path (its compiles are ~10x cheaper;
+# round-2/3 data shows healthy XLA cells complete in < 3 min warm)
+CELL_TIMEOUT_FUSED = {"SGPR+HMC": 780, "GPR+HMC": 420, "JointHMC": 600}
+CELL_TIMEOUT_XLA = {"SGPR+HMC": 420, "GPR+HMC": 300, "JointHMC": 360}
 
 
 def run_cell(model_name, ds):
@@ -239,108 +259,181 @@ def run_cell(model_name, ds):
     }
 
 
-def _run_cell_subprocess(model_name, ds, max_timeout=None, env_extra=None):
-    """Each cell runs in its OWN process with a hard timeout: the remote
-    TPU link intermittently hangs (CLAUDE.md) and a hung compile must
-    degrade that one cell, not wedge the whole benchmark. A fresh process
-    per cell also gives each a clean TPU client."""
-    import subprocess
-    import sys
-    budget = CELL_TIMEOUT_S[model_name]
-    if max_timeout is not None:
-        budget = min(budget, max_timeout)
-    env = None
-    if env_extra:
-        env = dict(os.environ)
-        env.update(env_extra)
-    try:
-        out = subprocess.run(
-            [sys.executable, __file__, "--cell", model_name, ds],
-            capture_output=True, timeout=budget, cwd=_REPO_ROOT, env=env)
-        line = out.stdout.decode().strip().splitlines()[-1]
-        return json.loads(line)
-    except subprocess.TimeoutExpired:
-        return {"model": model_name, "dataset": f"{ds}-shaped",
-                "healthy": False, "speedup": 0.0,
-                "error": f"cell timed out after {budget}s "
-                         f"(TPU link hang?)"}
-    except Exception as e:
-        return {"model": model_name, "dataset": f"{ds}-shaped",
-                "healthy": False, "speedup": 0.0,
-                "error": f"{type(e).__name__}: {e}"}
+# ---------------------------------------------------------------------------
+# anytime-emission machinery (VERDICT r3 item 1)
+
+_STATE = {"cells": {}, "emitted": False, "child": None, "t_start": None}
 
 
-def main():
-    # global wall budget: the headline cell runs first and gets priority;
-    # when the budget runs out (slow remote-compile sessions), remaining
-    # cells are marked skipped rather than risking the driver's patience —
-    # the JSON line is always emitted in bounded time
-    _enable_compile_cache()
-    budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 3000))
-    grid = dict(BASELINES)
-    if os.environ.get("GGP_BENCH_FULL"):
-        grid.update(FULL_EXTRA)
-        budget = float(os.environ.get("GGP_BENCH_BUDGET_S", 7200))
-    t_start = time.perf_counter()
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _STATE['t_start']:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _build_payload():
+    order = list(BASELINES) + [k for k in FULL_EXTRA if k in _STATE["cells"]]
     cells = []
-    for (model_name, ds) in grid:
-        remaining = budget - (time.perf_counter() - t_start)
-        if remaining < 90:
-            cells.append({"model": model_name, "dataset": f"{ds}-shaped",
-                          "healthy": False, "speedup": 0.0,
-                          "error": "skipped: global bench budget exhausted"})
-            continue
-        cells.append(_run_cell_subprocess(model_name, ds,
-                                          max_timeout=remaining))
-
-    # retry pass (VERDICT r2 item 1): a timed-out/unhealthy cell gets ONE
-    # more attempt while budget remains — on the XLA kernels
-    # (GGP_FUSED_TRANSITION=0), whose compile is ~10x cheaper than the
-    # whole-chunk Pallas kernels and whose sampling speed is within ~10%
-    # at these cells (PERF.md). A killed Pallas compile writes no cache
-    # entry, so retrying the fused path would repay the full compile; the
-    # fallback makes the retry land inside any remaining budget.
-    for i, cell in enumerate(cells):
-        if cell.get("healthy"):
-            continue
-        remaining = budget - (time.perf_counter() - t_start)
-        if remaining < 120:
-            break
-        retry = _run_cell_subprocess(cell["model"],
-                                     cell["dataset"].removesuffix("-shaped"),
-                                     max_timeout=remaining,
-                                     env_extra={"GGP_FUSED_TRANSITION": "0"})
-        retry["retried"] = "xla-fallback"
-        if retry.get("healthy"):
-            cells[i] = retry
-
-    head = next(c for c in cells
-                if c["model"] == "SGPR+HMC" and c["dataset"] == "boston-shaped")
+    for key in order:
+        cell = _STATE["cells"].get(key)
+        if cell is None:
+            cell = {"model": key[0], "dataset": f"{key[1]}-shaped",
+                    "healthy": False, "speedup": 0.0,
+                    "error": "not reached (budget/timeout)"}
+        cells.append(cell)
+    head = _STATE["cells"].get(HEADLINE)
     speedups = [c["speedup"] for c in cells if c.get("healthy")]
     geomean = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
-    if not head.get("healthy"):
-        print(json.dumps({
+    if head is None or not head.get("healthy"):
+        return {
             "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",
             "value": -1.0, "unit": "s", "vs_baseline": 0.0,
-            "error": head.get("error", "sampler unhealthy"),
+            "error": (head or {}).get("error", "headline cell not reached"),
+            "matrix_geomean_speedup": round(geomean, 2),
             "cells": cells,
-        }))
-        return
-    print(json.dumps({
+        }
+    return {
         "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",
         "value": head["sampling_s"],
         "unit": "s",
         "vs_baseline": head["speedup"],
         "matrix_geomean_speedup": round(geomean, 2),
         "cells": cells,
-    }))
+    }
 
 
-_REPO_ROOT = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+def _emit():
+    if _STATE["emitted"]:
+        return
+    _STATE["emitted"] = True
+    sys.stdout.write(json.dumps(_build_payload()) + "\n")
+    sys.stdout.flush()
+
+
+def _signal_handler(signum, frame):
+    # external timeout / user interrupt: print what we have, reap the
+    # in-flight cell, and exit NOW — an empty tail is never acceptable
+    # (that is exactly what voided the round-3 artifact).
+    _emit()
+    child = _STATE["child"]
+    if child is not None and child.poll() is None:
+        try:
+            child.kill()
+        except OSError:
+            pass
+    os._exit(0)
+
+
+def _run_cell_subprocess(model_name, ds, budget, env_extra=None):
+    """Each cell runs in its OWN process with a hard timeout: the remote
+    TPU link intermittently hangs (CLAUDE.md) and a hung compile must
+    degrade that one cell, not wedge the whole benchmark. A fresh process
+    per cell also gives each a clean TPU client. The Popen handle is
+    published in _STATE so the signal handler can reap it."""
+    import subprocess
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    try:
+        child = subprocess.Popen(
+            [sys.executable, __file__, "--cell", model_name, ds],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            cwd=_REPO_ROOT, env=env)
+        _STATE["child"] = child
+        try:
+            out, _ = child.communicate(timeout=budget)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.communicate()
+            return {"model": model_name, "dataset": f"{ds}-shaped",
+                    "healthy": False, "speedup": 0.0,
+                    "error": f"cell timed out after {budget:.0f}s "
+                             f"(TPU link hang?)"}
+        finally:
+            _STATE["child"] = None
+        line = out.decode().strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 — any cell failure must be a cell
+        return {"model": model_name, "dataset": f"{ds}-shaped",
+                "healthy": False, "speedup": 0.0,
+                "error": f"{type(e).__name__}: {e}"}
+
+
+def _record(key, result):
+    """Keep the better of the existing and new record for a cell."""
+    prev = _STATE["cells"].get(key)
+    if prev is None:
+        _STATE["cells"][key] = result
+        return
+    if result.get("healthy") and (
+            not prev.get("healthy")
+            or result.get("speedup", 0.0) > prev.get("speedup", 0.0)):
+        _STATE["cells"][key] = result
+
+
+def main():
+    _enable_compile_cache()
+    _STATE["t_start"] = time.perf_counter()
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(sig, _signal_handler)
+
+    full = bool(os.environ.get("GGP_BENCH_FULL"))
+    budget = float(os.environ.get("GGP_BENCH_BUDGET_S",
+                                  7200 if full else 1380))
+    # self-armed backstop: even if a cell subprocess wedges the link so
+    # hard that communicate() never returns, the alarm forces emission.
+    signal.alarm(int(budget) + 45)
+    deadline = _STATE["t_start"] + budget
+
+    def remaining():
+        return deadline - time.perf_counter()
+
+    grid = dict(BASELINES)
+    if full:
+        grid.update(FULL_EXTRA)
+
+    xla_env = {"GGP_FUSED_TRANSITION": "0"}
+
+    # Phase A+B — cheap-compile XLA path, headline first: a healthy
+    # headline and full matrix exist as early as possible.
+    order = [HEADLINE] + [k for k in grid if k != HEADLINE]
+    for key in order:
+        if remaining() < 60:
+            _log(f"budget exhausted before XLA pass of {key}")
+            break
+        cell_budget = min(CELL_TIMEOUT_XLA[key[0]], remaining() - 20)
+        _log(f"XLA pass {key} (budget {cell_budget:.0f}s)")
+        res = _run_cell_subprocess(key[0], key[1], cell_budget,
+                                   env_extra=xla_env)
+        res["path"] = "xla"
+        _record(key, res)
+        _log(f"  -> healthy={res.get('healthy')} "
+             f"speedup={res.get('speedup')}")
+
+    # Phase C — fused upgrades while budget remains, largest expected
+    # gains first (PERF.md round-3 matrix: SGPR ~1.5x over XLA, JointHMC
+    # ~1.2-2x, GPR ~parity): headline, JointHMC, SGPR/winered, GPR.
+    upgrade_rank = {"SGPR+HMC": 0, "JointHMC": 1, "GPR+HMC": 2}
+    upgrades = sorted(grid, key=lambda k: (k != HEADLINE,
+                                           upgrade_rank[k[0]]))
+    for key in upgrades:
+        if key[0] == "GPR+HMC" and key[1] != "boston":
+            continue  # fused dense core is N<=512-only; XLA result stands
+        if remaining() < 150:
+            _log("budget exhausted before fused upgrades complete")
+            break
+        cell_budget = min(CELL_TIMEOUT_FUSED[key[0]], remaining() - 20)
+        _log(f"fused upgrade {key} (budget {cell_budget:.0f}s)")
+        res = _run_cell_subprocess(key[0], key[1], cell_budget)
+        res["path"] = "fused"
+        _record(key, res)
+        _log(f"  -> healthy={res.get('healthy')} "
+             f"speedup={res.get('speedup')}")
+
+    signal.alarm(0)
+    _emit()
 
 
 if __name__ == "__main__":
-    import sys
     if len(sys.argv) == 4 and sys.argv[1] == "--cell":
         _enable_compile_cache()
         import jax  # noqa: F401  (backend init)

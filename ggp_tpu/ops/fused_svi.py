@@ -620,8 +620,9 @@ def make_fused_svi_softmax(num_data, nb, m, d, C, n_half, jitter, *,
     lane 127); ``eps_slab`` is (K*C*Sp, nbp) standard-normal blocks —
     step-major, then class, SAMPLES in sublanes, batch points in lanes
     (Sp = n_half rounded up to 8). Envelope: m <= 512, nb <= 512,
-    2 <= C <= 16, d + 1 <= 126, n_half <= 128, total resident state
-    <= ~64 MB. Returns None outside it."""
+    2 <= C <= 16, d + 1 <= 126, n_half <= 128, and a conservative
+    whole-kernel VMEM estimate (in + out + carry param triplets, slabs,
+    scratch, per-step intermediates) <= 88 MB. Returns None outside it."""
     from jax.experimental.pallas import tpu as pltpu
 
     K = int(steps_per_call)
@@ -631,9 +632,22 @@ def make_fused_svi_softmax(num_data, nb, m, d, C, n_half, jitter, *,
     if (m > 512 or nb > 512 or not (2 <= C <= 16) or d + 1 > 126
             or not (1 <= n_half <= 128)):
         return None
-    state_bytes = (3 * C * Mp * Mp * 4 + K * nbp * 512
-                   + K * C * Sp * nbp * 4)
-    if state_bytes > 64 * 1024 * 1024:
+    # Honest VMEM envelope (ADVICE r3): the kernel holds the (p, m, v)
+    # triplet of all P = 3+C params THREE times over (input refs, output
+    # refs, and the fori-loop carry), the whole slab + eps inputs, the
+    # chol scratch, and — live inside each step — the per-latent qL/SA
+    # stacks plus A/Kms/G/Kms_b and the (Sp, NBp) sample blocks. The old
+    # estimate counted one triplet + slabs only (~1/3 of reality), so
+    # admitted corners like (C=16, M=512) failed Mosaic compilation
+    # instead of falling back to XLA via returning None.
+    param_f = 3 * (C * Mp * Mp + 2 * Mp * _LANES + _LANES)  # one (p,m,v) set
+    slab_f = K * nbp * _LANES + K * C * Sp * nbp
+    scratch_f = 3 * Mp * Mp + Mp * _LANES
+    work_f = ((2 * C + 4) * Mp * nbp      # qLs/SAs + A/Kms/G/Kms_b
+              + C * Mp * Mp               # q_raw copies live in the step
+              + 3 * C * Sp * nbp)         # eps blocks + fs/exs
+    state_bytes = 4 * (3 * param_f + slab_f + scratch_f + work_f)
+    if state_bytes > 88 * 1024 * 1024:    # vmem_limit below is 100 MB
         return None
     f32 = jnp.float32
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -115,12 +115,53 @@ class Dataset:
     def _require_file(self) -> str:
         if os.path.exists(self.datapath):
             return self.datapath
+        if self._maybe_download():
+            return self.datapath
         os.makedirs(self.datadir, exist_ok=True)
-        err = (f"Dataset file {self.datapath} not found. This environment has "
-               f"no network egress; download {self.url or '<no url>'} "
-               f"manually into {self.datadir}/ (reference layer: "
-               f"utils/dataset.py:96-117 does this automatically).")
+        err = (f"Dataset file {self.datapath} not found. Set "
+               f"GGP_ALLOW_DOWNLOAD=1 to fetch {self.url or '<no url>'} "
+               f"automatically, or place the file in {self.datadir}/ "
+               f"manually (this sandbox has no network egress; the "
+               f"reference layer downloads unconditionally, "
+               f"utils/dataset.py:96-117).")
         raise FileNotFoundError(err)
+
+    def _maybe_download(self) -> bool:
+        """Opt-in network fetch (``GGP_ALLOW_DOWNLOAD=1``), archive-aware
+        like the reference downloader (reference utils/dataset.py:96-117:
+        fetch ``url``, extract in place when the URL names a .gz/.zip/.tar).
+        Default-off so this zero-egress sandbox's tests stay hermetic —
+        outside it, the real-data suite self-activates once files land."""
+        if os.environ.get("GGP_ALLOW_DOWNLOAD", "0") != "1" or not self.url:
+            return False
+        import urllib.request
+        os.makedirs(self.datadir, exist_ok=True)
+        fetch_name = self.url.split("/")[-1]
+        is_archived = any(z in fetch_name for z in (".gz", ".zip", ".tar"))
+        target = (os.path.join(self.datadir, fetch_name) if is_archived
+                  else self.datapath)
+        with urllib.request.urlopen(self.url) as resp, \
+                open(target, "wb") as out:
+            out.write(resp.read())
+        if is_archived:
+            self._extract_archive(target)
+        return os.path.exists(self.datapath)
+
+    def _extract_archive(self, path: str) -> None:
+        import gzip
+        import shutil
+        import tarfile
+        import zipfile
+        if zipfile.is_zipfile(path):
+            with zipfile.ZipFile(path) as zf:
+                zf.extractall(self.datadir)
+        elif tarfile.is_tarfile(path):
+            with tarfile.open(path) as tf:
+                tf.extractall(self.datadir, filter="data")
+        elif path.endswith(".gz"):
+            with gzip.open(path, "rb") as src, \
+                    open(path[: -len(".gz")], "wb") as dst:
+                shutil.copyfileobj(src, dst)
 
     def _load_csv(self, path, **kw) -> np.ndarray:
         try:

@@ -36,6 +36,75 @@ def test_missing_uci_file_raises_cleanly():
         get_regression_data("boston")
 
 
+def test_download_path_mocked(tmp_path, monkeypatch):
+    """GGP_ALLOW_DOWNLOAD=1 restores the reference's auto-fetch
+    (reference utils/dataset.py:96-117): plain files land at datapath,
+    archive URLs (.zip here) are extracted in place. urlopen is mocked —
+    this sandbox has zero egress; outside it the real-data suite
+    self-activates once files land."""
+    import io
+    import urllib.request
+    import zipfile
+
+    import ggp_tpu.utils.datasets as ds
+
+    monkeypatch.setattr(ds, "DATASET_DIR", str(tmp_path))
+    monkeypatch.setenv("GGP_ALLOW_DOWNLOAD", "1")
+    csv_bytes = b"1.0,2.0,3.0\n4.0,5.0,6.0\n"
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("inner.csv", csv_bytes.decode())
+    payloads = {
+        "http://example.test/plain.csv": csv_bytes,
+        "http://example.test/bundle.zip": zbuf.getvalue(),
+    }
+    fetched = []
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, *a, **k):
+        fetched.append(url)
+        return _Resp(payloads[url])
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    class Plain(ds.Dataset):
+        name, filename = "plainds", "plain.csv"
+        url = "http://example.test/plain.csv"
+
+        def read_data(self):
+            data = self._load_csv(self._require_file(), header=None)
+            return data[:, :-1], data[:, -1]
+
+    class Zipped(Plain):
+        name, filename = "zipds", "inner.csv"
+        url = "http://example.test/bundle.zip"
+
+    p = Plain()
+    assert fetched == ["http://example.test/plain.csv"]
+    assert p.N == 2 and p.D == 2
+    z = Zipped()
+    assert fetched[-1] == "http://example.test/bundle.zip"
+    assert z.N == 2 and z.D == 2
+    # cached: a second construction re-reads the file, no re-fetch
+    n_fetch = len(fetched)
+    Plain()
+    assert len(fetched) == n_fetch
+    # and default-off: without the env gate a missing file still raises
+    monkeypatch.delenv("GGP_ALLOW_DOWNLOAD")
+
+    class Plain2(Plain):
+        name = "plainds2"
+
+    with pytest.raises(FileNotFoundError, match="GGP_ALLOW_DOWNLOAD"):
+        Plain2()
+
+
 def test_synthetic_dataset_split_seeding():
     """Same split index => identical split; different => different
     (reference seeding BASE_SEED+split, utils/dataset.py:62-63)."""

@@ -787,6 +787,59 @@ def test_softmax_chunk_kernel_matches_optax():
                                    atol=3e-4)
 
 
+@pytest.mark.slow
+def test_softmax_epoch_driver_matches_xla(monkeypatch):
+    """_run_svi_fused_softmax (the EPOCH driver: slab/eps packing, eps
+    transpose, t0 accumulation, padded-param round-trip) reproduces the
+    XLA _run_svi trajectory for 2 epochs with an interpret-mode kernel
+    injected through the factory (ADVICE r3: an eps-LAYOUT bug in the
+    driver would stay statistically valid and be invisible in loss
+    curves — only step-for-step trajectory identity catches it)."""
+    import optax
+
+    import ggp_tpu.ops.fused_svi as fsvi
+    from ggp_tpu.kernels import default_rbf
+    from ggp_tpu.likelihoods import Softmax
+    from ggp_tpu.models.svgp import _run_svi, _run_svi_fused_softmax
+
+    orig_factory = fsvi.make_fused_svi_softmax
+    monkeypatch.setattr(
+        fsvi, "make_fused_svi_softmax",
+        lambda *a, **k: orig_factory(*a, **{**k, "interpret": True}))
+
+    N, bs, m, d, C, num_mc, lr, epochs = 48, 16, 8, 2, 3, 8, 0.02, 2
+    steps = N // bs
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, size=(N,)), jnp.float32)
+    params = _softmax_params(m, d, C, rng)
+    params["lik"] = {}
+    jitter = 1e-6
+    key = jax.random.PRNGKey(5)
+
+    kern = default_rbf(ard=True)
+    lik = Softmax(num_classes=C, num_mc=num_mc)
+    p_ref, losses_ref = _run_svi(kern, lik, X, y, jitter, params,
+                                 optax.adam(lr), epochs, bs, steps, key)
+    p_f, losses_f = _run_svi_fused_softmax(X, y, jitter, params, epochs,
+                                           bs, steps, lr, key, C, num_mc)
+
+    np.testing.assert_allclose(np.asarray(losses_f), np.asarray(losses_ref),
+                               rtol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_f["kernel"]["base"]["log_lengthscale"]),
+        np.asarray(p_ref["kernel"]["base"]["log_lengthscale"]), atol=5e-4)
+    np.testing.assert_allclose(float(p_f["kernel"]["log_outputscale"]),
+                               float(p_ref["kernel"]["log_outputscale"]),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(p_f["Z"]), np.asarray(p_ref["Z"]),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(p_f["q_mu"]),
+                               np.asarray(p_ref["q_mu"]), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(p_f["q_sqrt_raw"]),
+                               np.asarray(p_ref["q_sqrt_raw"]), atol=5e-4)
+
+
 def test_pivot_floor_and_adam_guard():
     """SVI robustness pieces: (1) the pivot-floored blocked Cholesky stays
     finite on a borderline non-PSD matrix where the sampler-semantics path

@@ -16,17 +16,33 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# GGP_TEST_TPU=1: keep the real backend so `pytest -m tpu` validates the
+# fused Mosaic kernels on hardware (interpret mode cannot catch relayout/
+# lowering failures, CLAUDE.md). Default: forced CPU, x64, 8 virtual devices.
+_TPU_LANE = os.environ.get("GGP_TEST_TPU") == "1"
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
 
 
 def pytest_configure(config):
+    if _TPU_LANE:
+        return
     assert jax.default_backend() == "cpu", (
         f"tests must run on CPU, got {jax.default_backend()}")
     assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(
+        reason="needs real TPU (GGP_TEST_TPU=1 pytest -m tpu)")
+    for item in items:
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
 
 
 @pytest.fixture

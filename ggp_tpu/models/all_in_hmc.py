@@ -34,7 +34,7 @@ class all_in_HMC:
 
     def __init__(self, train_x, train_y, likelihood: GaussianLikelihood | None = None,
                  Z_init=None, kernel: Kernel | None = None, prior_tree=None,
-                 jitter: float | None = None, mesh=None):
+                 jitter: float | None = None, mesh=None, z_prior=None):
         self.train_x = jnp.asarray(train_x)
         self.train_y = jnp.asarray(train_y)
         d = self.train_x.shape[-1]
@@ -44,8 +44,11 @@ class all_in_HMC:
         Z_init = jnp.asarray(Z_init) if Z_init is not None else self.train_x[:100]
         hyper_priors = prior_tree if prior_tree is not None else prior_tree_rbf()
         # joint prior: hypers as usual + Z ~ N(0,1) elementwise
-        # (reference: pm.Normal("Xu", shape=(100, D)), models/all_in_HMC.py:57)
-        self.prior_tree = {**hyper_priors, "Z": Normal(0.0, 1.0)}
+        # (reference: pm.Normal("Xu", shape=(100, D)), models/all_in_HMC.py:57).
+        # ``z_prior`` overrides it — e.g. Flat() reproduces the reference's
+        # pm.Flat("Xu") exploration (scratch.py:59).
+        self.prior_tree = {**hyper_priors,
+                           "Z": z_prior if z_prior is not None else Normal(0.0, 1.0)}
         self.state = {
             "kernel": self.kernel.init_params(d),
             "log_noise": jnp.zeros((), self.train_x.dtype),

@@ -162,3 +162,13 @@ def test_sampler_runtimes_and_benchmarks_plots(tmp_path, monkeypatch):
             mod.main()
         except SystemExit:
             pass
+
+
+def test_allin_flat_xu_tiny():
+    """Flat-Xu joint NUTS exploration (reference scratch.py:50-64) runs
+    end-to-end on a tiny config and recovers a finite mixture predictive."""
+    from allin_flat_xu import main
+    model, r = main(n=96, m=6, tune=20, draws=10, plot=False)
+    assert np.isfinite(r)
+    # the flat prior leaves Z unregularised; the trace must still be finite
+    assert np.all(np.isfinite(np.asarray(model.trace["Z"])))

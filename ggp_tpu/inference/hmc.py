@@ -577,18 +577,10 @@ def _find_reasonable_step_size_batched(potential, z0s, U0s, g0s, key,
     return jnp.where(direction > 0, eps * 0.5, eps)
 
 
-def _multichain_fused_hmc(fused, z0s, key, cfg: NUTSConfig, in_window,
-                          window_end):
-    """All C chains advance lock-step inside chain-batched Pallas chunk
-    kernels (ops.fused_multichain) — the throughput configuration
-    (VERDICT r2 item 3). Semantics mirror ``vmap(_single_chain)``:
-    per-chain dual averaging, Welford windows, per-chain eps. Round 3:
-    handles both fixed-leapfrog HMC and lock-step multinomial NUTS
-    (``fused.algo``) — NUTS chunks also report per-draw depth/leaf
-    counts."""
-    C, dim = z0s.shape
-    dtype = z0s.dtype
-    K = fused.chunk
+def _validate_multichain_cfg(fused, cfg: NUTSConfig) -> str:
+    """The chunk kernels compile algorithm/adaptation settings in at build
+    time — a sampler-config mismatch would silently run the wrong sampler
+    (ADVICE r2), so both multichain drivers validate before dispatch."""
     algo = getattr(fused, "algo", "hmc")
     if cfg.algorithm != algo:
         raise ValueError(f"multichain fused kernel built for algorithm="
@@ -609,6 +601,22 @@ def _multichain_fused_hmc(fused, z0s, key, cfg: NUTSConfig, in_window,
     if fused.adapt_mass != cfg.adapt_mass:
         raise ValueError(f"fused kernel built with adapt_mass="
                          f"{fused.adapt_mass}, config has {cfg.adapt_mass}")
+    return algo
+
+
+def _multichain_fused_hmc(fused, z0s, key, cfg: NUTSConfig, in_window,
+                          window_end):
+    """All C chains advance lock-step inside chain-batched Pallas chunk
+    kernels (ops.fused_multichain) — the throughput configuration
+    (VERDICT r2 item 3). Semantics mirror ``vmap(_single_chain)``:
+    per-chain dual averaging, Welford windows, per-chain eps. Round 3:
+    handles both fixed-leapfrog HMC and lock-step multinomial NUTS
+    (``fused.algo``) — NUTS chunks also report per-draw depth/leaf
+    counts."""
+    C, dim = z0s.shape
+    dtype = z0s.dtype
+    K = fused.chunk
+    algo = _validate_multichain_cfg(fused, cfg)
 
     U0, g0 = fused.potential(z0s)
     inv_mass = jnp.ones((C, dim), dtype)
@@ -801,7 +809,11 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
     def _make_pvg(data):
         if fused_builder is not None:
-            return fused_builder(data)[1]
+            f = fused_builder(data)
+            # chain-batched multichain objects and out-of-envelope Nones
+            # fall back to the plain potential (the mc path never gets here)
+            if f is not None and not hasattr(f, "num_chains"):
+                return f[1]
         if potential_fn is not None:
             return lambda zvec: potential_fn(zvec, data)
         return lambda zvec: jax.value_and_grad(
@@ -809,7 +821,9 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
     def _make_kernel(data):
         if fused_builder is not None:
-            return fused_builder(data)[0]
+            f = fused_builder(data)
+            if f is not None and not hasattr(f, "num_chains"):
+                return f[0]
         return kernel
 
     n_warm_chunks = -(-cfg.num_warmup // chunk_size)
@@ -898,6 +912,180 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
         return jax.vmap(one)(carry)
 
+    # ------------------------------------------------------------------
+    # Chain-batched fused kernels (ops.fused_multichain), host-dispatched:
+    # groups of at most ``chunk_size`` transitions per XLA execution so
+    # long big-N multichain schedules never exceed a single-execution
+    # wall-clock kill window (VERDICT r3 item 4). Key plumbing is
+    # bit-identical to the one-program driver (_multichain_fused_hmc) —
+    # padded no-op chunks do not advance the PRNG stream.
+    # ------------------------------------------------------------------
+    _mc_cache: dict = {}
+
+    def _mc_funcs(K: int):
+        if K in _mc_cache:
+            return _mc_cache[K]
+        gsz = max(1, chunk_size // K)
+
+        def _adv_key(key, k2, na):
+            # only chunks that actually run consume a split — keeps the
+            # stream identical to the unpadded one-program schedule
+            return jnp.where(na > 0, k2, key)
+
+        @jax.jit
+        def mc_init(flat0, key, data):
+            fused = fused_builder(data)
+            jkeys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
+            z0s = jnp.stack([
+                flat0 + jitter_init * jax.random.normal(k, flat0.shape,
+                                                        flat0.dtype)
+                for k in jkeys])
+            key = jax.random.fold_in(key, 2)
+            U0, g0 = fused.potential(z0s)
+            C, dim = z0s.shape
+            inv_mass = jnp.ones((C, dim), z0s.dtype)
+            key, k_eps = jax.random.split(key)
+            eps = _find_reasonable_step_size_batched(
+                fused.potential, z0s, U0, g0, k_eps, inv_mass,
+                cfg.init_step_size)
+            le = jnp.log(eps)
+            zc = jnp.zeros((C,), z0s.dtype)
+            return dict(z=z0s, U=U0, g=g0, key=key,
+                        da=(le, le, zc, jnp.log(10.0) + le, zc),
+                        wf=(jnp.zeros((C, dim), z0s.dtype),
+                            jnp.zeros((C, dim), z0s.dtype), zc),
+                        inv_mass=inv_mass)
+
+        @jax.jit
+        def mc_warm(carry, in_w_g, w_end_g, n_act_g, data):
+            fused = fused_builder(data)
+
+            def step(c, inputs):
+                in_w_c, w_end_c, na = inputs
+                k2, k = jax.random.split(c["key"])
+                z, U, g, da, wf, im, _, _ = fused.warm_chunk(
+                    c["z"], c["U"], c["g"], k, c["da"], c["wf"],
+                    c["inv_mass"], in_w_c, w_end_c, na)
+
+                def keep(new, old):
+                    return jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(na > 0, a, b), new, old)
+
+                return dict(z=keep(z, c["z"]), U=keep(U, c["U"]),
+                            g=keep(g, c["g"]),
+                            key=_adv_key(c["key"], k2, na),
+                            da=keep(da, c["da"]), wf=keep(wf, c["wf"]),
+                            inv_mass=keep(im, c["inv_mass"])), None
+
+            carry, _ = jax.lax.scan(step, carry, (in_w_g, w_end_g, n_act_g))
+            return carry
+
+        @jax.jit
+        def mc_sample(carry, s_act_g, data):
+            fused = fused_builder(data)
+            algo = getattr(fused, "algo", "hmc")
+
+            def step(c, na):
+                k2, k = jax.random.split(c["key"])
+                out = fused.sample_chunk(c["z"], c["U"], c["g"], k,
+                                         c["eps"], c["inv_mass"], na)
+                if algo == "nuts":
+                    zs, z1, U1, g1, acc, div, dep, nlv = out
+                else:
+                    zs, z1, U1, g1, acc, div = out
+                    dep = jnp.zeros_like(acc)
+                    nlv = jnp.full_like(acc, cfg.num_leapfrog)
+
+                def keep(new, old):
+                    return jnp.where(na > 0, new, old)
+
+                return ({**c, "z": keep(z1, c["z"]), "U": keep(U1, c["U"]),
+                         "g": keep(g1, c["g"]),
+                         "key": _adv_key(c["key"], k2, na)},
+                        (zs, acc, div, dep, nlv))
+
+            return jax.lax.scan(step, carry, s_act_g)
+
+        _mc_cache[K] = (gsz, mc_init, mc_warm, mc_sample)
+        return _mc_cache[K]
+
+    def _sample_mc(fobj, flat0, key, data, progress, ckpt_manager):
+        import numpy as _np
+        algo = _validate_multichain_cfg(fobj, cfg)
+        K = fobj.chunk
+        gsz, mc_init, mc_warm, mc_sample = _mc_funcs(K)
+        S = cfg.num_samples
+
+        n_wchunks = -(-cfg.num_warmup // K)
+        n_wgroups = -(-n_wchunks // gsz)
+        total_wc = n_wgroups * gsz
+        pad = total_wc * K - cfg.num_warmup
+        in_w_mc = jnp.concatenate(
+            [jnp.asarray(in_w_np), jnp.zeros(pad, bool)]).reshape(
+                n_wgroups, gsz, K)
+        w_end_mc = jnp.concatenate(
+            [jnp.asarray(w_end_np), jnp.zeros(pad, bool)]).reshape(
+                n_wgroups, gsz, K)
+        n_act = jnp.clip(
+            cfg.num_warmup - jnp.arange(total_wc, dtype=jnp.int32) * K,
+            0, K).reshape(n_wgroups, gsz)
+
+        carry = mc_init(flat0, key, data)
+        start_group = 0
+        run_sig = {"chunk_size": chunk_size, "num_warmup": cfg.num_warmup,
+                   "num_samples": cfg.num_samples, "algorithm": cfg.algorithm,
+                   "num_chains": num_chains, "multichain_K": K}
+        if ckpt_manager is not None:
+            restored, meta = ckpt_manager.restore(carry)
+            if restored is not None:
+                saved_sig = {k: meta.get(k) for k in run_sig}
+                if saved_sig != run_sig:
+                    raise ValueError(
+                        f"checkpoint was written by a different sampler "
+                        f"configuration ({saved_sig} != {run_sig}) - "
+                        f"resuming would misalign the warmup schedule")
+                carry = restored
+                start_group = min(int(meta.get("chunk", 0)), n_wgroups)
+        for i in range(start_group, n_wgroups):
+            carry = mc_warm(carry, in_w_mc[i], w_end_mc[i], n_act[i], data)
+            jax.block_until_ready(carry["z"])
+            if ckpt_manager is not None:
+                ckpt_manager.save(i + 1, carry, {"chunk": i + 1, **run_sig})
+            if progress:
+                progress("warmup", min((i + 1) * gsz * K, cfg.num_warmup),
+                         cfg.num_warmup)
+
+        C, dim = carry["z"].shape
+        eps = jnp.exp(carry["da"][1])                       # (C,)
+        inv_mass = carry["inv_mass"]
+        scarry = dict(z=carry["z"], U=carry["U"], g=carry["g"],
+                      key=carry["key"], eps=eps, inv_mass=inv_mass)
+        n_schunks = -(-S // K)
+        n_sgroups = -(-n_schunks // gsz)
+        total_sc = n_sgroups * gsz
+        s_act = jnp.clip(S - jnp.arange(total_sc, dtype=jnp.int32) * K,
+                         0, K).reshape(n_sgroups, gsz)
+        outs = []
+        for i in range(n_sgroups):
+            scarry, out = mc_sample(scarry, s_act[i], data)
+            jax.block_until_ready(out[0])
+            outs.append(out)
+            if progress:
+                progress("sample", min((i + 1) * gsz * K, S), S)
+        zs, acc, div, dep, nlv = jax.tree_util.tree_map(
+            lambda *a: jnp.concatenate(a, axis=0), *outs)
+        zs = zs.reshape(total_sc * K, C, dim)[:S].transpose(1, 0, 2)
+        acc = acc.reshape(total_sc * K, C)[:S].T            # (C, S)
+        div = div.reshape(total_sc * K, C)[:S].T > 0.5
+        dep = dep.reshape(total_sc * K, C)[:S].T.astype(jnp.int32)
+        nlv = nlv.reshape(total_sc * K, C)[:S].T.astype(jnp.int32)
+        stats = {"accept_prob": acc, "diverging": div,
+                 "depth": dep, "n_leapfrog": nlv,
+                 "energy": jnp.zeros_like(acc),
+                 "step_size": eps, "inv_mass": inv_mass}
+        samples = jax.vmap(jax.vmap(unravel))(zs)
+        return samples, stats
+
     def sample(init_params, key, data=None, progress: Callable | None = None,
                ckpt_manager=None):
         """``ckpt_manager``: a ggp_tpu.utils.checkpoint.CheckpointManager —
@@ -906,6 +1094,18 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
         granularity), pairing the two subsystems the reference lacks
         entirely (SURVEY §5.4: no checkpointing; §5.1: no progress)."""
         flat0, _ = jax.flatten_util.ravel_pytree(init_params)
+        if fused_builder is not None:
+            # probe with concrete data: a chain-batched multichain kernel
+            # object routes to the host-dispatched group driver
+            fobj = fused_builder(data)
+            if fobj is not None and hasattr(fobj, "num_chains"):
+                if fobj.num_chains != num_chains:
+                    raise ValueError(
+                        f"multichain fused kernel built for "
+                        f"{fobj.num_chains} chains, sampler has "
+                        f"{num_chains}")
+                return _sample_mc(fobj, flat0, key, data, progress,
+                                  ckpt_manager)
         carry = _init(flat0, key, data)
         start_chunk = 0
         run_sig = {"chunk_size": chunk_size, "num_warmup": cfg.num_warmup,

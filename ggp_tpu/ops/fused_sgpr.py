@@ -206,14 +206,20 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
                       Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                       *, n, m, d, S, jitter, K, lr, block,
                       NB=None, nblocks=None):
-    """K Adam steps on Z only; per-step loss/grad = mean over the S hyper
-    rows of th_ref (the current HMC trace) of -sgpr_elbo(theta_s, Z) —
-    the reference's interleaved Z-optimisation objective
-    (models/bayesian_sgpr_hmc.py:119-134). Resident X/y by default; with
-    ``NB`` set, X/y live in HBM (y packed in lane 127) and every theta's
-    gram/adjoint passes stream double-buffered row blocks. Theta
-    gradients from the shared core are computed and discarded (same
-    matrices)."""
+    """Up to K Adam steps on Z only; per-step loss/grad = mean over the
+    active hyper rows of th_ref (the current HMC trace) of
+    -sgpr_elbo(theta_s, Z) — the reference's interleaved Z-optimisation
+    objective (models/bayesian_sgpr_hmc.py:119-134). Resident X/y by
+    default; with ``NB`` set, X/y live in HBM (y packed in lane 127) and
+    every theta's gram/adjoint passes stream double-buffered row blocks.
+    Theta gradients from the shared core are computed and discarded (same
+    matrices).
+
+    Round 4 (VERDICT r3 item 5): the trace size and step count are RUNTIME
+    scalars — scal_ref = [t0, s_active, k_active] with s_active <= S and
+    k_active <= K as dynamic fori_loop bounds — so the alternating
+    scheduler's varying (S, steps) rounds all reuse ONE Mosaic executable
+    compiled at the (S, K) caps."""
     from .fused_bound import (_rbf_vfe_neg_logpost_vg_streaming,
                               chol_u_inv_inplace)
     from jax.experimental.pallas import tpu as pltpu
@@ -221,7 +227,9 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
     f32 = jnp.float32
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     t0 = scal_ref[0]
-    inv_s = 1.0 / S
+    s_act = scal_ref[1].astype(jnp.int32)      # exact small-int f32
+    k_act = scal_ref[2].astype(jnp.int32)
+    inv_s = 1.0 / scal_ref[1]
 
     def ref_chol_inv(Kmat, pivot_floor):
         Ks[:] = Kmat
@@ -263,6 +271,8 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
                 loop_blocks=loop_blocks, NB=NB, want_z_grad=True,
                 want_prior=False, pivot_floor=_PIVOT_FLOOR)
 
+    loss_o[:] = jnp.zeros_like(loss_o)
+
     def step(t, carry):
         Z, mz, vz = carry
 
@@ -273,7 +283,7 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
             return lacc + inv_s * loss, gacc + inv_s * gZ
 
         loss, gZ = jax.lax.fori_loop(
-            0, S, one, (jnp.zeros((), f32), jnp.zeros_like(Z)))
+            0, s_act, one, (jnp.zeros((), f32), jnp.zeros_like(Z)))
         # zero_nans on the averaged gradient (matches the XLA chain's
         # placement: optax.chain(zero_nans, adam) on the mean grad)
         ta = t0 + t.astype(f32) + 1.0
@@ -281,7 +291,7 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
         loss_o[pl.ds(t, 1), :] = loss * (lane8 == 0).astype(f32)
         return Z, mz, vz
 
-    Z, mz, vz = jax.lax.fori_loop(0, K, step,
+    Z, mz, vz = jax.lax.fori_loop(0, k_act, step,
                                   (z_ref[:], m_z[:], v_z[:]))
     z_o[:] = Z
     mo_z[:] = mz
@@ -290,10 +300,17 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
 
 def make_fused_z_adam(n, m, d, S, jitter, *, steps_per_call, lr=0.01,
                       block=32, interpret=False):
-    """Factory: ``chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0) ->
-    (Z, adam_m, adam_v, losses (K,))``; ``thetas`` is the (Sp,128) packed
-    hyper trace. Envelope: m <= 512, d <= 125, S <= 512 rows; n <= 2048
-    resident, up to 16384 streamed from HBM. Returns None outside it."""
+    """Factory: ``chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0,
+    s_active=None, n_steps=None) -> (Z, adam_m, adam_v, losses (K,))``;
+    ``thetas`` is the packed hyper trace (any row count <= S). Envelope:
+    m <= 512, d <= 125, S <= 512 rows; n <= 2048 resident, up to 16384
+    streamed from HBM. Returns None outside it.
+
+    ``S`` and ``steps_per_call`` are compile-time CAPS; the per-call
+    ``s_active`` (trace rows actually averaged) and ``n_steps`` (Adam
+    steps actually taken, losses beyond it zero-padded) are runtime
+    scalars, so one executable serves the alternating scheduler's whole
+    (S, steps) schedule (VERDICT r3 item 5). Both default to the caps."""
     from jax.experimental.pallas import tpu as pltpu
 
     if n > MAX_N_STREAM or m > 512 or d > _LANES - 3 or S > 512:
@@ -340,17 +357,23 @@ def make_fused_z_adam(n, m, d, S, jitter, *, steps_per_call, lr=0.01,
             interpret=interpret,
         )
 
-    def chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0):
-        th = jnp.zeros((Sp, _LANES), f32).at[:S, :].set(thetas)
+    def chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0, s_active=None,
+              n_steps=None):
+        s_act = thetas.shape[0] if s_active is None else s_active
+        k_act = K if n_steps is None else n_steps
+        th = jnp.zeros((Sp, _LANES), f32).at[:thetas.shape[0], :].set(thetas)
+        scal = jnp.stack([jnp.asarray(t0, f32),
+                          jnp.asarray(s_act, f32),
+                          jnp.asarray(k_act, f32)])
         if streaming:
             slab = jnp.zeros((Np, _LANES), f32)
             slab = slab.at[:Xp.shape[0], :].set(Xp)
             slab = slab.at[:yp.shape[0], _LANES - 1].set(yp[:, 0])
-            outs = call(jnp.asarray([t0], f32), slab,
+            outs = call(scal, slab,
                         jnp.zeros((8, 1), f32), th, Z,
                         adam_m, adam_v)
         else:
-            outs = call(jnp.asarray([t0], f32), Xp, yp, th, Z,
+            outs = call(scal, Xp, yp, th, Z,
                         adam_m, adam_v)
         z1, mz, vz, losses = outs
         return z1, mz, vz, losses[:, 0]

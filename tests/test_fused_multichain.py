@@ -468,3 +468,48 @@ def test_streaming_multichain_nuts_chunks(problem, monkeypatch):
     assert np.mean(np.concatenate(accs)) > 0.3
     assert np.concatenate(deps).max() >= 1
     assert not np.allclose(np.asarray(z), np.asarray(thetas))
+
+
+@pytest.mark.parametrize("algo", ["hmc", "nuts"])
+def test_multichain_chunked_driver_matches_one_program(problem, algo):
+    """build_sampler_chunked's host-dispatched multichain group driver
+    (round 4: bounded per-execution wall for the link kill-window) is
+    bit-identical to the one-program build_sampler path — including when
+    the group size does NOT divide the schedule (padded no-op chunks must
+    not advance the PRNG stream or the carried state)."""
+    from ggp_tpu.inference.hmc import (NUTSConfig, build_sampler,
+                                       build_sampler_chunked)
+
+    X, y, Z, d = problem
+    C = 2
+    kw = dict(num_chains=C, chunk=4, interpret=True)
+    if algo == "nuts":
+        kw.update(algo="nuts", max_depth=5)
+        cfg = NUTSConfig(num_warmup=10, num_samples=9, algorithm="nuts",
+                         max_depth=5)
+    else:
+        kw.update(num_leapfrog=5)
+        cfg = NUTSConfig(num_warmup=10, num_samples=9, algorithm="hmc",
+                         num_leapfrog=5)
+    builder = make_fused_hmc_multichain(X, y, 1e-6, **kw)
+    init = {"v": jnp.zeros(d + 2, jnp.float32)}
+    key = jax.random.PRNGKey(3)
+
+    ref = build_sampler(lambda p, Z_: 0.0, init, cfg, num_chains=C,
+                        fused_builder=lambda Z_: builder(Z_))
+    s_ref, st_ref = ref(init, key, Z)
+
+    # chunk_size=7 -> group size 1 kernel-chunk (K=4); 10 warmup
+    # transitions = 3 kernel-chunks, 9 draws = 3 kernel-chunks (last
+    # partially active) — nothing divides evenly
+    chunked = build_sampler_chunked(lambda p, Z_: 0.0, init, cfg,
+                                    num_chains=C, chunk_size=7,
+                                    fused_builder=lambda Z_: builder(Z_))
+    s_chk, st_chk = chunked(init, key, Z)
+
+    np.testing.assert_array_equal(np.asarray(s_ref["v"]),
+                                  np.asarray(s_chk["v"]))
+    for k in ("accept_prob", "diverging", "step_size", "inv_mass"):
+        np.testing.assert_array_equal(np.asarray(st_ref[k]),
+                                      np.asarray(st_chk[k]), err_msg=k)
+    assert np.all(np.isfinite(np.asarray(s_chk["v"])))

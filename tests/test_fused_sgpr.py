@@ -401,3 +401,43 @@ def test_fused_warmstart_matches_adam_all_cpu():
     np.testing.assert_allclose(
         float(p_f["kernel"]["log_outputscale"]),
         float(p_ref["kernel"]["log_outputscale"]), atol=3e-4)
+
+
+@pytest.mark.slow
+def test_fused_z_adam_runtime_actives():
+    """Round 4 (VERDICT r3 item 5): one kernel compiled at (S, K) caps with
+    runtime (s_active, n_steps) scalars reproduces a kernel compiled at
+    exactly those sizes — the alternating scheduler's varying rounds share
+    one executable. Inactive tail losses are zero-padded."""
+    from ggp_tpu.ops.fused_sgpr import make_fused_z_adam
+
+    n, m, d = 40, 8, 2
+    S, K = 5, 4                 # the "real" round
+    S_cap, K_cap = 8, 6         # the compiled caps
+    jitter, lr = 1e-6, 0.02
+    rng = np.random.default_rng(9)
+    X, y, params = _case(n, m, d, seed=9)
+    thetas = jnp.zeros((S, 128), jnp.float32)
+    thetas = thetas.at[:, :d].set(
+        jnp.asarray(rng.normal(size=(S, d)) * 0.3, jnp.float32))
+    thetas = thetas.at[:, d].set(
+        jnp.asarray(rng.normal(size=S) * 0.2, jnp.float32))
+    thetas = thetas.at[:, d + 1].set(
+        jnp.asarray(-1.0 + rng.normal(size=S) * 0.1, jnp.float32))
+    _, Zp, Xp, yp = _pad(params, n, m, d, X, y)
+    zeros = jnp.zeros((128, 128), jnp.float32)
+
+    exact = make_fused_z_adam(n, m, d, S, jitter, steps_per_call=K, lr=lr,
+                              interpret=True)
+    Z_ref, _, _, losses_ref = exact(Zp, zeros, zeros, thetas, Xp, yp, 0.0)
+
+    capped = make_fused_z_adam(n, m, d, S_cap, jitter, steps_per_call=K_cap,
+                               lr=lr, interpret=True)
+    Z1, _, _, losses = capped(Zp, zeros, zeros, thetas, Xp, yp, 0.0,
+                              s_active=S, n_steps=K)
+
+    np.testing.assert_allclose(np.asarray(losses[:K]),
+                               np.asarray(losses_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(losses[K:]),
+                                  np.zeros(K_cap - K, np.float32))
+    np.testing.assert_allclose(np.asarray(Z1), np.asarray(Z_ref), atol=1e-6)

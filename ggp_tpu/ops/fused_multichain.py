@@ -136,18 +136,104 @@ def _mini_chol_inv_batched(Dmin, C: int, B: int):
     return ud, jnp.concatenate(vrows, axis=0)
 
 
+def _mini_chol_inv_batched_lg(Dlg, C: int, B: int, G: int):
+    """chol + inverse of C independent (B, B) SPD tiles in LANE-GROUP
+    layout: G groups of B lanes x Cs=C/G sublane-chains per pivot row;
+    entry [(i*Cs+s), (g*B+j)] = K_{g*Cs+s}[i, j]. Same elimination order
+    as :func:`_mini_chol_inv_batched`, but every big per-pivot op covers
+    G chains per 8-sublane vreg tile, cutting the op-issue count of the
+    dominant inner loop by G (round 4, VERDICT r3 item 3). Per-chain
+    scalars (pivot, column entries) are moved/broadcast within their lane
+    group by one exact MXU product with a 0/1 group matrix."""
+    dt = Dlg.dtype
+    Cs = C // G
+    GB = G * B
+    jg = jax.lax.broadcasted_iota(jnp.int32, (1, GB), 1) % B
+    rowsB = jax.lax.broadcasted_iota(jnp.int32, (Cs * B, 1), 0) // Cs
+    p_ = jax.lax.broadcasted_iota(jnp.int32, (GB, GB), 0) // B
+    q_ = jax.lax.broadcasted_iota(jnp.int32, (GB, GB), 1) // B
+    GBmat = (p_ == q_).astype(dt)       # x @ GBmat: in-group sum-broadcast
+    P = Dlg
+    rows = []
+    for i in range(B):
+        Mi = (jg == i).astype(dt)
+        ri = P[i * Cs:(i + 1) * Cs, :]                      # (Cs, GB)
+        d = _dg(ri * Mi, GBmat, 1, 1)                       # exact move
+        dis = jnp.where(d > 0,
+                        jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
+                        jnp.asarray(jnp.nan, dt))           # (Cs, GB)
+        ui = ri * dis * (jg >= i).astype(dt)                # (Cs, GB)
+        rows.append(ui)
+        cu = _dg(P * Mi, GBmat, 1, 1)                       # (Cs*B, GB)
+        dis_t = jnp.tile(dis, (B, 1))                       # row r -> r%Cs
+        ui_t = jnp.tile(ui, (B, 1))
+        P = P - jnp.where(rowsB > i, cu * dis_t,
+                          jnp.asarray(0.0, dt)) * ui_t
+    ud = jnp.concatenate(rows, axis=0)
+
+    vrows: list = [None] * B
+    R = (rowsB == jg).astype(dt)        # per-group identity
+    for k in range(B - 1, -1, -1):
+        Mk = (jg == k).astype(dt)
+        rk = R[k * Cs:(k + 1) * Cs, :]
+        ukk = _dg(ud[k * Cs:(k + 1) * Cs, :] * Mk, GBmat, 1, 1)
+        vk = rk / ukk
+        vrows[k] = vk
+        ck = _dg(ud * Mk, GBmat, 1, 1)
+        vk_t = jnp.tile(vk, (B, 1))
+        R = R - jnp.where(rowsB < k, ck, jnp.asarray(0.0, dt)) * vk_t
+    return ud, jnp.concatenate(vrows, axis=0)
+
+
+def _pick_lane_groups(C: int, block: int) -> int:
+    """Lane-group count for the diagonal-tile mini-factorisation. Opt-in
+    via GGP_MC_LANE_GROUPS (must divide C, G*block <= 128); default 1.
+
+    Measured on TPU v5e (round 4, Boston-shaped in-program potential
+    evals): G=4 is 0.91x at C=8 and ~1.04x at C=16 vs the chain-minor
+    sublane layout — the in-group move/broadcast contractions (one
+    (Cs*B, GB) x (GB, GB) product per pivot) cost as much op-issue as the
+    G-fold tile sharing saves, so the layout stays an ablation, not the
+    default."""
+    import os
+    env = os.environ.get("GGP_MC_LANE_GROUPS")
+    if env is not None:
+        g = int(env)
+        if g > 1 and C % g == 0 and g * block <= _LANES:
+            return g
+    return 1
+
+
 def chol_u_inv_batched_inplace(K_ref, U_ref, V_ref, Dinv_ref, C: int,
-                               block: int = 32) -> None:
+                               block: int = 32, lane_groups: int = 0) -> None:
     """U_c = chol(K_c)^T and V_c = U_c^-1 for C matrices stacked chain-major
     in (C*Mp, Mp) refs. K_ref destroyed. The panel loop is Python-unrolled
-    (static slices only — no dynamic indexing on values)."""
+    (static slices only — no dynamic indexing on values).
+
+    ``lane_groups``: G>1 runs the diagonal-tile mini-factorisation in the
+    lane-group layout (G chains side by side in lanes — see
+    :func:`_mini_chol_inv_batched_lg`); 0 picks G automatically, 1 keeps
+    the round-3 chain-minor sublane layout."""
     Mp = K_ref.shape[1]
     dt = jnp.float32
     nb = Mp // block
     rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
-    perm = _interleave_perm(C, block, dt)
     dpad = Dinv_ref.shape[1] - block
+    G = _pick_lane_groups(C, block) if lane_groups == 0 else lane_groups
+    if C % G != 0 or G * block > _LANES:
+        G = 1
+    Cs = C // G
+    perm = _interleave_perm(Cs, block, dt)
+    if G > 1:
+        # E[g] (B, G*B) embeds/extracts group g's lane block; S[s] (B, Cs*B)
+        # selects sublane-chain s's rows from the lane-group layout
+        erow = jax.lax.broadcasted_iota(jnp.int32, (block, G * block), 0)
+        ecol = jax.lax.broadcasted_iota(jnp.int32, (block, G * block), 1)
+        E = [(ecol == g * block + erow).astype(dt) for g in range(G)]
+        srow = jax.lax.broadcasted_iota(jnp.int32, (block, Cs * block), 0)
+        scol = jax.lax.broadcasted_iota(jnp.int32, (block, Cs * block), 1)
+        S = [(scol == srow * Cs + s).astype(dt) for s in range(Cs)]
 
     for j in range(nb):
         j0 = j * block
@@ -156,9 +242,20 @@ def chol_u_inv_batched_inplace(K_ref, U_ref, V_ref, Dinv_ref, C: int,
             [K_ref[c * Mp + j0:c * Mp + j0 + block, :] for c in range(C)],
             axis=0)                                         # (C*B, Mp) major
         Dall = _dg(P, Ej, 1, 1)                             # (C*B, B) major
-        Dmin = _dg(perm, Dall, 1, 0)                        # chain-minor
-        ud_min, udinv_min = _mini_chol_inv_batched(Dmin, C, block)
-        udinv_all = _dg(perm, udinv_min, 0, 0)              # back to major
+        if G > 1:
+            Dlg = sum(
+                _dg(_dg(perm,
+                        Dall[g * Cs * block:(g + 1) * Cs * block, :], 1, 0),
+                    E[g], 1, 0)
+                for g in range(G))                          # (Cs*B, G*B)
+            _, udinv_lg = _mini_chol_inv_batched_lg(Dlg, C, block, G)
+            udinv_all = jnp.concatenate(
+                [_dg(_dg(S[c % Cs], udinv_lg, 1, 0), E[c // Cs], 1, 1)
+                 for c in range(C)], axis=0)                # back to major
+        else:
+            Dmin = _dg(perm, Dall, 1, 0)                    # chain-minor
+            ud_min, udinv_min = _mini_chol_inv_batched(Dmin, C, block)
+            udinv_all = _dg(perm, udinv_min, 0, 0)          # back to major
         lmask = (col >= j0).astype(dt)
         for c in range(C):
             udinv_c = udinv_all[c * block:(c + 1) * block, :]

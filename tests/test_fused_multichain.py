@@ -68,8 +68,9 @@ def test_chain_batched_solves():
             assert np.abs(v[sl] - vref).max() / np.abs(vref).max() < 1e-5
 
 
-def test_batched_chol_parity():
-    C, Mp = 3, 128
+@pytest.mark.parametrize("C,G", [(3, 1), (8, 4), (16, 4), (4, 2)])
+def test_batched_chol_parity(C, G):
+    Mp = 128
     rng = np.random.default_rng(0)
     Ks = []
     for _ in range(C):
@@ -79,7 +80,8 @@ def test_batched_chol_parity():
 
     def body(k_ref, u_ref, v_ref, Ks_s, Ds_s):
         Ks_s[:] = k_ref[:]
-        chol_u_inv_batched_inplace(Ks_s, u_ref, v_ref, Ds_s, C, block=32)
+        chol_u_inv_batched_inplace(Ks_s, u_ref, v_ref, Ds_s, C, block=32,
+                                   lane_groups=G)
 
     U_all, V_all = pl.pallas_call(
         body,

@@ -264,6 +264,75 @@ def _mini_chol_inv_v2(Dblk, block, pivot_floor=None):
     return ud, jnp.concatenate(vrows, axis=0)
 
 
+def _mini_chol_inv_w(Dblk, block, pivot_floor=None):
+    """Single-pass variant of :func:`_mini_chol_inv_v2`: builds
+    W = ud^{-T} (the LOWER-triangular inverse ``chol(Dblk)^{-1}``) row by
+    row with forward substitution, skipping the whole backward pass.
+
+    Identities (round 4): with L = chol(Dblk) and W = L^{-1},
+    ``W Dblk = L^T`` — so the subdiagonal column the recursion needs is
+    ``u = (W a_col_i)`` (one MXU contraction against the UNMODIFIED input
+    block), the pivot is ``d = A_ii - ||u||^2``, and
+    ``w_i = (e_i - u^T W) * rsqrt(d)``. Per pivot: 3 tiny MXU
+    contractions + ~8 vector ops, vs ~20 vector ops across v2's two
+    passes — these unrolled loops are the op-issue floor of every fused
+    potential eval (PERF.md).
+
+    MEASURED SLOWER than v2 on TPU v5e despite the op count (0.62x on the
+    flagship NUTS chunk kernel): the 3 MXU contractions are serially
+    dependent within each pivot AND across pivots, so the loop pays ~3x128
+    un-pipelined MXU latencies per factorisation where v2's longer VPU
+    chains pipeline back-to-back. Kept as an opt-in ablation
+    (``GGP_MINI=w``) and as the reference implementation of the
+    single-pass identity (PERF.md round 4).
+
+    pivot_floor semantics match v2 exactly: a deficient pivot's row
+    becomes ``e_i / sqrt(floor)`` (i.e. ud row ``sqrt(floor) e_i``) and
+    contributes nothing to later pivots — enforced by masking ``u`` to
+    non-floored rows. Non-floored W rows provably carry zeros on floored
+    coordinates, so the recursion against the ORIGINAL block stays exact.
+    Without a floor, a non-positive pivot turns ``dis`` into NaN which
+    propagates through W (sampler divergence semantics, as v1/v2).
+
+    Returns W with ``W^T = udinv`` (callers consume it transpose-free:
+    ``udinv^T p = W p`` and ``udinv R = contract(W, R, dim0, dim0)``).
+    """
+    dt = Dblk.dtype
+    colB = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    rowB = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    eyeB = (rowB == colB).astype(dt)
+    AT = _dg(Dblk, eyeB, 0, 0)             # A^T: row i = A[:, i]^T
+    W = jnp.zeros((block, block), dt)
+    ok = jnp.zeros((1, block), dt) if pivot_floor is not None else None
+    for i in range(block):
+        onehot = eyeB[i:i + 1, :]
+        arow = AT[i:i + 1, :]
+        urow = _dg(arow, W, 1, 1)          # (1,B): u[j] = w_j . A[:, i]
+        if ok is not None:
+            urow = urow * ok               # floored rows contribute nothing
+        aii = jnp.sum(arow * onehot, axis=1, keepdims=True)
+        d = aii - _dg(urow, urow, 1, 1)    # (1,1)
+        wtil = onehot - _dg(urow, W, 1, 0)
+        if pivot_floor is None:
+            dis = jnp.where(
+                d > 0,
+                jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-38, dt))),
+                jnp.asarray(jnp.nan, dt))
+            wi = wtil * dis
+        else:
+            # floored pivot: v2 emits ud row sqrt(floor) e_i and skips its
+            # elimination. In W-form that is exactly: scale this row by
+            # rsqrt(floor) (= dis via the max) and exclude it from future
+            # u extractions (ok mask) — earlier non-floored ud rows keep
+            # generic entries at column i, so wtil is still needed.
+            good = (d >= pivot_floor).astype(dt)
+            dis = jax.lax.rsqrt(jnp.maximum(d, pivot_floor))
+            wi = wtil * dis
+            ok = ok + good * onehot
+        W = W + eyeB[:, i:i + 1] * wi      # write row i (rows >= i were 0)
+    return W
+
+
 def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16,
                        pivot_floor=None) -> None:
     """Fused in-kernel U = chol(K)^T and V = U^-1 (MXU-dominant form).
@@ -290,23 +359,41 @@ def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16,
     rowb = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     dpad = Dinv_ref.shape[1] - block
 
+    import os as _os
+    # GGP_MINI picks the mini-factorisation layout: "v2" (scalar-free two
+    # -pass, default), "w" (single-pass W = ud^-T — 2x fewer issue slots on
+    # paper but 0.62x measured on TPU v5e: the 3 serially-dependent tiny
+    # MXU contractions per pivot stall on MXU latency where v2's VPU chains
+    # pipeline; 71.4 vs 116.4 us/leaf on the flagship NUTS chunk kernel,
+    # PERF.md round 4), or "v1" (scalar-register variant).
+    mini = _os.environ.get("GGP_MINI", "v2")
+    if _os.environ.get("GGP_MINI_V1"):       # legacy ablation switch
+        mini = "v1"
+
     def chol_step(bj, _):
         j0 = pl.multiple_of(bj * block, block)
         p = K_ref[pl.ds(j0, block), :]
         Ej = ((rowb + j0) == col).astype(dt)                  # (block, Mp)
         Dblk = _dg(p, Ej, 1, 1)                               # p[:, j0:j0+B]
-        import os as _os
-        if _os.environ.get("GGP_MINI_V1"):
-            ud, udinv = _mini_chol_inv(Dblk, block, pivot_floor)
+        if mini == "w":
+            # single-pass W = ud^-T: the Dinv cache holds W, consumed
+            # transpose-free in both passes (see _mini_chol_inv_w)
+            W = _mini_chol_inv_w(Dblk, block, pivot_floor)
+            Up = _dg(W, p, 1, 0) * (col >= j0).astype(dt)
+            dcache = W
         else:
-            ud, udinv = _mini_chol_inv_v2(Dblk, block, pivot_floor)
-        # U panel = ud^-T p, masked to lanes >= j0
-        Up = _dg(udinv, p, 0, 0) * (col >= j0).astype(dt)
+            if mini == "v1":
+                ud, udinv = _mini_chol_inv(Dblk, block, pivot_floor)
+            else:
+                ud, udinv = _mini_chol_inv_v2(Dblk, block, pivot_floor)
+            # U panel = ud^-T p, masked to lanes >= j0
+            Up = _dg(udinv, p, 0, 0) * (col >= j0).astype(dt)
+            dcache = udinv
         U_ref[pl.ds(j0, block), :] = Up
         if dpad > 0:
-            udinv = jnp.concatenate(
-                [udinv, jnp.zeros((block, dpad), dt)], axis=1)
-        Dinv_ref[pl.ds(j0, block), :] = udinv
+            dcache = jnp.concatenate(
+                [dcache, jnp.zeros((block, dpad), dt)], axis=1)
+        Dinv_ref[pl.ds(j0, block), :] = dcache
         K_ref[:] = K_ref[:] - _dg(Up, Up, 0, 0)
         return 0
 
@@ -319,8 +406,11 @@ def chol_u_inv_inplace(K_ref, U_ref, V_ref, Dinv_ref, block: int = 16,
         Smask = S * (col >= i0 + block).astype(dt)
         E = ((rowb + i0) == col).astype(dt)
         R = E - _dg(Smask, V_ref[:], 1, 0)
-        udinv = Dinv_ref[pl.ds(i0, block), :][:, :block]
-        V_ref[pl.ds(i0, block), :] = _dg(udinv, R, 1, 0)
+        dcache = Dinv_ref[pl.ds(i0, block), :][:, :block]
+        if mini == "w":
+            V_ref[pl.ds(i0, block), :] = _dg(dcache, R, 0, 0)
+        else:
+            V_ref[pl.ds(i0, block), :] = _dg(dcache, R, 1, 0)
         return 0
 
     jax.lax.fori_loop(0, nb, inv_step, 0)

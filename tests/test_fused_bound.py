@@ -185,3 +185,92 @@ def test_eligibility_gate(monkeypatch):
     assert make_rbf_vfe_potential(X, jnp.zeros(10), 1e-6) is None
     X2 = jnp.zeros((100, 2))
     assert make_rbf_vfe_potential(X2, jnp.zeros(100), 1e-6, max_n=50) is None
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["w", "v2", "v1"])
+@pytest.mark.parametrize("floor", [None, 1e-3])
+def test_chol_u_inv_inplace_modes(rng, monkeypatch, mode, floor):
+    """The three mini-factorisation layouts (single-pass W, scalar-free v2,
+    scalar v1) must produce the same U = chol(K)^T and V = U^-1 through the
+    full blocked kernel (interpret mode). The coarse floor (1e-3, pivots
+    well clear of the threshold) keeps the floored/unfloored classification
+    deterministic across the two f32 summation orders — knife-edge floors
+    legitimately diverge (PERF.md round 4)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ggp_tpu.ops.fused_bound import chol_u_inv_inplace
+
+    monkeypatch.setenv("GGP_MINI", mode)
+    monkeypatch.delenv("GGP_MINI_V1", raising=False)
+    Mp = 64
+    A = rng.normal(size=(Mp, Mp))
+    K = jnp.asarray(A @ A.T + Mp * np.eye(Mp), jnp.float32)
+
+    def body(k_ref, u_ref, v_ref, Ks_s, Ds_s):
+        Ks_s[:] = k_ref[:]
+        chol_u_inv_inplace(Ks_s, u_ref, v_ref, Ds_s, block=16,
+                           pivot_floor=floor)
+
+    U, V = pl.pallas_call(
+        body,
+        out_shape=(jax.ShapeDtypeStruct((Mp, Mp), jnp.float32),) * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        scratch_shapes=[pltpu.VMEM((Mp, Mp), jnp.float32),
+                        pltpu.VMEM((Mp, 128), jnp.float32)],
+        interpret=True)(K)
+    Lref = np.linalg.cholesky(np.asarray(K, np.float64))
+    assert np.abs(np.asarray(U, np.float64).T - Lref).max() \
+        / np.abs(Lref).max() < 1e-4
+    assert np.abs(np.asarray(U, np.float64) @ np.asarray(V, np.float64)
+                  - np.eye(Mp)).max() < 1e-3
+
+
+@pytest.mark.slow
+def test_chol_u_inv_inplace_w_floored_parity(rng, monkeypatch):
+    """W-form floored semantics == v2 floored semantics through the blocked
+    kernel on a rank-deficient K (floor binds on most pivots)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ggp_tpu.ops.fused_bound import chol_u_inv_inplace
+
+    Mp = 32
+    v = rng.normal(size=(Mp, 6))
+    K = jnp.asarray(v @ v.T, jnp.float32)
+    floor = 1e-2   # coarse: classification deterministic across orders
+
+    def run(mode):
+        monkeypatch.setenv("GGP_MINI", mode)
+
+        def body(k_ref, u_ref, v_ref, Ks_s, Ds_s):
+            Ks_s[:] = k_ref[:]
+            chol_u_inv_inplace(Ks_s, u_ref, v_ref, Ds_s, block=16,
+                               pivot_floor=floor)
+
+        return pl.pallas_call(
+            body,
+            out_shape=(jax.ShapeDtypeStruct((Mp, Mp), jnp.float32),) * 2,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+            scratch_shapes=[pltpu.VMEM((Mp, Mp), jnp.float32),
+                            pltpu.VMEM((Mp, 128), jnp.float32)],
+            interpret=True)(K)
+
+    Uw, Vw = run("w")
+    U2, V2 = run("v2")
+    # same pivots floored (diag(U) == sqrt(floor) at bound positions)
+    fw = np.isclose(np.diag(np.asarray(Uw)), np.sqrt(floor), rtol=1e-3)
+    f2 = np.isclose(np.diag(np.asarray(U2)), np.sqrt(floor), rtol=1e-3)
+    assert (fw == f2).all()
+    sU = float(jnp.abs(U2).max())
+    sV = float(jnp.abs(V2).max())
+    assert float(jnp.abs(Uw - U2).max()) / sU < 1e-4
+    # V compounds 1/sqrt(floor)-scaled rows across ~26 floored pivots: the
+    # two f32 summation orders legitimately differ at ~1e-3 relative (both
+    # modes' V are equally far from inv(U) here — when the floor binds the
+    # blocked kernel's outputs are regularised approximations BY DESIGN,
+    # see _pivot_row / CLAUDE.md round-3 facts)
+    assert float(jnp.abs(Vw - V2).max()) / sV < 5e-3

@@ -235,8 +235,7 @@ class SGPMC:
 
         from ..kernels.base import RBF, Scale
         from ..means import Zero
-        from ..ops.fused_nuts import (MAX_N_RESIDENT, fused_nuts_supported,
-                                      make_fused_nuts)
+        from ..ops.fused_nuts import fused_nuts_supported, make_fused_nuts
         from ..priors import Gamma
 
         if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
@@ -261,9 +260,8 @@ class SGPMC:
             return None
         n, d = self.train_x.shape
         M = self.Z.shape[0]
-        # sgpmc has no N-streaming implementation: X must be VMEM-resident
-        if (not fused_nuts_supported(n, d, M, max_n=MAX_N_RESIDENT)
-                or d + 2 + M > 128):
+        # past MAX_N_RESIDENT the sgpmc core streams X/y from HBM (round 4)
+        if not fused_nuts_supported(n, d, M) or d + 2 + M > 128:
             return None
         builder = make_fused_nuts(self.train_x, self.train_y, self.jitter,
                                   target="sgpmc", algorithm=algorithm,

@@ -1179,3 +1179,147 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
         dZ = dZs * inv_ls * mrow_mask * ls_mask
         return -F, -g, -dZ
     return -F, -g
+
+
+def _sgpmc_neg_logpost_vg_streaming(state_pad, Zp, n, m, d, jitter,
+                                    chol_inv, loop_blocks, NB,
+                                    want_prior=True):
+    """Streaming variant of :func:`_sgpmc_neg_logpost_vg` for N past the
+    VMEM-resident envelope: X and y live in HBM packed into ONE (Np, 128)
+    array — X in lanes [0, d), y in lane 127, the same packing as
+    :func:`_rbf_vfe_neg_logpost_vg_streaming` — visited in (NB, 128) row
+    blocks through ``loop_blocks(body, carry)`` (kernel-supplied
+    double-buffered DMA iterator).
+
+    Unlike the VFE bound, the whitened JointHMC potential is fully
+    block-ADDITIVE: the factorised matrix Kmm depends only on (theta, Z),
+    and every data-coupled quantity — the conditional residual e, the
+    clamped variance, and ALL the adjoint contractions (e A^T, Abar A^T,
+    the Pms row/column sums) — is computable per row block given (v, V).
+    So ONE pass over X/y per potential eval suffices (HBM traffic = one
+    read, vs the VFE core's two), accumulating O(M^2)/O(M)/O(1) state:
+
+      see, svar, sum(msk), sum(Pms)                       scalars
+      A e                                                  (Mp,1)
+      T    = Abar A^T                                      (Mp,Mp)
+      rs_ms = rowsum_N(Pms), csX2 = cs_ms @ Xs2, Pms Xs   (1,Mp)/(1,128)/(Mp,128)
+
+    with the epilogue identical to the resident core from T onward.
+    Blocks are processed in A^T (row) orientation: At_b = Knm_b V is the
+    (NB, Mp) transpose of the resident core's A = L^-1 Kms columns.
+
+    Reference behavior: gpflow SGPMC whitened joint posterior
+    (/root/reference/models/sgp_hmc.py:32-91)."""
+    dt = Zp.dtype
+    Mp = Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    ls_mask = (lane < d).astype(dt)
+    log_os = state_pad[0, d]
+    log_noise = state_pad[0, d + 1]
+    # streaming: X lives in HBM; Z spans the same standardised region
+    inv_ls = capped_inv_ls(state_pad, ls_mask, Zp)
+    sf2 = jnp.exp(log_os)
+    s2 = jnp.exp(log_noise)
+
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (NB, 1), 0)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    eyeM = (rowm == colm).astype(dt)
+    mrow_mask = (rowm < m).astype(dt)
+    mcol_mask = (colm < m).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+    ey = (lane == (_LANES - 1)).astype(dt)                    # y lane one-hot
+
+    # v lanes -> (1,Mp) via the same MXU permutation as the resident core
+    perm = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
+            == (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+                + (d + 2))).astype(dt)
+    vrow = _dg(state_pad, perm, 1, 0) * mcol_mask             # (1,Mp)
+    vcol = _dg(vrow, one11, 0, 0)                             # (Mp,1)
+
+    Zs = Zp * inv_ls
+    Zs2 = Zs * Zs
+    zn = jnp.sum(Zs2, axis=1, keepdims=True)
+    znT = _dg(one11, zn, 1, 1)
+    r2_mm = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+    Kmm = sf2 * jnp.exp(-0.5 * r2_mm)
+    Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)
+    jit_scale = jnp.maximum(sf2, 1.0)
+    Kmm_j = Kmm + (jitter * jit_scale) * eyeM
+    U, V = chol_inv(Kmm_j)                                    # U=L^T, V=L^-T
+
+    def body(t, XYb, carry):
+        (see, svar, smsk, spms, ae, T, rsms, csx2, pmsx) = carry
+        rowg = rowb + t * NB
+        nmask = (rowg < n).astype(dt)                         # (NB,1)
+        yb = _dg(XYb, ey, 1, 1) * nmask                       # (NB,1)
+        Xs_b = XYb * inv_ls                                   # y lane zeroed
+        xn_b = jnp.sum(Xs_b * Xs_b, axis=1, keepdims=True)
+        r2 = jnp.maximum(xn_b + znT - 2.0 * _dg(Xs_b, Zs, 1, 1), 0.0)
+        Knm_b = sf2 * jnp.exp(-0.5 * r2) * nmask * mcol_mask  # (NB,Mp)
+        At_b = _dg(Knm_b, V, 1, 0)                            # A^T rows
+        e_b = (yb - At_b @ vcol) * nmask                      # (NB,1)
+        var_raw = sf2 - jnp.sum(At_b * At_b, axis=1, keepdims=True)
+        msk_b = (var_raw > 1e-12).astype(dt) * nmask
+        var_b = jnp.maximum(var_raw, 1e-12) * nmask
+        Abart_b = (e_b * vrow + At_b * msk_b) / s2            # Abar^T rows
+        KmsbT_b = _dg(Abart_b, V, 1, 1)                       # (L^-T Abar)^T
+        PmsT_b = KmsbT_b * Knm_b
+        cs_b = jnp.sum(PmsT_b, axis=1, keepdims=True)         # (NB,1)
+        Xs2_b = Xs_b * Xs_b
+        return (see + jnp.sum(e_b * e_b),
+                svar + jnp.sum(var_b),
+                smsk + jnp.sum(msk_b),
+                spms + jnp.sum(PmsT_b),
+                ae + _dg(At_b, e_b, 0, 0),
+                T + _dg(Abart_b, At_b, 0, 0),
+                rsms + jnp.sum(PmsT_b, axis=0, keepdims=True),
+                csx2 + _dg(cs_b, Xs2_b, 0, 0),
+                pmsx + _dg(PmsT_b, Xs_b, 0, 0))
+
+    zero = jnp.zeros((), dt)
+    (see, svar, smsk, spms, ae, T, rsms_row, csX2, PmsX) = loop_blocks(
+        body, (zero, zero, zero, zero,
+               jnp.zeros((Mp, 1), dt), jnp.zeros((Mp, Mp), dt),
+               jnp.zeros((1, Mp), dt), jnp.zeros((1, _LANES), dt),
+               jnp.zeros((Mp, _LANES), dt)))
+
+    F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+         - 0.5 * (see + svar) / s2
+         - 0.5 * jnp.sum(vrow * vrow))
+    if want_prior:
+        F = F + jnp.sum((2.0 * state_pad - jnp.exp(state_pad)) * ls_mask)
+        F = F + (2.0 * log_os - sf2) + (2.0 * log_noise - s2)
+
+    # ---- adjoints (epilogue identical to the resident core from T on) ----
+    g_v = (_dg(one11, ae, 1, 1) / s2 - vrow) * mcol_mask      # (1,Mp)
+    Phi = T * ((rowm > colm).astype(dt) + 0.5 * eyeM)
+    T1 = _dg(V, Phi, 1, 0)
+    Kmm_b = -_dg(T1, V, 1, 1)
+    Kmm_bT = _dg(eyeM, Kmm_b, 1, 1)
+    Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
+
+    dF_ds2 = (-0.5 * n / s2 + 0.5 * (see + svar) / (s2 * s2))
+    pr = jnp.asarray(1.0 if want_prior else 0.0, dt)
+    dlog_noise = dF_ds2 * s2 + pr * (2.0 - s2)
+    dlog_os = (jnp.sum(Kmm_b * Kmm) + spms
+               + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
+               + smsk * sf2 * (-0.5 / s2)                     # kdiag term
+               + pr * (2.0 - sf2))
+
+    Pmm = Kmm_b * Kmm
+    rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+    cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+    rs_ms = _dg(rsms_row, one11, 0, 0)                        # (Mp,1)
+    dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+           - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+           + _dg(rs_ms, Zs2, 0, 0) + csX2
+           - 2.0 * jnp.sum(Zs * PmsX, axis=0, keepdims=True))
+    g_ls = (dls + pr * (2.0 - jnp.exp(state_pad))) * ls_mask
+
+    g = g_ls
+    g = jnp.where(lane == d, dlog_os, g)
+    g = jnp.where(lane == d + 1, dlog_noise, g)
+    g = g + _dg(g_v, perm, 1, 1)
+    g = g * (lane < d + 2 + m).astype(dt)
+    return -F, -g

@@ -80,7 +80,11 @@ MAX_N_STREAM_MC = 16384
 
 def fused_multichain_supported(n: int, d: int, m: int, c: int,
                                target: str = "vfe") -> bool:
-    max_n = MAX_N_STREAM_MC if target == "vfe" else MAX_N_MULTICHAIN
+    # both cores stream past the resident cap (vfe: round 3; sgpmc:
+    # round 4 — the whitened JointHMC potential is block-additive, so its
+    # streaming pass is single-read)
+    max_n = MAX_N_STREAM_MC if target in ("vfe", "sgpmc") \
+        else MAX_N_MULTICHAIN
     return (d + 2 <= _LANES and n <= max_n and m <= 128
             and 2 <= c <= MAX_CHAINS)
 
@@ -911,6 +915,169 @@ def _sgpmc_batched_vg(states, Xp, yrow, Zp, n, m, d, jitter, C,
             -jnp.concatenate(g_rows, axis=0))
 
 
+def _sgpmc_batched_vg_streaming(states, Zp, n, m, d, jitter, C,
+                                batched_chol, loop_blocks, NB):
+    """Streaming variant of :func:`_sgpmc_batched_vg`: X/y live in HBM
+    packed into one (Np, 128) array (X lanes [0, d), y lane 127 — same
+    packing as :func:`_rbf_vfe_batched_vg_streaming`) and each
+    double-buffered (NB, 128) row block is visited ONCE by all C chains.
+
+    The whitened JointHMC potential is fully block-additive (see
+    fused_bound._sgpmc_neg_logpost_vg_streaming), so a SINGLE pass over
+    X/y suffices — HBM traffic per eval is one read regardless of C — with
+    per-chain O(M^2) accumulators:
+      see, svar, sum(msk), sum(Pms)                      scalars
+      A e (Mp,1), T = Abar A^T (Mp,Mp),
+      rowsum_N(Pms) (1,Mp), cs_ms @ Xs2 (1,128), Pms Xs (Mp,128)."""
+    dt = Zp.dtype
+    Mp = Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    ls_mask = (lane < d).astype(dt)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (NB, 1), 0)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    mrow_mask = (rowm < m).astype(dt)
+    mcol_mask = (colm < m).astype(dt)
+    eyeM = (rowm == colm).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+    ey = (lane == (_LANES - 1)).astype(dt)                  # y lane one-hot
+    perm = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
+            == (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+                + (d + 2))).astype(dt)
+
+    # streaming: X in HBM; Z spans the same standardised region
+    inv_ls_all = capped_inv_ls(states, ls_mask, Zp)         # (C,128)
+    log_os_all = jnp.sum(states * (lane == d).astype(dt), axis=1,
+                         keepdims=True)
+    log_noise_all = jnp.sum(states * (lane == d + 1).astype(dt), axis=1,
+                            keepdims=True)
+    sf2_all = jnp.exp(log_os_all)
+    s2_all = jnp.exp(log_noise_all)
+
+    # ---- per-chain Kmm, batched factorisation (no X needed) ----
+    Zs_l, Zs2_l, zn_l, Kmm_l, K_list, vrow_l, vcol_l = [], [], [], [], [], \
+        [], []
+    for c in range(C):
+        inv_ls = inv_ls_all[c:c + 1, :]
+        sf2 = sf2_all[c, 0]
+        Zs = Zp * inv_ls
+        Zs2 = Zs * Zs
+        zn = jnp.sum(Zs2, axis=1, keepdims=True)
+        znT = _dg(one11, zn, 1, 1)
+        r2 = jnp.maximum(zn + znT - 2.0 * _dg(Zs, Zs, 1, 1), 0.0)
+        Kmm = sf2 * jnp.exp(-0.5 * r2)
+        Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm, eyeM)
+        Kj = Kmm + (jitter * jnp.maximum(sf2, 1.0)) * eyeM
+        Zs_l.append(Zs); Zs2_l.append(Zs2); zn_l.append(zn)
+        Kmm_l.append(Kmm); K_list.append(Kj)
+        vrow = _dg(states[c:c + 1, :], perm, 1, 0) * mcol_mask
+        vrow_l.append(vrow)
+        vcol_l.append(_dg(vrow, one11, 0, 0))
+    UV = batched_chol(K_list)
+    V_l = [UV[c][1] for c in range(C)]
+
+    # ---- single pass: all data-coupled accumulators, all chains ----
+    def body(t, XYb, carry):
+        see, svar, smsk, spms, ae, T, rsms, csx2, pmsx = carry
+        rowg = rowb + t * NB
+        nmask = (rowg < n).astype(dt)                       # (NB,1)
+        yb = _dg(XYb, ey, 1, 1) * nmask                     # (NB,1)
+        outs = ([], [], [], [], [], [], [], [], [])
+        for c in range(C):
+            s2 = s2_all[c, 0]
+            Xs_b = XYb * inv_ls_all[c:c + 1, :]             # y lane zeroed
+            xn_b = jnp.sum(Xs_b * Xs_b, axis=1, keepdims=True)
+            znT = _dg(one11, zn_l[c], 1, 1)
+            r2 = jnp.maximum(xn_b + znT - 2.0 * _dg(Xs_b, Zs_l[c], 1, 1),
+                             0.0)
+            Knm_b = sf2_all[c, 0] * jnp.exp(-0.5 * r2) * nmask * mcol_mask
+            At_b = _dg(Knm_b, V_l[c], 1, 0)                 # A^T rows
+            e_b = (yb - At_b @ vcol_l[c]) * nmask
+            var_raw = sf2_all[c, 0] - jnp.sum(At_b * At_b, axis=1,
+                                              keepdims=True)
+            msk_b = (var_raw > 1e-12).astype(dt) * nmask
+            var_b = jnp.maximum(var_raw, 1e-12) * nmask
+            Abart_b = (e_b * vrow_l[c] + At_b * msk_b) / s2
+            KmsbT_b = _dg(Abart_b, V_l[c], 1, 1)
+            PmsT_b = KmsbT_b * Knm_b
+            cs_b = jnp.sum(PmsT_b, axis=1, keepdims=True)   # (NB,1)
+            Xs2_b = Xs_b * Xs_b
+            outs[0].append(see[c] + jnp.sum(e_b * e_b))
+            outs[1].append(svar[c] + jnp.sum(var_b))
+            outs[2].append(smsk[c] + jnp.sum(msk_b))
+            outs[3].append(spms[c] + jnp.sum(PmsT_b))
+            outs[4].append(ae[c] + _dg(At_b, e_b, 0, 0))
+            outs[5].append(T[c] + _dg(Abart_b, At_b, 0, 0))
+            outs[6].append(rsms[c] + jnp.sum(PmsT_b, axis=0, keepdims=True))
+            outs[7].append(csx2[c] + _dg(cs_b, Xs2_b, 0, 0))
+            outs[8].append(pmsx[c] + _dg(PmsT_b, Xs_b, 0, 0))
+        return tuple(map(tuple, outs))
+
+    zero = jnp.zeros((), dt)
+    see, svar, smsk, spms, ae, T, rsms, csx2, pmsx = loop_blocks(body, (
+        tuple(zero for _ in range(C)), tuple(zero for _ in range(C)),
+        tuple(zero for _ in range(C)), tuple(zero for _ in range(C)),
+        tuple(jnp.zeros((Mp, 1), dt) for _ in range(C)),
+        tuple(jnp.zeros((Mp, Mp), dt) for _ in range(C)),
+        tuple(jnp.zeros((1, Mp), dt) for _ in range(C)),
+        tuple(jnp.zeros((1, _LANES), dt) for _ in range(C)),
+        tuple(jnp.zeros((Mp, _LANES), dt) for _ in range(C))))
+
+    # ---- per-chain epilogue (identical to the resident core from T on) ----
+    U_rows, g_rows = [], []
+    for c in range(C):
+        sf2 = sf2_all[c, 0]
+        s2 = s2_all[c, 0]
+        state = states[c:c + 1, :]
+        vrow = vrow_l[c]
+        V = V_l[c]
+        Kmm = Kmm_l[c]
+        Zs, Zs2 = Zs_l[c], Zs2_l[c]
+        log_os = log_os_all[c, 0]
+        log_noise = log_noise_all[c, 0]
+
+        F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+             - 0.5 * (see[c] + svar[c]) / s2
+             - 0.5 * jnp.sum(vrow * vrow))
+        F = F + jnp.sum((2.0 * state - jnp.exp(state)) * ls_mask)
+        F = F + (2.0 * log_os - sf2) + (2.0 * log_noise - s2)
+
+        g_v = (_dg(one11, ae[c], 1, 1) / s2 - vrow) * mcol_mask
+        Phi = T[c] * ((rowm > colm).astype(dt) + 0.5 * eyeM)
+        T1 = _dg(V, Phi, 1, 0)
+        Kmm_b = -_dg(T1, V, 1, 1)
+        Kmm_bT = _dg(eyeM, Kmm_b, 1, 1)
+        Kmm_b = 0.5 * (Kmm_b + Kmm_bT)
+
+        dF_ds2 = (-0.5 * n / s2 + 0.5 * (see[c] + svar[c]) / (s2 * s2))
+        dlog_noise = dF_ds2 * s2 + (2.0 - s2)
+        dlog_os = (jnp.sum(Kmm_b * Kmm) + spms[c]
+                   + jitter * sf2 * (sf2 > 1.0) * jnp.sum(Kmm_b * eyeM)
+                   + smsk[c] * sf2 * (-0.5 / s2)
+                   + (2.0 - sf2))
+
+        Pmm = Kmm_b * Kmm
+        rs_mm = jnp.sum(Pmm, axis=1, keepdims=True)
+        cs_mm = jnp.sum(Pmm, axis=0, keepdims=True)
+        rs_ms = _dg(rsms[c], one11, 0, 0)                   # (Mp,1)
+        dls = (_dg(rs_mm, Zs2, 0, 0) + cs_mm @ Zs2
+               - 2.0 * jnp.sum(Zs * (Pmm @ Zs), axis=0, keepdims=True)
+               + _dg(rs_ms, Zs2, 0, 0) + csx2[c]
+               - 2.0 * jnp.sum(Zs * pmsx[c], axis=0, keepdims=True))
+        g_ls = (dls + (2.0 - jnp.exp(state))) * ls_mask
+
+        g = g_ls
+        g = jnp.where(lane == d, dlog_os, g)
+        g = jnp.where(lane == d + 1, dlog_noise, g)
+        g = g + _dg(g_v, perm, 1, 1)
+        g = g * (lane < d + 2 + m).astype(dt)
+        U_rows.append(F * jnp.ones((1, 1), dt))
+        g_rows.append(g)
+
+    return (-jnp.concatenate(U_rows, axis=0),
+            -jnp.concatenate(g_rows, axis=0))
+
+
 # ---------------------------------------------------------------------------
 # Batched HMC transition + chunk kernels
 # ---------------------------------------------------------------------------
@@ -1295,7 +1462,10 @@ def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
         return _StackedUV(out, Us[:], Vs[:])
 
     if stream is not None:
-        assert core == "vfe", "multichain N-streaming: vfe core only"
+        assert core in ("vfe", "sgpmc"), \
+            "multichain N-streaming: vfe and sgpmc cores"
+        stream_fn = (_rbf_vfe_batched_vg_streaming if core == "vfe"
+                     else _sgpmc_batched_vg_streaming)
         NB, nblk = stream["NB"], stream["nblocks"]
         xbuf, sem = stream["xbuf"], stream["sem"]
 
@@ -1321,7 +1491,7 @@ def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
             return jax.lax.fori_loop(0, nblk, lb, carry)
 
         def pot(zrows):
-            return _rbf_vfe_batched_vg_streaming(
+            return stream_fn(
                 zrows, zz_ref[:], n, m, d, jitter, C, batched_chol,
                 loop_blocks, NB)
 
@@ -1692,9 +1862,10 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
     :func:`_nuts_transition_batched`; ``num_leapfrog`` is ignored and the
     per-transition tree is capped at ``max_depth``).
 
-    For the vfe target at n > MAX_N_MULTICHAIN, X/y stay in HBM and every
-    chain's gram passes share double-buffered (stream_block, 128) row
-    blocks (round 3; same DMA pipeline as the single-chain streaming path,
+    For the vfe and sgpmc targets at n > MAX_N_MULTICHAIN, X/y stay in
+    HBM and every chain's gram passes share double-buffered
+    (stream_block, 128) row blocks (vfe: round 3; sgpmc: round 4 —
+    single-pass; same DMA pipeline as the single-chain streaming path,
     ops/fused_nuts.py)."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
@@ -1703,13 +1874,13 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
     if not fused_multichain_supported(n, d, 0, C, target):
         return None
     stream_nb = None
-    if target == "sgpmc":
+    if target == "sgpmc" and n <= MAX_N_MULTICHAIN:
         Np = _round_up(n, _LANES)
         Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
         yp = jnp.zeros((1, Np), jnp.float32).at[0, :n].set(y)
     elif n > MAX_N_MULTICHAIN:
-        # streaming vfe: HBM-resident X/y padded to whole DMA blocks; y
-        # packed into lane 127 (1-lane columns cannot be DMA-sliced from
+        # streaming vfe/sgpmc: HBM-resident X/y padded to whole DMA blocks;
+        # y packed into lane 127 (1-lane columns cannot be DMA-sliced from
         # HBM); the separate y input is an unused dummy
         if d + 2 > _LANES - 1:
             return None

@@ -48,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_bound import (_gpr_neg_logpost_vg, _rbf_vfe_neg_logpost_vg,
                           _rbf_vfe_neg_logpost_vg_streaming, _round_up,
-                          _sgpmc_neg_logpost_vg, chol_u_inv_inplace)
+                          _sgpmc_neg_logpost_vg,
+                          _sgpmc_neg_logpost_vg_streaming,
+                          chol_u_inv_inplace)
 
 __all__ = ["make_fused_nuts", "fused_nuts_supported", "FusedNUTS"]
 
@@ -275,7 +277,10 @@ def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block,
         return Us[:], Vs[:]
 
     if stream is not None:
-        assert core == "vfe", "N-streaming is implemented for the vfe core"
+        assert core in ("vfe", "sgpmc"), \
+            "N-streaming is implemented for the vfe and sgpmc cores"
+        stream_fn = (_rbf_vfe_neg_logpost_vg_streaming if core == "vfe"
+                     else _sgpmc_neg_logpost_vg_streaming)
         NB, nblk = stream["NB"], stream["nblocks"]
         xbuf, sem = stream["xbuf"], stream["sem"]
 
@@ -301,7 +306,7 @@ def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block,
             return jax.lax.fori_loop(0, nblk, lb, carry)
 
         def pot(zrow):
-            return _rbf_vfe_neg_logpost_vg_streaming(
+            return stream_fn(
                 zrow, zz_ref[:], n, m, d, jitter, chol_inv=ref_chol_inv,
                 loop_blocks=loop_blocks, NB=NB)
 
@@ -595,10 +600,11 @@ class FusedNUTS(NamedTuple):
 
 def fused_nuts_supported(n: int, d: int, m: int, *, max_n: int | None = None,
                          max_m: int = MAX_M) -> bool:
-    """Size envelope for the vfe target. Up to MAX_N_RESIDENT rows X/y are
-    VMEM-resident; past that the streaming path (HBM double-buffered row
-    blocks) carries it to MAX_N_STREAM. Targets without a streaming
-    implementation (sgpmc) pass ``max_n=MAX_N_RESIDENT``."""
+    """Size envelope for the inducing-point targets. Up to MAX_N_RESIDENT
+    rows X/y are VMEM-resident; past that the streaming path (HBM
+    double-buffered row blocks) carries both the vfe and sgpmc cores to
+    MAX_N_STREAM. Targets without a streaming implementation pass
+    ``max_n=MAX_N_RESIDENT``."""
     if max_n is None:
         max_n = MAX_N_STREAM
     return (d + 2 <= _LANES) and (n <= max_n) and (m <= max_m)
@@ -620,21 +626,22 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
     ``algorithm``: "nuts" or fixed-leapfrog "hmc" (the reference JointHMC
     protocol, models/sgp_hmc.py:67-69).
 
-    For the vfe target at n > MAX_N_RESIDENT, X/y stay in HBM and the
-    kernels stream (stream_block, 128) row blocks through a double-buffered
-    DMA pipeline (VERDICT r2 item 2)."""
+    For the vfe and sgpmc targets at n > MAX_N_RESIDENT, X/y stay in HBM
+    and the kernels stream (stream_block, 128) row blocks through a
+    double-buffered DMA pipeline (VERDICT r2 item 2; sgpmc streaming is
+    single-pass — round 4)."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = X.shape
     if max_n is None:
-        max_n = MAX_N_STREAM if target == "vfe" else MAX_N_RESIDENT
+        max_n = MAX_N_STREAM if target in ("vfe", "sgpmc") else MAX_N_RESIDENT
     if target == "gpr":
         if n > MAX_N_DENSE or d + 2 > _LANES:
             return None
     elif not fused_nuts_supported(n, d, 0, max_n=max_n, max_m=max_m):
         return None
     stream_nb = None
-    if target == "sgpmc":
+    if target == "sgpmc" and n <= MAX_N_RESIDENT:
         Np = _round_up(n, _LANES)
         Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
         yp = jnp.zeros((1, Np), jnp.float32).at[0, :n].set(y)
@@ -645,10 +652,10 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
         Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
         yp = jnp.zeros((Np, 1), jnp.float32).at[:n, 0].set(y)
     elif n > MAX_N_RESIDENT:
-        # streaming vfe: HBM-resident X/y padded to whole DMA blocks; y is
-        # packed into lane 127 of the X array (a 1-lane column cannot be
-        # DMA-sliced from HBM, and packing halves the DMA count) — so the
-        # separate y input is an unused dummy here
+        # streaming vfe/sgpmc: HBM-resident X/y padded to whole DMA blocks;
+        # y is packed into lane 127 of the X array (a 1-lane column cannot
+        # be DMA-sliced from HBM, and packing halves the DMA count) — so
+        # the separate y input is an unused dummy here
         if d + 2 > _LANES - 1:
             return None
         Np = _round_up(n, stream_block)

@@ -35,10 +35,11 @@ def test_envelope():
     assert fused_multichain_supported(404, 13, 100, 16)      # round-3 cap
     assert not fused_multichain_supported(404, 13, 100, 1)   # use single path
     assert not fused_multichain_supported(404, 13, 100, 32)
-    # vfe streams past the resident cap (round 3); sgpmc stays resident
+    # vfe streams past the resident cap (round 3); sgpmc too (round 4)
     assert fused_multichain_supported(5000, 13, 100, 8, target="vfe")
-    assert not fused_multichain_supported(5000, 13, 100, 8, target="sgpmc")
+    assert fused_multichain_supported(5000, 13, 100, 8, target="sgpmc")
     assert not fused_multichain_supported(60000, 13, 100, 8, target="vfe")
+    assert not fused_multichain_supported(60000, 13, 100, 8, target="sgpmc")
 
 
 def test_chain_batched_solves():
@@ -237,6 +238,103 @@ def test_multichain_sgpmc_potential_and_chunks(problem):
         assert not np.any(np.asarray(div) > 0.5)
         assert np.all(np.isfinite(np.asarray(zs)))
     assert np.mean(np.concatenate(accs)) > 0.4
+
+
+def test_streaming_multichain_sgpmc_potential_and_chunks(problem,
+                                                         monkeypatch):
+    """sgpmc-core multichain N-streaming (round 4): with the resident cap
+    forced low, the single-pass HBM block-streaming batched whitened-JointHMC
+    potential must match the resident single-chain fused sgpmc potential per
+    chain, and fixed-eps sample chunks must move with healthy accepts."""
+    import ggp_tpu.ops.fused_multichain as fm
+    from ggp_tpu.ops.fused_nuts import make_fused_nuts
+
+    X, y, Z, d = problem
+    m = Z.shape[0]
+    C = 2
+    dim = d + 2 + m
+    monkeypatch.setattr(fm, "MAX_N_MULTICHAIN", 16)
+    builder = fm.make_fused_hmc_multichain(X, y, 1e-6, num_chains=C, chunk=4,
+                                           num_leapfrog=5, target="sgpmc",
+                                           stream_block=32, interpret=True)
+    fused = builder(Z)
+    single = make_fused_nuts(X, y, 1e-6, target="sgpmc",
+                             interpret=True)(Z)
+    rng = np.random.default_rng(9)
+    states = jnp.asarray(rng.normal(size=(C, dim)) * 0.2, jnp.float32)
+    U_b, g_b = jax.jit(fused.potential)(states)
+    for c in range(C):
+        u1, g1 = single.potential(states[c])
+        np.testing.assert_allclose(float(U_b[c]), float(u1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[c]), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-3)
+
+    z = states
+    U, g = fused.potential(z)
+    inv_mass = jnp.ones((C, dim), jnp.float32)
+    eps = jnp.full((C,), 0.05, jnp.float32)
+    key = jax.random.PRNGKey(4)
+    accs = []
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        zs, z, U, g, acc, div = fused.sample_chunk(z, U, g, k, eps,
+                                                   inv_mass, 4)
+        accs.append(np.asarray(acc))
+        assert not np.any(np.asarray(div) > 0.5)
+        assert np.all(np.isfinite(np.asarray(zs)))
+    assert np.mean(np.concatenate(accs)) > 0.4
+
+
+def test_streaming_multichain_sgpmc_nuts_chunks(problem, monkeypatch):
+    """Streaming + lock-step NUTS on the sgpmc core (round 4): the
+    single-pass HBM block-streaming batched whitened-JointHMC potential
+    drives the in-kernel multichain doubling loop. With the resident cap
+    forced low (n=48 -> 2 DMA blocks of 32), the batched potential must
+    match the resident single-chain fused sgpmc potential per chain and
+    NUTS sample chunks must move with real tree depths."""
+    import ggp_tpu.ops.fused_multichain as fm
+    from ggp_tpu.ops.fused_nuts import make_fused_nuts
+
+    X, y, Z, d = problem
+    m = Z.shape[0]
+    C = 2
+    dim = d + 2 + m
+    monkeypatch.setattr(fm, "MAX_N_MULTICHAIN", 16)
+    builder = fm.make_fused_hmc_multichain(X, y, 1e-6, num_chains=C,
+                                           chunk=4, algo="nuts",
+                                           max_depth=5, target="sgpmc",
+                                           stream_block=32, interpret=True)
+    fused = builder(Z)
+    assert fused.algo == "nuts"
+    single = make_fused_nuts(X, y, 1e-6, target="sgpmc",
+                             interpret=True)(Z)
+    rng = np.random.default_rng(17)
+    states = jnp.asarray(rng.normal(size=(C, dim)) * 0.2, jnp.float32)
+    U_b, g_b = jax.jit(fused.potential)(states)
+    for c in range(C):
+        u1, g1 = single.potential(states[c])
+        np.testing.assert_allclose(float(U_b[c]), float(u1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[c]), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-3)
+
+    z = states
+    U, g = fused.potential(z)
+    inv_mass = jnp.ones((C, dim), jnp.float32)
+    eps = jnp.full((C,), 0.05, jnp.float32)
+    key = jax.random.PRNGKey(6)
+    accs, deps = [], []
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        zs, z, U, g, acc, div, dep, nlv = fused.sample_chunk(
+            z, U, g, k, eps, inv_mass, 4)
+        accs.append(np.asarray(acc))
+        deps.append(np.asarray(dep))
+        assert not np.any(np.asarray(div) > 0.5)
+        assert np.all(np.isfinite(np.asarray(zs)))
+        assert np.all(np.asarray(nlv) >= 1)
+    assert np.mean(np.concatenate(accs)) > 0.3
+    assert np.concatenate(deps).max() >= 1
+    assert not np.allclose(np.asarray(z), np.asarray(states))
 
 
 def test_nuts_batched_equals_per_chain():

@@ -322,6 +322,51 @@ def test_sgpmc_fused_hmc_transitions(problem):
     np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-4)
 
 
+def test_streaming_sgpmc_potential_matches_autodiff(problem, monkeypatch):
+    """sgpmc N-streaming (round 4): with the resident threshold forced low,
+    the single-pass HBM block-streaming whitened-JointHMC potential must
+    equal jax.grad of SGPMC._logpost in value+grad, and a transition must
+    move (n=48 pads to 2 blocks of 32, exercising multi-block accumulation
+    of all nine data-coupled accumulators + row masking)."""
+    import ggp_tpu.ops.fused_nuts as fn
+    from ggp_tpu.models.sgpmc import SGPMC
+
+    X, y, Z, d = problem
+    m = Z.shape[0]
+    monkeypatch.setattr(fn, "MAX_N_RESIDENT", 16)
+    mod = SGPMC(X, y, Z_init=Z, jitter=1e-6)
+    rng = np.random.default_rng(3)
+    state = {"v": jnp.asarray(rng.normal(size=(m,)) * 0.5, jnp.float32),
+             "kernel": {"base": {"log_lengthscale":
+                                 jnp.asarray(rng.normal(size=(d,)) * 0.3,
+                                             jnp.float32)},
+                        "log_outputscale": jnp.asarray(0.2, jnp.float32)},
+             "lik": {"log_noise": jnp.asarray(-1.0, jnp.float32)},
+             "mean": {}}
+    flat, unravel = jax.flatten_util.ravel_pytree(state)
+
+    def ref(v):
+        return -mod._logpost(unravel(v), (X, y, Z))
+
+    U_ref, g_ref = jax.value_and_grad(ref)(flat)
+    builder = fn.make_fused_nuts(X, y, 1e-6, target="sgpmc", max_depth=4,
+                                 interpret=True, stream_block=32)
+    fused = builder(Z)
+    U_f, g_f = jax.jit(fused.potential)(flat)
+    np.testing.assert_allclose(float(U_f), float(U_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
+
+    inv_mass = jnp.ones(d + 2 + m, jnp.float32)
+    z1, U1, g1, stats = fused.transition(
+        None, flat, U_f, g_f, jax.random.PRNGKey(3),
+        jnp.asarray(0.05, jnp.float32), inv_mass)
+    assert np.all(np.isfinite(np.asarray(z1)))
+    assert int(stats["n_leapfrog"]) >= 1
+    U1_check, _ = fused.potential(z1)
+    np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-5)
+
+
 def test_statistical_parity_vs_xla(problem):
     """End-to-end posterior parity: the fused chunked sampler and the XLA
     NUTS sampler agree on posterior means (within MC error) and spreads on

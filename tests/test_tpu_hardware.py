@@ -82,3 +82,37 @@ def test_fused_transition_smoke_hardware():
     div = float(np.asarray(m.stats["diverging"]).mean())
     acc = float(np.asarray(m.stats["accept_prob"]).mean())
     assert div <= 0.1 and acc >= 0.5
+
+
+def test_streaming_sgpmc_hardware():
+    """N-streamed whitened-JointHMC kernels (round 4) on real TPU: at
+    n > MAX_N_RESIDENT the single-chain NUTS and the C-batched HMC chunk
+    kernels stream X/y from HBM in a single pass per potential eval
+    (ops/fused_bound._sgpmc_neg_logpost_vg_streaming). Asserts they
+    Mosaic-compile and sample healthily end-to-end through SGPMC.
+    Reference protocol: gpflow SGPMC (models/sgp_hmc.py:67-73)."""
+    if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
+        pytest.skip("fused transitions disabled by env")
+    from ggp_tpu.models import SGPMC
+    from ggp_tpu.ops.fused_nuts import MAX_N_RESIDENT
+
+    rng = np.random.default_rng(0)
+    n, d, M = MAX_N_RESIDENT + 1024, 4, 32
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    y = (np.sin(X @ rng.normal(size=(d,)))
+         + 0.1 * rng.normal(size=n)).astype(np.float32)
+    m = SGPMC(X, y, Z_init=X[:: n // M][:M].copy(), jitter=1e-6)
+    m.warm_start(num_steps=100, lr=0.05)
+
+    m.train_model(num_warmup=20, num_samples=20, algorithm="nuts")
+    assert float(np.asarray(m.stats["diverging"]).mean()) <= 0.1
+    assert float(np.asarray(m.stats["accept_prob"]).mean()) >= 0.5
+    assert all(bool(np.all(np.isfinite(np.asarray(l))))
+               for l in jax.tree_util.tree_leaves(m.trace))
+
+    m.train_model(num_warmup=20, num_samples=20, num_chains=4,
+                  algorithm="hmc", num_leapfrog=10)
+    assert float(np.asarray(m.stats["diverging"]).mean()) <= 0.1
+    assert float(np.asarray(m.stats["accept_prob"]).mean()) >= 0.5
+    assert all(bool(np.all(np.isfinite(np.asarray(l))))
+               for l in jax.tree_util.tree_leaves(m.trace))

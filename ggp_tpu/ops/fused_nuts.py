@@ -400,9 +400,14 @@ def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
                     block, core,
                     stream=_stream_dict(stream_nb, xsbuf, dsem))
 
+    # t must be a STATIC python int here: a concrete jnp.int32(0) makes
+    # pl.ds emit a dynamic-start slice whose start lowers to a jaxpr
+    # literal, and Mosaic's load rule then dies with "Too many leaves for
+    # PyTreeDef" (hit on hardware for every target; the chunk kernels pass
+    # a traced fori index and never see it)
     zp, Up, gp, accept_prob, diverging, depth, nl, H0 = _run_transition(
         z_ref[:], scal_ref[1], g_ref[:], scal_ref[0], im_ref[:], pot,
-        jnp.int32(0), mom_ref, treeu_ref, leafu_ref, zc_ref, vc_ref,
+        0, mom_ref, treeu_ref, leafu_ref, zc_ref, vc_ref,
         dim_mask, algo=algo, max_depth=max_depth,
         num_leapfrog=num_leapfrog, leaf_rows=leaf_rows)
 

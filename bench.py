@@ -42,6 +42,28 @@ timed under that model's reference sampling protocol:
 All cells are divergence-gated and report min-ESS/sec. Compile is excluded
 on both sides (pymc3 excludes Theano compile from perf_counter_diff).
 
+Round 5 (VERDICT r4 item 1): the round-4 driver artifact burned its ENTIRE
+1,360 s budget launching full-length cells into a hung TPU link (every cell
+"TPU link hang?" at its full 220-420 s timeout; CLAUDE.md: the tunnel can
+stay dead for 10+ minutes right after a heavy session — exactly when the
+driver runs). This version is probe-gated:
+
+* a LINK PROBE (subprocess: import jax + 8x8 matmul, 45 s timeout) gates
+  every cell launch. While the probe fails, bench sleeps 30 s and
+  re-probes instead of feeding 420 s cells to a dead tunnel; every probe
+  outcome is recorded under "probes" in the JSON so a dead link is
+  distinguishable from slow code.
+* a cell failure marks the link suspect (re-probe before the next cell);
+  a cell success marks it healthy (no probe tax between good cells).
+* if the headline cell is still unhealthy after the normal passes, bench
+  keeps probe-gated retrying it until the budget runs out.
+
+Round 5 also adds the driver-visible THROUGHPUT cell (VERDICT r4 item 8):
+the 8-chain chain-batched fused HMC config (Boston-shaped, tune=500,
+n=500, L=10 — PERF.md single-chip record 2455 min-ESS/s) runs as cell
+("HMC-C8", "boston") and reports min-ESS/s; it has no reference-seconds
+counterpart so it is excluded from the matrix geomean.
+
 Prints ONE JSON line on stdout: the driver's {metric, value, unit,
 vs_baseline} contract, with the matrix embedded under "cells" and the
 geometric-mean speedup under "matrix_geomean_speedup". Progress goes to
@@ -236,33 +258,66 @@ def cell_joint_hmc(name):
             [reps])
 
 
+def cell_hmc_throughput(name):
+    """8-chain chain-batched fused HMC throughput config (PERF.md round-3
+    record protocol: tune=500, n=500, L=10, min-of-2). Reported metric is
+    min-ESS/s over the pooled trace — the single-chip throughput number
+    the mesh `chains` axis multiplies."""
+    import jax
+
+    from ggp_tpu.models import BayesianSparseGPR_HMC
+    X, y, Z = _make_data(name)
+    model = BayesianSparseGPR_HMC(X, y, Z_init=Z)
+    model.warm_start(num_steps=500, lr=0.01)
+    kw = dict(num_chains=8, algorithm="hmc", num_leapfrog=10)
+    model.sample_hypers(500, 500, key=jax.random.PRNGKey(99), **kw)
+    jax.block_until_ready(model.trace)
+    reps = []
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        model.sample_hypers(500, 500, key=jax.random.PRNGKey(0), **kw)
+        jax.block_until_ready(model.trace)
+        reps.append(round(time.perf_counter() - t0, 4))
+    total = min(reps)
+    div, acc, healthy = _health(model.stats)
+    return (total, _min_ess_per_s(model.trace, total), div, acc, healthy,
+            [reps])
+
+
 RUNNERS = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
-           "JointHMC": cell_joint_hmc}
+           "JointHMC": cell_joint_hmc, "HMC-C8": cell_hmc_throughput}
+THROUGHPUT = ("HMC-C8", "boston")
 # per-cell subprocess hard timeouts: generous on the fused path (Mosaic
 # cold compiles), tight on the XLA path (its compiles are ~10x cheaper;
 # round-2/3 data shows healthy XLA cells complete in < 3 min warm)
-CELL_TIMEOUT_FUSED = {"SGPR+HMC": 780, "GPR+HMC": 420, "JointHMC": 600}
-CELL_TIMEOUT_XLA = {"SGPR+HMC": 420, "GPR+HMC": 300, "JointHMC": 360}
+CELL_TIMEOUT_FUSED = {"SGPR+HMC": 780, "GPR+HMC": 420, "JointHMC": 600,
+                      "HMC-C8": 600}
+CELL_TIMEOUT_XLA = {"SGPR+HMC": 420, "GPR+HMC": 300, "JointHMC": 360,
+                    "HMC-C8": 600}
 
 
 def run_cell(model_name, ds):
-    baseline = {**BASELINES, **FULL_EXTRA}[(model_name, ds)]
+    baseline = {**BASELINES, **FULL_EXTRA}.get((model_name, ds))
     secs, ess, div, acc, healthy, rep_times = RUNNERS[model_name](ds)
-    return {
+    cell = {
         "model": model_name, "dataset": f"{ds}-shaped",
         "sampling_s": round(secs, 4),
         "rep_times": rep_times,
         "min_ess_per_s": round(ess, 1),
         "divergence_frac": round(div, 4), "accept": round(acc, 3),
-        "healthy": healthy, "reference_s": baseline,
-        "speedup": round(baseline / secs, 2) if healthy else 0.0,
+        "healthy": healthy,
     }
+    if baseline is not None:
+        cell["reference_s"] = baseline
+        cell["speedup"] = round(baseline / secs, 2) if healthy else 0.0
+    return cell
 
 
 # ---------------------------------------------------------------------------
 # anytime-emission machinery (VERDICT r3 item 1)
 
-_STATE = {"cells": {}, "emitted": False, "child": None, "t_start": None}
+_STATE = {"cells": {}, "emitted": False, "child": None, "t_start": None,
+          "probes": [], "link_ok": False}
 
 
 def _log(msg):
@@ -271,7 +326,8 @@ def _log(msg):
 
 
 def _build_payload():
-    order = list(BASELINES) + [k for k in FULL_EXTRA if k in _STATE["cells"]]
+    order = (list(BASELINES) + [THROUGHPUT]
+             + [k for k in FULL_EXTRA if k in _STATE["cells"]])
     cells = []
     for key in order:
         cell = _STATE["cells"].get(key)
@@ -281,23 +337,30 @@ def _build_payload():
                     "error": "not reached (budget/timeout)"}
         cells.append(cell)
     head = _STATE["cells"].get(HEADLINE)
-    speedups = [c["speedup"] for c in cells if c.get("healthy")]
+    speedups = [c["speedup"] for c in cells
+                if c.get("healthy") and c.get("speedup")]
     geomean = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
+    thr = _STATE["cells"].get(THROUGHPUT)
+    extra = {
+        "matrix_geomean_speedup": round(geomean, 2),
+        "min_ess_per_s_c8": (thr.get("min_ess_per_s", 0.0)
+                             if thr and thr.get("healthy") else 0.0),
+        "probes": _STATE["probes"],
+        "cells": cells,
+    }
     if head is None or not head.get("healthy"):
         return {
             "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",
             "value": -1.0, "unit": "s", "vs_baseline": 0.0,
             "error": (head or {}).get("error", "headline cell not reached"),
-            "matrix_geomean_speedup": round(geomean, 2),
-            "cells": cells,
+            **extra,
         }
     return {
         "metric": "bayesian_sgpr_hmc_sampling_seconds_boston_shaped",
         "value": head["sampling_s"],
         "unit": "s",
         "vs_baseline": head["speedup"],
-        "matrix_geomean_speedup": round(geomean, 2),
-        "cells": cells,
+        **extra,
     }
 
 
@@ -323,6 +386,63 @@ def _signal_handler(signum, frame):
     os._exit(0)
 
 
+PROBE_TIMEOUT_S = 45.0
+PROBE_RETRY_SLEEP_S = 30.0
+_PROBE_CODE = ("import jax, jax.numpy as jnp; "
+               "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
+
+
+def _probe_link(timeout):
+    """One TPU-health probe in a fresh subprocess: import jax (axon client
+    init) + an 8x8 matmul. Returns (ok, seconds). Never raises."""
+    import subprocess
+    t0 = time.perf_counter()
+    try:
+        child = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_CODE],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            cwd=_REPO_ROOT, env=dict(os.environ))
+        _STATE["child"] = child
+        try:
+            out, _ = child.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.communicate()
+            return False, time.perf_counter() - t0
+        finally:
+            _STATE["child"] = None
+        return b"512" in out, time.perf_counter() - t0
+    except Exception:  # noqa: BLE001
+        return False, time.perf_counter() - t0
+
+
+def _ensure_link(remaining):
+    """Gate a cell launch on a healthy TPU link (VERDICT r4 item 1).
+
+    Fast path: if the link was healthy at last contact (successful probe
+    or completed cell), return True with zero cost. Otherwise probe; on
+    failure sleep and re-probe while budget allows. Every probe outcome
+    is appended to the JSON "probes" log. Returns False only when the
+    budget can no longer fit a probe."""
+    if _STATE["link_ok"]:
+        return True
+    while True:
+        rem = remaining()
+        if rem < PROBE_TIMEOUT_S + 15:
+            _log("budget exhausted while waiting for a healthy link")
+            return False
+        ok, dur = _probe_link(min(PROBE_TIMEOUT_S, rem - 10))
+        _STATE["probes"].append(
+            {"t": round(time.perf_counter() - _STATE["t_start"], 1),
+             "ok": ok, "s": round(dur, 1)})
+        _log(f"link probe {'ok' if ok else 'FAILED'} ({dur:.1f}s)")
+        if ok:
+            _STATE["link_ok"] = True
+            return True
+        time.sleep(min(PROBE_RETRY_SLEEP_S,
+                       max(0.0, remaining() - PROBE_TIMEOUT_S - 15)))
+
+
 def _run_cell_subprocess(model_name, ds, budget, env_extra=None):
     """Each cell runs in its OWN process with a hard timeout: the remote
     TPU link intermittently hangs (CLAUDE.md) and a hung compile must
@@ -344,6 +464,7 @@ def _run_cell_subprocess(model_name, ds, budget, env_extra=None):
         except subprocess.TimeoutExpired:
             child.kill()
             child.communicate()
+            _STATE["link_ok"] = False        # re-probe before the next cell
             return {"model": model_name, "dataset": f"{ds}-shaped",
                     "healthy": False, "speedup": 0.0,
                     "error": f"cell timed out after {budget:.0f}s "
@@ -351,11 +472,22 @@ def _run_cell_subprocess(model_name, ds, budget, env_extra=None):
         finally:
             _STATE["child"] = None
         line = out.decode().strip().splitlines()[-1]
-        return json.loads(line)
+        result = json.loads(line)
+        # the subprocess completed a full TPU workload: link is alive
+        # (an unhealthy-statistics cell still proves the link)
+        _STATE["link_ok"] = "error" not in result
+        return result
     except Exception as e:  # noqa: BLE001 — any cell failure must be a cell
+        _STATE["link_ok"] = False
         return {"model": model_name, "dataset": f"{ds}-shaped",
                 "healthy": False, "speedup": 0.0,
                 "error": f"{type(e).__name__}: {e}"}
+
+
+def _cell_score(c):
+    # matrix cells rank on speedup; the throughput cell (no reference
+    # seconds) ranks on min-ESS/s
+    return c.get("speedup", c.get("min_ess_per_s", 0.0)) or 0.0
 
 
 def _record(key, result):
@@ -366,7 +498,7 @@ def _record(key, result):
         return
     if result.get("healthy") and (
             not prev.get("healthy")
-            or result.get("speedup", 0.0) > prev.get("speedup", 0.0)):
+            or _cell_score(result) > _cell_score(prev)):
         _STATE["cells"][key] = result
 
 
@@ -393,21 +525,41 @@ def main():
 
     xla_env = {"GGP_FUSED_TRANSITION": "0"}
 
+    def gated_cell(key, budget_cap, env_extra=None, path="xla"):
+        """Probe-gate, run, record. Returns the cell dict (or None if the
+        budget could not even fit a probe)."""
+        if not _ensure_link(remaining):
+            return None
+        cell_budget = min(budget_cap, remaining() - 20)
+        if cell_budget < 60:
+            return None
+        _log(f"{path} pass {key} (budget {cell_budget:.0f}s)")
+        res = _run_cell_subprocess(key[0], key[1], cell_budget,
+                                   env_extra=env_extra)
+        res["path"] = path
+        _record(key, res)
+        _log(f"  -> healthy={res.get('healthy')} "
+             f"speedup={res.get('speedup')} "
+             f"ess/s={res.get('min_ess_per_s')}")
+        return res
+
     # Phase A+B — cheap-compile XLA path, headline first: a healthy
-    # headline and full matrix exist as early as possible.
+    # headline and full matrix exist as early as possible. Every launch
+    # is probe-gated (VERDICT r4 item 1) so a hung link costs ~75 s
+    # probe cycles, not 420 s dead cells.
     order = [HEADLINE] + [k for k in grid if k != HEADLINE]
     for key in order:
         if remaining() < 60:
             _log(f"budget exhausted before XLA pass of {key}")
             break
-        cell_budget = min(CELL_TIMEOUT_XLA[key[0]], remaining() - 20)
-        _log(f"XLA pass {key} (budget {cell_budget:.0f}s)")
-        res = _run_cell_subprocess(key[0], key[1], cell_budget,
-                                   env_extra=xla_env)
-        res["path"] = "xla"
-        _record(key, res)
-        _log(f"  -> healthy={res.get('healthy')} "
-             f"speedup={res.get('speedup')}")
+        gated_cell(key, CELL_TIMEOUT_XLA[key[0]], env_extra=xla_env)
+
+    # Phase B2 — the throughput cell (VERDICT r4 item 8): chain-batched
+    # fused HMC record config; needs the fused path (the XLA batched
+    # path is ~3x slower, PERF.md).
+    if remaining() > 240:
+        gated_cell(THROUGHPUT, CELL_TIMEOUT_FUSED[THROUGHPUT[0]],
+                   path="fused")
 
     # Phase C — fused upgrades while budget remains, largest expected
     # gains first (PERF.md round-3 matrix: SGPR ~1.5x over XLA, JointHMC
@@ -421,13 +573,17 @@ def main():
         if remaining() < 150:
             _log("budget exhausted before fused upgrades complete")
             break
-        cell_budget = min(CELL_TIMEOUT_FUSED[key[0]], remaining() - 20)
-        _log(f"fused upgrade {key} (budget {cell_budget:.0f}s)")
-        res = _run_cell_subprocess(key[0], key[1], cell_budget)
-        res["path"] = "fused"
-        _record(key, res)
-        _log(f"  -> healthy={res.get('healthy')} "
-             f"speedup={res.get('speedup')}")
+        gated_cell(key, CELL_TIMEOUT_FUSED[key[0]], path="fused")
+
+    # Phase D — the headline cell is the driver's deliverable: while it
+    # is unhealthy and budget remains, keep probe-gated retrying it
+    # (cheap XLA path — a healthy number beats a fast number).
+    while (remaining() > 90
+           and not _STATE["cells"].get(HEADLINE, {}).get("healthy")):
+        _log("headline unhealthy - probe-gated retry")
+        if gated_cell(HEADLINE, CELL_TIMEOUT_XLA[HEADLINE[0]],
+                      env_extra=xla_env) is None:
+            break
 
     signal.alarm(0)
     _emit()

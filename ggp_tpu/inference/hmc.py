@@ -613,6 +613,10 @@ def _multichain_fused_hmc(fused, z0s, key, cfg: NUTSConfig, in_window,
     handles both fixed-leapfrog HMC and lock-step multinomial NUTS
     (``fused.algo``) — NUTS chunks also report per-draw depth/leaf
     counts."""
+    # the chain-batched Pallas kernels are f32-only (package matmul
+    # policy); under x64 (CPU test envs) the state arrives f64 — cast at
+    # the driver boundary (no-op on TPU)
+    z0s = z0s.astype(jnp.float32)
     C, dim = z0s.shape
     dtype = z0s.dtype
     K = fused.chunk
@@ -746,13 +750,43 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
             z0s = jax.lax.with_sharding_constraint(z0s, sh)
             keys = jax.lax.with_sharding_constraint(keys, sh)
         if fused is not None and hasattr(fused, "num_chains"):
-            # chain-batched kernels: ALL chains in one Pallas call chain
+            mc_key = jax.random.fold_in(key, 2)
+            if mesh is not None and mesh.shape.get("chains", 1) > 1:
+                # fused x mesh composition (VERDICT r4 item 2): shard_map
+                # over the chains axis, each device advancing its LOCAL
+                # chain block with the chain-batched Pallas kernels —
+                # chains are independent, so there is no collective in the
+                # hot loop; the per-chip C=8 throughput optimum (PERF.md
+                # round 4) multiplies by the mesh size.
+                n_dev = mesh.shape["chains"]
+                if fused.num_chains * n_dev != num_chains:
+                    raise ValueError(
+                        f"mesh-composed multichain kernel: built for "
+                        f"{fused.num_chains} local chains x {n_dev} "
+                        f"devices != num_chains={num_chains}")
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def local_run(z0s_local):
+                    dev = jax.lax.axis_index("chains")
+                    lk = jax.random.fold_in(mc_key, dev)
+                    return _multichain_fused_hmc(fused, z0s_local, lk, cfg,
+                                                 in_window, window_end)
+
+                spec = P("chains")
+                stat_specs = {k: spec for k in
+                              ("accept_prob", "diverging", "depth",
+                               "n_leapfrog", "energy", "step_size",
+                               "inv_mass")}
+                return shard_map(local_run, mesh=mesh, in_specs=(spec,),
+                                 out_specs=(spec, stat_specs),
+                                 check_rep=False)(z0s)
+            # single chip: ALL chains in one Pallas call chain
             if fused.num_chains != num_chains:
                 raise ValueError(f"multichain fused kernel built for "
                                  f"{fused.num_chains} chains, sampler has "
                                  f"{num_chains}")
-            return _multichain_fused_hmc(fused, z0s,
-                                         jax.random.fold_in(key, 2), cfg,
+            return _multichain_fused_hmc(fused, z0s, mc_key, cfg,
                                          in_window, window_end)
         if fused is not None and getattr(fused, "warm_chunk", None) \
                 is not None:
@@ -768,7 +802,9 @@ def build_sampler(logprob_fn: Callable, example_params, cfg: NUTSConfig,
     def sample(init_params, key, data=None):
         flat0, _ = jax.flatten_util.ravel_pytree(init_params)
         zs, stats = _run(flat0, key, data)      # (C, S, dim)
-        samples = jax.vmap(jax.vmap(unravel))(zs)
+        # fused kernels emit f32; under x64 the unravel expects the
+        # init-params dtype
+        samples = jax.vmap(jax.vmap(unravel))(zs.astype(flat0.dtype))
         return samples, stats
 
     return sample

@@ -27,6 +27,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import default_jitter
@@ -96,13 +97,16 @@ class BayesianSparseGPR_HMC:
         fused envelope (then the autodiff potential is used)."""
         import os
         from ..ops.fused_bound import (fused_potential_is_eligible,
-                                       make_rbf_vfe_potential)
+                                       make_rbf_vfe_potential,
+                                       prior_spec_of_tree)
         if os.environ.get("GGP_FAST_ELBO"):      # explicit override wins
             return None
         if not fused_potential_is_eligible(self.kernel, self.likelihood,
                                            self.prior_tree):
             return None
-        return make_rbf_vfe_potential(self.train_x, self.train_y, self.jitter)
+        return make_rbf_vfe_potential(
+            self.train_x, self.train_y, self.jitter,
+            prior_spec=prior_spec_of_tree(self.prior_tree))
 
     def _fused_transition(self, max_depth, num_chains=1):
         """Pallas whole-transition NUTS kernel (ops.fused_nuts) — the default
@@ -113,7 +117,8 @@ class BayesianSparseGPR_HMC:
 
         import jax as _jax
 
-        from ..ops.fused_bound import fused_structure_matches
+        from ..ops.fused_bound import (fused_structure_matches,
+                                       prior_spec_of_tree)
         from ..ops.fused_nuts import fused_nuts_supported, make_fused_nuts
         if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
             return None
@@ -133,7 +138,23 @@ class BayesianSparseGPR_HMC:
         if not fused_nuts_supported(n, d, self.Z.shape[0]):
             return None
         return make_fused_nuts(self.train_x, self.train_y, self.jitter,
-                               max_depth=max_depth)
+                               max_depth=max_depth,
+                               prior_spec=prior_spec_of_tree(
+                                   self.prior_tree))
+
+    def _mesh_chain_devices(self):
+        """Devices on the mesh ``chains`` axis (1 when no mesh). None when
+        the fused kernels cannot compose with this mesh: a data-sharded
+        mesh (the kernels consume replicated X/y) or a mesh without a
+        chains axis."""
+        if self.mesh is None:
+            return 1
+        names = getattr(self.mesh, "axis_names", ())
+        if "data" in names and self.mesh.shape["data"] > 1:
+            return None
+        if "chains" not in names:
+            return None
+        return self.mesh.shape["chains"]
 
     def _fused_multichain(self, num_chains, num_leapfrog, algorithm="hmc",
                           max_depth=8):
@@ -145,10 +166,19 @@ class BayesianSparseGPR_HMC:
         TPU for 2..8 chains on the Scale(RBF-ARD) target — fixed-leapfrog
         HMC since round 3 start, lock-step multinomial NUTS since round 3
         (GGP_FUSED_MC_NUTS=0 keeps NUTS chains on the XLA vmapped path);
-        GGP_FUSED_TRANSITION=0 disables all fused paths."""
+        GGP_FUSED_TRANSITION=0 disables all fused paths.
+
+        Round 5 (VERDICT r4 item 2): a mesh with a ``chains`` axis no
+        longer disables the fused path — the kernel is built for the
+        LOCAL chain block (num_chains / mesh devices) and build_sampler
+        shard_maps it over the axis, so >8 chains scale across chips at
+        the per-chip fused rate instead of dropping to the ~3x-slower XLA
+        potential. ``GGP_FUSED_MESH_INTERPRET=1`` lets CI validate the
+        composition on a CPU mesh with interpret-mode kernels."""
         import os
 
-        from ..ops.fused_bound import fused_structure_matches
+        from ..ops.fused_bound import (fused_structure_matches,
+                                       prior_spec_of_tree)
         from ..ops.fused_multichain import (fused_multichain_supported,
                                             make_fused_hmc_multichain)
         if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
@@ -158,21 +188,29 @@ class BayesianSparseGPR_HMC:
             return None
         if os.environ.get("GGP_FAST_ELBO"):
             return None
-        if jax.default_backend() != "tpu" or self.mesh is not None:
+        interpret = jax.default_backend() != "tpu"
+        if interpret and not os.environ.get("GGP_FUSED_MESH_INTERPRET"):
             return None
+        n_dev = self._mesh_chain_devices()
+        if n_dev is None or num_chains % n_dev != 0:
+            return None
+        c_local = num_chains // n_dev
         if not fused_structure_matches(self.kernel, self.likelihood,
                                        self.prior_tree):
             return None
         n, d = self.train_x.shape
         if not fused_multichain_supported(n, d, self.Z.shape[0],
-                                          num_chains, target="vfe"):
+                                          c_local, target="vfe"):
             return None
         return make_fused_hmc_multichain(self.train_x, self.train_y,
                                          self.jitter,
-                                         num_chains=num_chains,
+                                         num_chains=c_local,
                                          num_leapfrog=num_leapfrog,
                                          algo=algorithm,
-                                         max_depth=max_depth)
+                                         max_depth=max_depth,
+                                         interpret=interpret,
+                                         prior_spec=prior_spec_of_tree(
+                                             self.prior_tree))
 
     def _get_sampler(self, num_warmup, num_samples, num_chains, max_depth=8,
                      algorithm="nuts", num_leapfrog=10, chunk_size=None):
@@ -190,6 +228,12 @@ class BayesianSparseGPR_HMC:
                 # execution kill window)
                 fused = self._fused_multichain(num_chains, num_leapfrog,
                                                algorithm, max_depth)
+                if fused is not None and chunk_size \
+                        and (self._mesh_chain_devices() or 1) > 1:
+                    # the host-dispatched chunked driver has no shard_map
+                    # composition (yet): mesh-composed fused kernels ride
+                    # the one-program driver only
+                    fused = None
                 if fused is None and algorithm == "nuts":
                     fused = self._fused_transition(max_depth, num_chains)
             elif algorithm == "nuts":
@@ -211,12 +255,19 @@ class BayesianSparseGPR_HMC:
         return self._samplers[key]
 
     def sample_hypers(self, num_warmup, num_samples, num_chains=1, key=None,
-                      algorithm="nuts", num_leapfrog=10, chunk_size=None):
+                      algorithm="nuts", num_leapfrog=10, chunk_size=None,
+                      ckpt_manager=None):
         """Draw a fresh hyper trace at the current Z.
 
         ``algorithm="hmc"`` with ``num_chains=8``+ is the throughput
         configuration on a single chip (PERF.md: batched fixed-leapfrog
         chains amortise the per-iteration factorization overhead ~8x).
+
+        ``ckpt_manager`` (requires ``chunk_size``): a
+        utils.checkpoint.CheckpointManager — the sampler carry checkpoints
+        after every warmup chunk and resumes from the latest checkpoint,
+        so a link-killed long schedule continues instead of restarting
+        (VERDICT r4 item 4; the chunked driver's wiring, inference/hmc.py).
         """
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -224,7 +275,15 @@ class BayesianSparseGPR_HMC:
                                     algorithm=algorithm,
                                     num_leapfrog=num_leapfrog,
                                     chunk_size=chunk_size)
-        samples, stats = sampler(self.hypers, key, self.Z)
+        if ckpt_manager is not None:
+            if not chunk_size:
+                raise ValueError("ckpt_manager requires chunk_size (the "
+                                 "one-program sampler has no chunk "
+                                 "boundaries to checkpoint at)")
+            samples, stats = sampler(self.hypers, key, self.Z,
+                                     ckpt_manager=ckpt_manager)
+        else:
+            samples, stats = sampler(self.hypers, key, self.Z)
         trace = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), samples)
         self.trace = trace
@@ -244,7 +303,8 @@ class BayesianSparseGPR_HMC:
             params = {**self.hypers, "Z": self.Z}
             params, losses = _run_adam_fused(
                 self.train_x, self.train_y, self.jitter, params,
-                num_steps, lr, 1e-4, 10.0)
+                num_steps, lr, 1e-4, 10.0,
+                data_scale=float(np.max(np.abs(np.asarray(self.train_x)))))
             self.Z = params.pop("Z")
             self.hypers = params
             return losses
@@ -311,13 +371,25 @@ class BayesianSparseGPR_HMC:
     def train_model(self, optimizer=None, max_steps: int = 2000,
                     hmc_scheduler: Optional[Sequence[int]] = None,
                     lr: float = 0.01, num_chains: int = 1,
-                    break_condition=None, key=None, verbose: bool = False):
+                    break_condition=None, key=None, verbose: bool = False,
+                    checkpoint_dir: Optional[str] = None,
+                    resume: bool = False):
         """Alternating trainer (reference loop: models/bayesian_sgpr_hmc.py:88-158).
 
         ``hmc_scheduler`` lists the iterations at which to (re)sample the
         hyper posterior; before the first entry we run the ML-II warm start.
         First/last rounds use (tune=100, n=20); intermediate rounds
         (tune=25, n=10) — reference: models/bayesian_sgpr_hmc.py:144-152.
+
+        ``checkpoint_dir`` (round 5, VERDICT r4 item 4): persist
+        (hypers, Z, trace, RNG key, losses) after the warm start and after
+        every HMC round; with ``resume=True`` a killed run continues from
+        the last completed round with the IDENTICAL key stream, so the
+        final state equals an uninterrupted run's (asserted in
+        tests/test_checkpoint.py). Adam state needs no persistence at
+        round granularity: optimize_Z re-initialises its optimiser per
+        round by design (matching the reference's per-round torch
+        optimiser, models/bayesian_sgpr_hmc.py:119-134).
         """
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -326,11 +398,50 @@ class BayesianSparseGPR_HMC:
                                        max(max_steps // 4, 1)))
         hmc_scheduler = list(hmc_scheduler)
 
+        ckpt = None
+        if checkpoint_dir is not None:
+            from ..utils.checkpoint import CheckpointManager
+            ckpt = CheckpointManager(checkpoint_dir)
+
+        def _save(next_round, losses, key):
+            if ckpt is None:
+                return
+            state = {"hypers": self.hypers, "Z": self.Z,
+                     "key": key, "losses": jnp.concatenate(losses)}
+            if self.trace is not None:
+                state["trace"] = self.trace
+            ckpt.save(next_round, state,
+                      {"next_round": next_round, "max_steps": max_steps,
+                       "scheduler": list(map(int, hmc_scheduler))})
+
+        start_round = None
         losses = []
-        warm = self.warm_start(num_steps=hmc_scheduler[0], lr=lr)
-        losses.append(warm)
+        if ckpt is not None and resume:
+            state, meta = ckpt.restore_dict()
+            if state is not None:
+                if meta.get("scheduler") != list(map(int, hmc_scheduler)) \
+                        or meta.get("max_steps") != max_steps:
+                    raise ValueError(
+                        "checkpoint was written by a different schedule "
+                        f"({meta.get('scheduler')}/{meta.get('max_steps')}) "
+                        "- resuming would misalign the alternating rounds")
+                self.hypers = jax.tree_util.tree_map(jnp.asarray,
+                                                     state["hypers"])
+                self.Z = jnp.asarray(state["Z"])
+                if "trace" in state:
+                    self.trace = jax.tree_util.tree_map(jnp.asarray,
+                                                        state["trace"])
+                key = jnp.asarray(state["key"])
+                losses = [jnp.asarray(state["losses"])]
+                start_round = int(meta["next_round"])
+
+        if start_round is None:
+            warm = self.warm_start(num_steps=hmc_scheduler[0], lr=lr)
+            losses.append(warm)
+            start_round = 0
+            _save(0, losses, key)
         bounds = hmc_scheduler + [max_steps]
-        for i in range(len(hmc_scheduler)):
+        for i in range(start_round, len(hmc_scheduler)):
             first_or_last = i == 0 or i == len(hmc_scheduler) - 1
             tune, n = (100, 20) if first_or_last else (25, 10)
             key, sub = jax.random.split(key)
@@ -339,6 +450,7 @@ class BayesianSparseGPR_HMC:
             if n_z_steps > 0:
                 zl = self.optimize_Z(num_steps=n_z_steps, lr=lr)
                 losses.append(zl)
+            _save(i + 1, losses, key)
             if verbose:
                 print(f"round {i}: iters {bounds[i]}-{bounds[i+1]}, "
                       f"loss {float(losses[-1][-1]):.3f}")
@@ -476,10 +588,13 @@ def _adam_Z_fused(X, y, jitter, Z, trace, num_steps, lr):
 
     num_steps = int(num_steps)
     n_calls = max(1, -(-num_steps // _ZOPT_K_MAX))
-    rkey = (n, M, d, float(lr), float(jitter), n_calls)
+    # static max|X| for the streaming core's inv_ls cap (ADVICE r4)
+    data_scale = float(np.max(np.abs(np.asarray(X))))
+    rkey = (n, M, d, float(lr), float(jitter), n_calls, data_scale)
     if rkey not in _zopt_runners:
         chunk = make_fused_z_adam(n, M, d, _ZOPT_S_CAP, jitter,
-                                  steps_per_call=_ZOPT_K_MAX, lr=lr)
+                                  steps_per_call=_ZOPT_K_MAX, lr=lr,
+                                  data_scale=data_scale)
 
         @jax.jit
         def run(Zp, mz, vz, thetas, Xp, yp, s_act, k_acts, t0s):

@@ -95,7 +95,8 @@ class GPR_HMC:
         GGP_FUSED_TRANSITION=0 disables."""
         import os
 
-        from ..ops.fused_bound import fused_structure_matches
+        from ..ops.fused_bound import (fused_structure_matches,
+                                       prior_spec_of_tree)
         from ..ops.fused_nuts import MAX_N_DENSE, make_fused_nuts
         if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
             return None
@@ -114,7 +115,9 @@ class GPR_HMC:
         # tiles still issue-bound, PERF.md round 3)
         builder = make_fused_nuts(self.train_x, self.train_y, self.jitter,
                                   max_depth=max_depth, target="gpr",
-                                  block=64)
+                                  block=64,
+                                  prior_spec=prior_spec_of_tree(
+                                      self.prior_tree))
         if builder is None:
             return None
         dummy_z = jnp.zeros((1, d), self.train_x.dtype)

@@ -240,7 +240,8 @@ class SGPMC:
 
         if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
             return None
-        if jax.default_backend() != "tpu" or self.mesh is not None:
+        interpret = jax.default_backend() != "tpu"
+        if interpret and not os.environ.get("GGP_FUSED_MESH_INTERPRET"):
             return None
         if num_chains != 1:
             if algorithm == "nuts" \
@@ -248,6 +249,10 @@ class SGPMC:
                 return None
             return self._fused_multichain(num_chains, num_leapfrog,
                                           algorithm, max_depth)
+        if self.mesh is not None or interpret:
+            # single-chain fused has no mesh composition (and the CPU
+            # interpret opt-in is for the mesh-composed multichain only)
+            return None
         if not (isinstance(self.kernel, Scale)
                 and type(self.kernel.base) is RBF and self.kernel.base.ard
                 and type(self.likelihood) is GaussianLikelihood

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import default_jitter
@@ -366,7 +367,8 @@ class SparseGPR:
             # trajectory as the XLA scan (tests/test_fused_sgpr.py)
             self.params, losses = _run_adam_fused(
                 self.train_x, self.train_y, self.jitter, self.params,
-                max_steps, lr)
+                max_steps, lr,
+                data_scale=float(np.max(np.abs(np.asarray(self.train_x)))))
             if verbose and log_interval:
                 for j in range(0, max_steps, log_interval):
                     print(f"Iter {j}/{max_steps} - Loss: "
@@ -440,9 +442,10 @@ def _run_adam(kernel, X, y, jitter, params, optimizer, max_steps,
     return params, losses
 
 
-@partial(jax.jit, static_argnums=(2, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(2, 4, 5, 6, 7, 8),
+         static_argnames=("data_scale",))
 def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4,
-                    clip_norm=100.0):
+                    clip_norm=100.0, data_scale=0.0):
     """Whole-chunk fused trainer: K=200 Adam steps per Pallas call under a
     lax.scan, plus one remainder chunk (ops/fused_sgpr). Same optimizer
     chain and projections as :func:`_run_adam`."""
@@ -464,7 +467,8 @@ def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4,
     K = min(int(max_steps), 200)
     n_full, rem = divmod(int(max_steps), K)
     chunk = make_fused_sgpr(n, M, d, jitter, steps_per_call=K, lr=lr,
-                            min_noise=min_noise, clip_norm=clip_norm)
+                            min_noise=min_noise, clip_norm=clip_norm,
+                            data_scale=data_scale)
 
     def body(carry, t0):
         theta, Z, am, av = carry
@@ -477,7 +481,8 @@ def _run_adam_fused(X, y, jitter, params, max_steps, lr, min_noise=1e-4,
     losses = losses.reshape(-1)
     if rem:
         tail = make_fused_sgpr(n, M, d, jitter, steps_per_call=rem, lr=lr,
-                               min_noise=min_noise, clip_norm=clip_norm)
+                               min_noise=min_noise, clip_norm=clip_norm,
+                               data_scale=data_scale)
         theta, Z, am, av, l2 = tail(theta, Z, am, av, Xp, yp,
                                     jnp.asarray(n_full * K, dt))
         losses = jnp.concatenate([losses, l2])

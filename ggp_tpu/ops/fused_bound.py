@@ -40,6 +40,7 @@ then chains through the RBF-ARD kernel in closed form. Verified against
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -442,7 +443,7 @@ def ut_inv_inplace(U_ref, V_ref, block: int = 16) -> None:
 _INV_LS_CAP_NUM = 1024.0
 
 
-def capped_inv_ls(theta_row, ls_mask, *coords):
+def capped_inv_ls(theta_row, ls_mask, *coords, data_scale=0.0):
     """exp(-theta) for the lengthscale lanes, capped data-aware.
 
     The cores compute squared distances by norm expansion
@@ -459,12 +460,136 @@ def capped_inv_ls(theta_row, ls_mask, *coords):
     with clean zeros and the lengthscale gradient smoothly hands over to
     the prior term. Capping = lengthscale floor scale/1024, orders of
     magnitude below any posterior-relevant value.
+
+    ``data_scale``: static float folded into the cap for coordinates NOT
+    resident in the caller (the streaming cores keep X in HBM, so they
+    pass max|X| computed host-side at build time; ADVICE r4 — without it
+    the cap admits inv_ls where the f32 norm expansion of the streamed
+    Knm r2 still cancels whenever max|X| > max|Z|).
     """
-    scale = jnp.asarray(1e-3, theta_row.dtype)
+    scale = jnp.asarray(max(1e-3, float(data_scale)), theta_row.dtype)
     for Cc in coords:
         scale = jnp.maximum(scale, jnp.max(jnp.abs(Cc)))
     cap = _INV_LS_CAP_NUM / scale
     return jnp.minimum(jnp.exp(-theta_row), cap) * ls_mask
+
+
+# --------------------------------------------------------------------------
+# Parameterised hyper-priors (VERDICT r4 item 7)
+#
+# The vfe/gpr cores used to hard-code the default prior tree (Gamma(2,1) on
+# lengthscales, HalfCauchyOnStd(1) on outputscale/noise) — any user-changed
+# prior silently dropped the model to the ~3x-slower XLA path. The prior is
+# now a STATIC spec triple (ls, outputscale, noise), each leaf a
+# ("family", *params) tuple with a closed-form in-kernel (logpdf, d/du)
+# pair; family params are Python floats so normalisation constants needing
+# lgamma (absent from Mosaic) fold at trace time via math.lgamma.
+# --------------------------------------------------------------------------
+
+_SPEC_RBF_DEFAULT = (("gamma", 2.0, 1.0), ("hc_std", 1.0), ("hc_std", 1.0))
+
+
+def prior_spec_of_tree(prior_tree):
+    """Static prior spec for the Scale(RBF-ARD) x Gaussian hyper tree
+    ``{"kernel": {"log_outputscale": P, "base": {"log_lengthscale": P}},
+    "log_noise": P}`` (priors.py:prior_tree_rbf structure), or None if the
+    structure differs or a leaf family has no in-kernel closed form.
+
+    Supported leaves (priors.py classes; Normal and LogNormal coincide in
+    unconstrained space): Gamma, HalfCauchy, HalfCauchyOnStd, HalfNormal,
+    LogNormal, Normal, Flat.
+    """
+    from ..priors import (Flat, Gamma, HalfCauchy, HalfCauchyOnStd,
+                          HalfNormal, LogNormal, Normal)
+
+    def leaf_spec(p):
+        if isinstance(p, Gamma):
+            return ("gamma", float(p.alpha), float(p.beta))
+        if isinstance(p, HalfCauchyOnStd):
+            return ("hc_std", float(p.scale))
+        if isinstance(p, HalfCauchy):
+            return ("hc", float(p.scale))
+        if isinstance(p, HalfNormal):
+            return ("half_normal", float(p.scale))
+        if isinstance(p, (LogNormal, Normal)):
+            return ("lognormal", float(p.mu), float(p.sigma))
+        if isinstance(p, Flat):
+            return ("flat",)
+        return None
+
+    try:
+        ls = leaf_spec(prior_tree["kernel"]["base"]["log_lengthscale"])
+        os_ = leaf_spec(prior_tree["kernel"]["log_outputscale"])
+        noise = leaf_spec(prior_tree["log_noise"])
+    except (KeyError, TypeError):
+        return None
+    if set(prior_tree) != {"kernel", "log_noise"} \
+            or set(prior_tree["kernel"]) != {"log_outputscale", "base"} \
+            or set(prior_tree["kernel"]["base"]) != {"log_lengthscale"}:
+        return None
+    if ls is None or os_ is None or noise is None:
+        return None
+    return (ls, os_, noise)
+
+
+def _prior_lane_terms(spec_leaf, u):
+    """Elementwise (logpdf, d logpdf/du) of one prior leaf at unconstrained
+    ``u`` (any array shape) — exact closed forms of the matching
+    priors.py ``logpdf_unconstrained`` (log-Jacobian included), so the
+    fused and XLA targets stay bit-comparable. Mosaic-safe: exp/log1p/
+    sigmoid only; constants are Python floats folded at trace time."""
+    kind = spec_leaf[0]
+    if kind == "gamma":
+        a, b = spec_leaf[1], spec_leaf[2]
+        const = a * math.log(b) - math.lgamma(a)
+        eu = jnp.exp(u)
+        return const + a * u - b * eu, a - b * eu
+    if kind == "hc_std":
+        # HalfCauchy(s) on the std when u = log(variance): priors.py:86-103
+        s = spec_leaf[1]
+        const = math.log(2.0 / (math.pi * s)) + math.log(0.5)
+        t = u - 2.0 * math.log(s)
+        sig = jax.nn.sigmoid(t)
+        return const + 0.5 * u - jnp.log1p(jnp.exp(t)), 0.5 - sig
+    if kind == "hc":
+        # HalfCauchy(s) on x = exp(u): priors.py:45-56
+        s = spec_leaf[1]
+        const = math.log(2.0 / (math.pi * s))
+        t = 2.0 * (u - math.log(s))
+        return (const + u - jnp.log1p(jnp.exp(t)),
+                1.0 - 2.0 * jax.nn.sigmoid(t))
+    if kind == "half_normal":
+        s = spec_leaf[1]
+        const = 0.5 * math.log(2.0 / math.pi) - math.log(s)
+        e2u = jnp.exp(2.0 * u) / (s * s)
+        return const + u - 0.5 * e2u, 1.0 - e2u
+    if kind == "lognormal":
+        mu, sg = spec_leaf[1], spec_leaf[2]
+        const = -math.log(sg) - 0.5 * math.log(2.0 * math.pi)
+        z = (u - mu) / sg
+        return const - 0.5 * z * z, -z / sg
+    if kind == "flat":
+        return jnp.zeros_like(u), jnp.zeros_like(u)
+    raise ValueError(f"unknown prior family {kind!r}")
+
+
+def _prior_terms(theta, log_os, log_noise, ls_mask, prior_spec):
+    """(lp, g_ls_row, g_os, g_noise) for the hyper-prior under a static
+    spec. ``theta`` is the (R,128) unconstrained row(s) (lengthscales in
+    the masked lanes); ``log_os``/``log_noise`` scalars or (C,1) columns;
+    shapes broadcast so the single-chain and chain-batched cores share
+    this. ``prior_spec=None`` means the default tree (identical ops to
+    the pre-round-5 hard-coded block)."""
+    sp_ls, sp_os, sp_n = (prior_spec if prior_spec is not None
+                          else _SPEC_RBF_DEFAULT)
+    lp_e, g_ls = _prior_lane_terms(sp_ls, theta)
+    lp_os, g_os = _prior_lane_terms(sp_os, log_os)
+    lp_n, g_noise = _prior_lane_terms(sp_n, log_noise)
+    if jnp.ndim(log_os) == 0:            # single-chain cores: scalar lp
+        lp_ls = jnp.sum(lp_e * ls_mask)
+    else:                                # chain-batched cores: (C,1) lp
+        lp_ls = jnp.sum(lp_e * ls_mask, axis=-1, keepdims=True)
+    return lp_ls + lp_os + lp_n, g_ls * ls_mask, g_os, g_noise
 
 
 def ut_t_solve_vec(U, Uinv, b, block: int = 32):
@@ -525,7 +650,8 @@ def _default_chol_inv(K, pivot_floor=None):
 
 def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
                             chol_inv=_default_chol_inv, want_z_grad=False,
-                            want_prior=True, pivot_floor=None):
+                            want_prior=True, pivot_floor=None,
+                            prior_spec=None):
     """Potential U = -(collapsed ELBO + log prior) and dU/dtheta.
 
     Shapes: theta_pad (1,128) [lanes 0..d-1 log-lengthscale, d log-outputscale,
@@ -665,17 +791,10 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
             return -F, -g, -dZ
         return -F, -g
 
-    # ---- priors (priors.py: Gamma(2,1) on ls, HalfCauchyOnStd(1) on os/noise)
-    lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
-    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
-
-    def _hc(uu):
-        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
-
-    lp = lp_ls + _hc(log_os) + _hc(log_noise)
-    g_ls = (2.0 - jnp.exp(theta_pad)) * ls_mask
-    g_os = 0.5 - jax.nn.sigmoid(log_os)
-    g_noise = 0.5 - jax.nn.sigmoid(log_noise)
+    # ---- priors (static spec; default = Gamma(2,1) ls, HalfCauchyOnStd(1)
+    # os/noise — priors.py:prior_tree_rbf; VERDICT r4 item 7)
+    lp, g_ls, g_os, g_noise = _prior_terms(theta_pad, log_os, log_noise,
+                                           ls_mask, prior_spec)
 
     g = dls + g_ls
     g = jnp.where(lane == d, dlog_os + g_os, g)
@@ -689,7 +808,8 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
 def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
                                       chol_inv, loop_blocks, NB,
                                       want_z_grad=False, want_prior=True,
-                                      pivot_floor=None):
+                                      pivot_floor=None, data_scale=0.0,
+                                      prior_spec=None):
     """Streaming variant of :func:`_rbf_vfe_neg_logpost_vg` for N past the
     VMEM-resident envelope (VERDICT r2 item 2): X and y live in HBM packed
     into ONE (Np, 128) array — X in lanes [0, d), y in lane 127 (Mosaic
@@ -713,8 +833,10 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
     ls_mask = (lane < d).astype(dt)
     log_os = theta_pad[0, d]
     log_noise = theta_pad[0, d + 1]
-    # streaming: X lives in HBM; Z spans the same standardised region
-    inv_ls = capped_inv_ls(theta_pad, ls_mask, Zp)            # (1,128)
+    # streaming: X lives in HBM — its static max|X| rides in via
+    # data_scale so the cap matches the resident core's (ADVICE r4)
+    inv_ls = capped_inv_ls(theta_pad, ls_mask, Zp,
+                           data_scale=data_scale)             # (1,128)
     sf2 = jnp.exp(log_os)
     s2 = jnp.exp(log_noise)
     sigma = jnp.sqrt(s2)
@@ -850,16 +972,8 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
         return -F, -g
 
     # ---- priors (identical to the resident version) ----
-    lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
-    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
-
-    def _hc(uu):
-        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
-
-    lp = lp_ls + _hc(log_os) + _hc(log_noise)
-    g_ls = (2.0 - jnp.exp(theta_pad)) * ls_mask
-    g_os = 0.5 - jax.nn.sigmoid(log_os)
-    g_noise = 0.5 - jax.nn.sigmoid(log_noise)
+    lp, g_ls, g_os, g_noise = _prior_terms(theta_pad, log_os, log_noise,
+                                           ls_mask, prior_spec)
 
     g = dls + g_ls
     g = jnp.where(lane == d, dlog_os + g_os, g)
@@ -870,7 +984,8 @@ def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
     return -(F + lp), -g
 
 
-def make_rbf_vfe_potential(X, y, jitter: float, max_n: int = 32768):
+def make_rbf_vfe_potential(X, y, jitter: float, max_n: int = 32768,
+                           prior_spec=None):
     """Factory: ``potential_fn(zvec, Z) -> (U, grad)`` for ``build_sampler``.
 
     ``zvec`` is the flat unconstrained hyper vector in ravel_pytree order
@@ -895,13 +1010,13 @@ def make_rbf_vfe_potential(X, y, jitter: float, max_n: int = 32768):
         Zp = jnp.zeros((Mp, _LANES), dt).at[:m, :d].set(Z.astype(dt))
         theta_pad = jnp.zeros((1, _LANES), dt).at[0, :d + 2].set(zvec)
         Upot, g = _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d,
-                                          jitter)
+                                          jitter, prior_spec=prior_spec)
         return Upot, g[0, :d + 2]
 
     return potential_fn
 
 
-def make_gpr_potential(X, y, jitter: float):
+def make_gpr_potential(X, y, jitter: float, prior_spec=None):
     """Factory: ``potential_fn(zvec) -> (U, grad)`` for the dense GPR_HMC
     target (companion of :func:`make_rbf_vfe_potential`; used by the Pallas
     whole-transition path via the "gpr" core and directly testable at XLA
@@ -920,7 +1035,7 @@ def make_gpr_potential(X, y, jitter: float):
     def potential_fn(zvec):
         theta_pad = jnp.zeros((1, _LANES), dt).at[0, :d + 2].set(zvec)
         Upot, g = _gpr_neg_logpost_vg(theta_pad, Xp, yp, None, n, 0, d,
-                                      jitter)
+                                      jitter, prior_spec=prior_spec)
         return Upot, g[0, :d + 2]
 
     return potential_fn
@@ -945,18 +1060,22 @@ def fused_potential_is_eligible(kernel, likelihood, prior_tree) -> bool:
 
 def fused_structure_matches(kernel, likelihood, prior_tree) -> bool:
     """Pure (env-independent) structure check shared with the Pallas
-    whole-transition path (ops.fused_nuts)."""
+    whole-transition path (ops.fused_nuts).
+
+    Round 5 (VERDICT r4 item 7): any prior tree with the rbf structure and
+    closed-form leaf families qualifies (``prior_spec_of_tree``) — users
+    changing a prior's family or parameters no longer silently drop to the
+    ~3x-slower XLA custom-call path."""
     from ..kernels.base import RBF, Scale
     from ..likelihoods import GaussianLikelihood
-    from ..priors import prior_tree_rbf
     return (isinstance(kernel, Scale) and type(kernel.base) is RBF
             and kernel.base.ard
             and type(likelihood) is GaussianLikelihood
-            and prior_tree == prior_tree_rbf())
+            and prior_spec_of_tree(prior_tree) is not None)
 
 
 def _gpr_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
-                        chol_inv=_default_chol_inv):
+                        chol_inv=_default_chol_inv, prior_spec=None):
     """Potential U = -(dense GP marginal log-lik + log prior) and dU/dtheta
     for the GPR_HMC target (reference models/gpr_hmc.py:47-57: pm.gp.Marginal
     with ls ~ Gamma(2,1), sig_f/sig_n ~ HalfCauchy(1)).
@@ -1020,17 +1139,9 @@ def _gpr_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     dls = (_dg(rs, Xs2, 0, 0) + cs @ Xs2
            - 2.0 * jnp.sum(Xs * (P @ Xs), axis=0, keepdims=True))  # (1,128)
 
-    # ---- priors (Gamma(2,1) on ls, HalfCauchyOnStd(1) on os/noise) ----
-    lp_ls = jnp.sum((2.0 * theta_pad - jnp.exp(theta_pad)) * ls_mask)
-    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
-
-    def _hc(uu):
-        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
-
-    lp = lp_ls + _hc(log_os) + _hc(log_noise)
-    g_ls = (2.0 - jnp.exp(theta_pad)) * ls_mask
-    g_os = 0.5 - jax.nn.sigmoid(log_os)
-    g_noise = 0.5 - jax.nn.sigmoid(log_noise)
+    # ---- priors (static spec; default Gamma(2,1) ls + HalfCauchyOnStd(1))
+    lp, g_ls, g_os, g_noise = _prior_terms(theta_pad, log_os, log_noise,
+                                           ls_mask, prior_spec)
 
     g = dls + g_ls
     g = jnp.where(lane == d, dlog_os + g_os, g)
@@ -1183,7 +1294,7 @@ def _sgpmc_neg_logpost_vg(state_pad, Xp, yrow, Zp, n, m, d, jitter,
 
 def _sgpmc_neg_logpost_vg_streaming(state_pad, Zp, n, m, d, jitter,
                                     chol_inv, loop_blocks, NB,
-                                    want_prior=True):
+                                    want_prior=True, data_scale=0.0):
     """Streaming variant of :func:`_sgpmc_neg_logpost_vg` for N past the
     VMEM-resident envelope: X and y live in HBM packed into ONE (Np, 128)
     array — X in lanes [0, d), y in lane 127, the same packing as
@@ -1216,8 +1327,9 @@ def _sgpmc_neg_logpost_vg_streaming(state_pad, Zp, n, m, d, jitter,
     ls_mask = (lane < d).astype(dt)
     log_os = state_pad[0, d]
     log_noise = state_pad[0, d + 1]
-    # streaming: X lives in HBM; Z spans the same standardised region
-    inv_ls = capped_inv_ls(state_pad, ls_mask, Zp)
+    # streaming: X lives in HBM — static max|X| via data_scale (ADVICE r4)
+    inv_ls = capped_inv_ls(state_pad, ls_mask, Zp,
+                           data_scale=data_scale)
     sf2 = jnp.exp(log_os)
     s2 = jnp.exp(log_noise)
 

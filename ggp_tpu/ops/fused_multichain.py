@@ -40,10 +40,11 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_bound import _dg, _round_up, capped_inv_ls
+from .fused_bound import _dg, _prior_terms, _round_up, capped_inv_ls
 from .fused_nuts import _lae, _log_unif, _popcount32, _trailing_ones32
 
 __all__ = ["make_fused_hmc_multichain", "fused_multichain_supported",
@@ -412,7 +413,7 @@ def _solve_critical_vectors_batched(UV1, UV2, u_l, C: int, Mp: int):
 # ---------------------------------------------------------------------------
 
 def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
-                        batched_chol):
+                        batched_chol, prior_spec=None):
     """(U (C,1), g (C,128)) for C hyper rows ``thetas`` (C,128).
 
     Same math as fused_bound._rbf_vfe_neg_logpost_vg; matrices per chain
@@ -557,26 +558,20 @@ def _rbf_vfe_batched_vg(thetas, Xp, yp, Zp, n, m, d, jitter, C,
     F_all = jnp.concatenate(U_rows, axis=0)                 # (C,1)
     g_all = jnp.concatenate(g_rows, axis=0)                 # (C,128)
 
-    # ---- priors, vectorised over chains ----
-    lp_ls = jnp.sum((2.0 * thetas - jnp.exp(thetas)) * ls_mask, axis=1,
-                    keepdims=True)
-    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
-
-    def _hc(uu):
-        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
-
-    lp = lp_ls + _hc(log_os_all) + _hc(log_noise_all)       # (C,1)
-    g_prior = (2.0 - jnp.exp(thetas)) * ls_mask
-    g_prior = jnp.where(lane == d,
-                        0.5 - jax.nn.sigmoid(log_os_all), g_prior)
-    g_prior = jnp.where(lane == d + 1,
-                        0.5 - jax.nn.sigmoid(log_noise_all), g_prior)
+    # ---- priors, vectorised over chains (static spec; VERDICT r4 item 7)
+    lp, g_ls, g_os, g_noise = _prior_terms(thetas, log_os_all,
+                                           log_noise_all, ls_mask,
+                                           prior_spec)
+    g_prior = g_ls
+    g_prior = jnp.where(lane == d, g_os, g_prior)
+    g_prior = jnp.where(lane == d + 1, g_noise, g_prior)
     g_all = (g_all + g_prior) * (lane < d + 2).astype(dt)
     return -(F_all + lp), -g_all
 
 
 def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
-                                  batched_chol, loop_blocks, NB):
+                                  batched_chol, loop_blocks, NB,
+                                  data_scale=0.0, prior_spec=None):
     """Streaming variant of :func:`_rbf_vfe_batched_vg`: X/y live in HBM
     packed into one (Np, 128) array (X lanes [0, d), y lane 127 — same
     packing as fused_bound._rbf_vfe_neg_logpost_vg_streaming) and each
@@ -602,8 +597,9 @@ def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
     one11 = jnp.ones((1, 1), dt)
     ey = (lane == (_LANES - 1)).astype(dt)                  # y lane one-hot
 
-    # streaming: X in HBM; Z spans the same standardised region
-    inv_ls_all = capped_inv_ls(thetas, ls_mask, Zp)         # (C,128)
+    # streaming: X in HBM — static max|X| via data_scale (ADVICE r4)
+    inv_ls_all = capped_inv_ls(thetas, ls_mask, Zp,
+                               data_scale=data_scale)       # (C,128)
     log_os_all = jnp.sum(thetas * (lane == d).astype(dt), axis=1,
                          keepdims=True)                     # (C,1)
     log_noise_all = jnp.sum(thetas * (lane == d + 1).astype(dt), axis=1,
@@ -772,19 +768,12 @@ def _rbf_vfe_batched_vg_streaming(thetas, Zp, n, m, d, jitter, C,
     g_all = jnp.concatenate(g_rows, axis=0)                 # (C,128)
 
     # ---- priors, vectorised over chains (same as the resident core) ----
-    lp_ls = jnp.sum((2.0 * thetas - jnp.exp(thetas)) * ls_mask, axis=1,
-                    keepdims=True)
-    log_pi = jnp.log(jnp.asarray(jnp.pi, dt))
-
-    def _hc(uu):
-        return 0.5 * uu - jnp.log1p(jnp.exp(uu)) - log_pi
-
-    lp = lp_ls + _hc(log_os_all) + _hc(log_noise_all)
-    g_prior = (2.0 - jnp.exp(thetas)) * ls_mask
-    g_prior = jnp.where(lane == d,
-                        0.5 - jax.nn.sigmoid(log_os_all), g_prior)
-    g_prior = jnp.where(lane == d + 1,
-                        0.5 - jax.nn.sigmoid(log_noise_all), g_prior)
+    lp, g_ls, g_os, g_noise = _prior_terms(thetas, log_os_all,
+                                           log_noise_all, ls_mask,
+                                           prior_spec)
+    g_prior = g_ls
+    g_prior = jnp.where(lane == d, g_os, g_prior)
+    g_prior = jnp.where(lane == d + 1, g_noise, g_prior)
     g_all = (g_all + g_prior) * (lane < d + 2).astype(dt)
     return -(F_all + lp), -g_all
 
@@ -916,7 +905,8 @@ def _sgpmc_batched_vg(states, Xp, yrow, Zp, n, m, d, jitter, C,
 
 
 def _sgpmc_batched_vg_streaming(states, Zp, n, m, d, jitter, C,
-                                batched_chol, loop_blocks, NB):
+                                batched_chol, loop_blocks, NB,
+                                data_scale=0.0):
     """Streaming variant of :func:`_sgpmc_batched_vg`: X/y live in HBM
     packed into one (Np, 128) array (X lanes [0, d), y lane 127 — same
     packing as :func:`_rbf_vfe_batched_vg_streaming`) and each
@@ -945,8 +935,9 @@ def _sgpmc_batched_vg_streaming(states, Zp, n, m, d, jitter, C,
             == (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
                 + (d + 2))).astype(dt)
 
-    # streaming: X in HBM; Z spans the same standardised region
-    inv_ls_all = capped_inv_ls(states, ls_mask, Zp)         # (C,128)
+    # streaming: X in HBM — static max|X| via data_scale (ADVICE r4)
+    inv_ls_all = capped_inv_ls(states, ls_mask, Zp,
+                               data_scale=data_scale)       # (C,128)
     log_os_all = jnp.sum(states * (lane == d).astype(dt), axis=1,
                          keepdims=True)
     log_noise_all = jnp.sum(states * (lane == d + 1).astype(dt), axis=1,
@@ -1447,9 +1438,13 @@ _BATCHED_CORES = {}  # populated below (vfe / sgpmc)
 
 
 def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
-                      block, C, core="vfe", stream=None):
+                      block, C, core="vfe", stream=None, prior_spec=None):
     Mp = zz_ref.shape[0]
     core_fn = _BATCHED_CORES[core]
+    if core == "vfe":
+        # parameterised hyper-prior spec (VERDICT r4 item 7); the sgpmc
+        # core keeps its protocol-fixed Gamma(2,1) tree
+        core_fn = partial(core_fn, prior_spec=prior_spec)
 
     def batched_chol(K_list):
         for c in range(C):
@@ -1466,6 +1461,8 @@ def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
             "multichain N-streaming: vfe and sgpmc cores"
         stream_fn = (_rbf_vfe_batched_vg_streaming if core == "vfe"
                      else _sgpmc_batched_vg_streaming)
+        if core == "vfe":
+            stream_fn = partial(stream_fn, prior_spec=prior_spec)
         NB, nblk = stream["NB"], stream["nblocks"]
         xbuf, sem = stream["xbuf"], stream["sem"]
 
@@ -1493,7 +1490,7 @@ def _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
         def pot(zrows):
             return stream_fn(
                 zrows, zz_ref[:], n, m, d, jitter, C, batched_chol,
-                loop_blocks, NB)
+                loop_blocks, NB, data_scale=stream.get("data_scale", 0.0))
 
         return pot
 
@@ -1523,16 +1520,18 @@ def _mc_stream_dict(stream_nb, xsbuf, dsem):
     if stream_nb is None:
         return None
     return {"NB": stream_nb[0], "nblocks": stream_nb[1],
+            "data_scale": stream_nb[2] if len(stream_nb) > 2 else 0.0,
             "xbuf": xsbuf, "sem": dsem}
 
 
 def _mc_potential_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
                        Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                        *, n, m, d, jitter, block, C,
-                       core="vfe", stream_nb=None):
+                       core="vfe", stream_nb=None, prior_spec=None):
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
                             jitter, block, C, core,
-                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem),
+                            prior_spec=prior_spec)
     U, g = pot(z_ref[:])
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _DA_LANES), 1)
     uout_ref[:] = U * (lane8 == 0).astype(jnp.float32)
@@ -1584,7 +1583,7 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
                         Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                         *, n, m, d, jitter, block, chunk, C,
                         num_leapfrog, target_accept, adapt_mass,
-                        core="vfe", stream_nb=None):
+                        core="vfe", stream_nb=None, prior_spec=None):
     """``chunk`` warmup HMC transitions for C chains with per-chain Stan
     adaptation (mirrors inference/hmc.py exactly, vectorised over chains).
 
@@ -1601,7 +1600,8 @@ def _mc_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref, da_ref,
     sel = _chain_sel(C)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
                             jitter, block, C, core,
-                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem),
+                            prior_spec=prior_spec)
     n_active = scal_ref[0].astype(jnp.int32)
 
     def pick(rows8, i):
@@ -1653,7 +1653,7 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
                           gout_ref, uout_ref,
                           Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                           *, n, m, d, jitter, block, chunk, C, num_leapfrog,
-                          core="vfe", stream_nb=None):
+                          core="vfe", stream_nb=None, prior_spec=None):
     """``chunk`` sampling transitions at per-chain fixed eps (C,8 lane 0).
     zsout (chunk*C, 128) draw t rows [t*C, (t+1)*C); acc/div (chunk, 128)
     lane c = chain c. scal_ref (SMEM f32, 1): n_active."""
@@ -1663,7 +1663,8 @@ def _mc_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref, im_ref,
     sel = _chain_sel(C)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
                             jitter, block, C, core,
-                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem),
+                            prior_spec=prior_spec)
     n_active = scal_ref[0].astype(jnp.int32)
     eps = jnp.sum(eps_ref[:] * (lane8 == 0).astype(f32), axis=1,
                   keepdims=True)                            # (C,1)
@@ -1708,7 +1709,7 @@ def _mc_nuts_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref,
                              Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                              *, n, m, d, jitter, block, chunk, C,
                              max_depth, leaf_rows, target_accept,
-                             adapt_mass, core="vfe", stream_nb=None):
+                             adapt_mass, core="vfe", stream_nb=None, prior_spec=None):
     """``chunk`` warmup NUTS transitions for C lock-step chains with
     per-chain Stan adaptation — the NUTS counterpart of
     :func:`_mc_warm_chunk_body` (same refs except mh -> treeu+leafu).
@@ -1720,7 +1721,8 @@ def _mc_nuts_warm_chunk_body(scal_ref, flags_ref, z_ref, g_ref, u_ref,
     dmask = (lane < _dim).astype(f32)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
                             jitter, block, C, core,
-                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem),
+                            prior_spec=prior_spec)
     n_active = scal_ref[0].astype(jnp.int32)
 
     def pick(rows8, i):
@@ -1776,7 +1778,7 @@ def _mc_nuts_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref,
                                Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                                *, n, m, d, jitter, block, chunk, C,
                                max_depth, leaf_rows, core="vfe",
-                               stream_nb=None):
+                               stream_nb=None, prior_spec=None):
     """``chunk`` sampling NUTS transitions at per-chain fixed eps.
     zsout (chunk*C, 128); acc/div/depth/nleaves (chunk, 128) lane c =
     chain c. scal_ref (SMEM f32, 1): n_active."""
@@ -1788,7 +1790,8 @@ def _mc_nuts_sample_chunk_body(scal_ref, z_ref, g_ref, u_ref, eps_ref,
     cmask = (lane < C).astype(f32)
     pot = _make_batched_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d,
                             jitter, block, C, core,
-                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem))
+                            stream=_mc_stream_dict(stream_nb, xsbuf, dsem),
+                            prior_spec=prior_spec)
     n_active = scal_ref[0].astype(jnp.int32)
     eps = jnp.sum(eps_ref[:] * (lane8 == 0).astype(f32), axis=1,
                   keepdims=True)                            # (C,1)
@@ -1850,7 +1853,7 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
                               target: str = "vfe",
                               stream_block: int = MC_STREAM_NB,
                               algo: str = "hmc", max_depth: int = 8,
-                              interpret: bool = False):
+                              interpret: bool = False, prior_spec=None):
     """Factory: ``builder(Z) -> FusedMultichainHMC`` or None outside the
     envelope. All chains advance lock-step inside one kernel call.
 
@@ -1888,7 +1891,10 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
         Xp = (jnp.zeros((Np, _LANES), jnp.float32)
               .at[:n, :d].set(X).at[:n, _LANES - 1].set(y))
         yp = jnp.zeros((8, 1), jnp.float32)
-        stream_nb = (stream_block, Np // stream_block)
+        # static max|X| so the streaming cores' inv_ls cap matches the
+        # resident cores' data-aware envelope (ADVICE r4)
+        stream_nb = (stream_block, Np // stream_block,
+                     float(np.max(np.abs(np.asarray(X)))))
     else:
         Np = _round_up(n, 8)
         Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
@@ -1903,7 +1909,8 @@ def make_fused_hmc_multichain(X, y, jitter: float, *, num_chains: int,
         if not fused_multichain_supported(n, d, m, C, target) or dim > _LANES:
             return None
         common = dict(n=n, m=m, d=d, jitter=jitter, block=block, C=C,
-                      core=target, stream_nb=stream_nb)
+                      core=target, stream_nb=stream_nb,
+                      prior_spec=prior_spec)
 
         def _scratch():
             s = ([pltpu.VMEM((C * Mp, Mp), f32) for _ in range(3)]

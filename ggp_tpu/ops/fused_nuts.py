@@ -43,6 +43,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -268,8 +269,12 @@ MAX_M = 512
 
 
 def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block,
-              core="vfe", stream=None):
+              core="vfe", stream=None, prior_spec=None):
     core_fn = _CORES[core]
+    if core in ("vfe", "gpr"):
+        # parameterised hyper-prior spec (VERDICT r4 item 7); the sgpmc
+        # core keeps its protocol-fixed Gamma(2,1) tree
+        core_fn = partial(core_fn, prior_spec=prior_spec)
 
     def ref_chol_inv(K):
         Ks[:] = K
@@ -305,10 +310,14 @@ def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block,
 
             return jax.lax.fori_loop(0, nblk, lb, carry)
 
+        if core == "vfe":
+            stream_fn = partial(stream_fn, prior_spec=prior_spec)
+
         def pot(zrow):
             return stream_fn(
                 zrow, zz_ref[:], n, m, d, jitter, chol_inv=ref_chol_inv,
-                loop_blocks=loop_blocks, NB=NB)
+                loop_blocks=loop_blocks, NB=NB,
+                data_scale=stream.get("data_scale", 0.0))
 
         return pot
 
@@ -383,6 +392,7 @@ def _stream_dict(stream_nb, xsbuf, dsem):
     if stream_nb is None:
         return None
     return {"NB": stream_nb[0], "nblocks": stream_nb[1],
+            "data_scale": stream_nb[2] if len(stream_nb) > 2 else 0.0,
             "xbuf": xsbuf, "sem": dsem}
 
 
@@ -392,13 +402,14 @@ def _nuts_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref, treeu_ref,
                       Ks, Us, Vs, Ds, zc_ref, vc_ref,
                       xsbuf=None, dsem=None,
                       *, n, m, d, dim, jitter, max_depth, block, core,
-                      algo, num_leapfrog, leaf_rows, stream_nb=None):
+                      algo, num_leapfrog, leaf_rows, stream_nb=None, prior_spec=None):
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     dim_mask = (lane < dim).astype(f32)
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
                     block, core,
-                    stream=_stream_dict(stream_nb, xsbuf, dsem))
+                    stream=_stream_dict(stream_nb, xsbuf, dsem),
+                    prior_spec=prior_spec)
 
     # t must be a STATIC python int here: a concrete jnp.int32(0) makes
     # pl.ds emit a dynamic-start slice whose start lowers to a jaxpr
@@ -432,7 +443,7 @@ def _warm_chunk_kernel_body(scal_ref, flags_ref, z_ref, g_ref, im_ref,
                             xsbuf=None, dsem=None,
                             *, n, m, d, dim, jitter, max_depth, block, chunk,
                             leaf_rows, target_accept, adapt_mass, core,
-                            algo, num_leapfrog, stream_nb=None):
+                            algo, num_leapfrog, stream_nb=None, prior_spec=None):
     """``chunk`` warmup transitions with in-kernel Stan adaptation.
 
     scal_ref (SMEM f32, 8): [U, log_eps, log_eps_avg, h_avg, mu, t_da,
@@ -444,7 +455,8 @@ def _warm_chunk_kernel_body(scal_ref, flags_ref, z_ref, g_ref, im_ref,
     dim_mask = (lane < dim).astype(f32)
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
                     block, core,
-                    stream=_stream_dict(stream_nb, xsbuf, dsem))
+                    stream=_stream_dict(stream_nb, xsbuf, dsem),
+                    prior_spec=prior_spec)
     n_active = scal_ref[7].astype(jnp.int32)
 
     def step(t, carry):
@@ -521,7 +533,7 @@ def _sample_chunk_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref,
                               xsbuf=None, dsem=None,
                               *, n, m, d, dim, jitter, max_depth, block,
                               chunk, leaf_rows, core, algo, num_leapfrog,
-                              stream_nb=None):
+                              stream_nb=None, prior_spec=None):
     """``chunk`` sampling transitions at fixed eps; per-draw outputs.
 
     scal_ref (SMEM f32, 4): [U, eps, n_active, pad]."""
@@ -530,7 +542,8 @@ def _sample_chunk_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref,
     dim_mask = (lane < dim).astype(f32)
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
                     block, core,
-                    stream=_stream_dict(stream_nb, xsbuf, dsem))
+                    stream=_stream_dict(stream_nb, xsbuf, dsem),
+                    prior_spec=prior_spec)
     eps = scal_ref[1]
     n_active = scal_ref[2].astype(jnp.int32)
 
@@ -569,10 +582,11 @@ def _sample_chunk_kernel_body(scal_ref, z_ref, g_ref, im_ref, mom_ref,
 def _potential_kernel_body(z_ref, x_ref, y_ref, zz_ref, uout_ref, gout_ref,
                            Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                            *, n, m, d, jitter, block, core="vfe",
-                           stream_nb=None):
+                           stream_nb=None, prior_spec=None):
     pot = _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter,
                     block, core,
-                    stream=_stream_dict(stream_nb, xsbuf, dsem))
+                    stream=_stream_dict(stream_nb, xsbuf, dsem),
+                    prior_spec=prior_spec)
     U, g = pot(z_ref[:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     uout_ref[:] = jnp.where(lane == 0, U, 0.0)
@@ -621,7 +635,8 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
                     chunk: int = 16,
                     target_accept: float = 0.8, adapt_mass: bool = True,
                     target: str = "vfe", algorithm: str = "nuts",
-                    num_leapfrog: int = 10, stream_block: int = STREAM_NB):
+                    num_leapfrog: int = 10, stream_block: int = STREAM_NB,
+                    prior_spec=None):
     """Factory. Returns ``builder(Z) -> FusedNUTS`` or None if the problem
     exceeds the VMEM envelope.
 
@@ -667,7 +682,10 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
         Xp = (jnp.zeros((Np, _LANES), jnp.float32)
               .at[:n, :d].set(X).at[:n, _LANES - 1].set(y))
         yp = jnp.zeros((8, 1), jnp.float32)
-        stream_nb = (stream_block, Np // stream_block)
+        # static max|X| so the streaming core's inv_ls cap matches the
+        # resident core's data-aware envelope (ADVICE r4)
+        stream_nb = (stream_block, Np // stream_block,
+                     float(np.max(np.abs(np.asarray(X)))))
     else:
         Np = _round_up(n, 8)
         Xp = jnp.zeros((Np, _LANES), jnp.float32).at[:n, :d].set(X)
@@ -702,9 +720,10 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
         common = dict(n=n, m=m, d=d, dim=dim, jitter=jitter, block=block,
                       core=target, algo=algorithm,
                       num_leapfrog=num_leapfrog, leaf_rows=leaf_rows,
-                      stream_nb=stream_nb)
+                      stream_nb=stream_nb, prior_spec=prior_spec)
         pot_common = dict(n=n, m=m, d=d, jitter=jitter, block=block,
-                          core=target, stream_nb=stream_nb)
+                          core=target, stream_nb=stream_nb,
+                          prior_spec=prior_spec)
 
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         # the dense-GPR core's (Np x Np) buffers — and the resident vfe

@@ -120,7 +120,7 @@ def _sgpr_stream_chunk_body(scal_ref, x_ref, th_ref, z_ref,
                             th_o, z_o, mo_th, mo_z, vo_th, vo_z, loss_o,
                             Ks, Us, Vs, Ds, xsbuf, dsem,
                             *, n, m, d, jitter, K, lr, block, min_noise,
-                            clip_norm, NB, nblocks):
+                            clip_norm, NB, nblocks, data_scale=0.0):
     """Streaming variant: X/y live in HBM packed into one (Np, 128) array
     (X lanes [0,d), y lane 127 — a 1-lane column cannot be DMA-sliced),
     visited in double-buffered (NB, 128) blocks per gram/adjoint pass
@@ -167,7 +167,8 @@ def _sgpr_stream_chunk_body(scal_ref, x_ref, th_ref, z_ref,
         loss, gt, gZ = _rbf_vfe_neg_logpost_vg_streaming(
             theta, Z, n, m, d, jitter, chol_inv=ref_chol_inv,
             loop_blocks=loop_blocks, NB=NB, want_z_grad=True,
-            want_prior=False, pivot_floor=_PIVOT_FLOOR)
+            want_prior=False, pivot_floor=_PIVOT_FLOOR,
+            data_scale=data_scale)
         gt = jnp.where(jnp.abs(gt) <= 3.0e38, gt, jnp.zeros_like(gt))
         gZ = jnp.where(jnp.abs(gZ) <= 3.0e38, gZ, jnp.zeros_like(gZ))
         gn = jnp.sqrt(jnp.sum(gt * gt) + jnp.sum(gZ * gZ))
@@ -205,7 +206,7 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
                       m_z, v_z, z_o, mo_z, vo_z, loss_o,
                       Ks, Us, Vs, Ds, xsbuf=None, dsem=None,
                       *, n, m, d, S, jitter, K, lr, block,
-                      NB=None, nblocks=None):
+                      NB=None, nblocks=None, data_scale=0.0):
     """Up to K Adam steps on Z only; per-step loss/grad = mean over the
     active hyper rows of th_ref (the current HMC trace) of
     -sgpr_elbo(theta_s, Z) — the reference's interleaved Z-optimisation
@@ -269,7 +270,8 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
             return _rbf_vfe_neg_logpost_vg_streaming(
                 th, Z, n, m, d, jitter, chol_inv=ref_chol_inv,
                 loop_blocks=loop_blocks, NB=NB, want_z_grad=True,
-                want_prior=False, pivot_floor=_PIVOT_FLOOR)
+                want_prior=False, pivot_floor=_PIVOT_FLOOR,
+                data_scale=data_scale)
 
     loss_o[:] = jnp.zeros_like(loss_o)
 
@@ -299,7 +301,7 @@ def _zadam_chunk_body(scal_ref, x_ref, y_ref, th_ref, z_ref,
 
 
 def make_fused_z_adam(n, m, d, S, jitter, *, steps_per_call, lr=0.01,
-                      block=32, interpret=False):
+                      block=32, interpret=False, data_scale=0.0):
     """Factory: ``chunk(Z, adam_m, adam_v, thetas, Xp, yp, t0,
     s_active=None, n_steps=None) -> (Z, adam_m, adam_v, losses (K,))``;
     ``thetas`` is the packed hyper trace (any row count <= S). Envelope:
@@ -336,7 +338,8 @@ def make_fused_z_adam(n, m, d, S, jitter, *, steps_per_call, lr=0.01,
         call = pl.pallas_call(
             partial(_zadam_chunk_body, n=n, m=m, d=d, S=S,
                     jitter=float(jitter), K=K, lr=float(lr), block=block,
-                    NB=STREAM_NB, nblocks=Np // STREAM_NB),
+                    NB=STREAM_NB, nblocks=Np // STREAM_NB,
+                    data_scale=float(data_scale)),
             out_shape=out_shape,
             in_specs=[smem, pl.BlockSpec(memory_space=pl.ANY)]
             + [vmem] * 5,
@@ -383,7 +386,7 @@ def make_fused_z_adam(n, m, d, S, jitter, *, steps_per_call, lr=0.01,
 
 def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
                     min_noise=1e-4, clip_norm=_CLIP_NORM, block=32,
-                    interpret=False):
+                    interpret=False, data_scale=0.0):
     """Factory: ``chunk(theta, Z, adam_m, adam_v, Xp, yp, t0) ->
     (theta, Z, adam_m, adam_v, losses (K,))`` with adam_m/v =
     {"theta": (1,128), "Z": (Mp,128)}. Envelope: m <= 512 (Mp = next
@@ -418,7 +421,8 @@ def make_fused_sgpr(n, m, d, jitter, *, steps_per_call, lr=0.01,
             partial(_sgpr_stream_chunk_body, n=n, m=m, d=d,
                     jitter=float(jitter), K=K, lr=float(lr), block=block,
                     min_noise=float(min_noise), clip_norm=float(clip_norm),
-                    NB=STREAM_NB, nblocks=Np // STREAM_NB),
+                    NB=STREAM_NB, nblocks=Np // STREAM_NB,
+                    data_scale=float(data_scale)),
             out_shape=out_shape,
             in_specs=[smem, pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 6,
             out_specs=(vmem,) * 7,

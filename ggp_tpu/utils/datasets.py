@@ -480,7 +480,7 @@ class DelgadoClassification(Dataset):
         else:
             raise FileNotFoundError(
                 f"{self.name}: no Delgado archive member under "
-                f"{self.datadir} - see data/MANIFEST.md (zero-egress "
+                f"{self.datadir} - see DATA.md (repo root) (zero-egress "
                 f"environment; the reference downloads the 195MB bundle "
                 f"from {_DELGADO_URL})")
         if self.N is not None and data.shape[0] != self.N:

@@ -1,6 +1,6 @@
 """Real-data loading + NLPD-parity golden tests (skipped until files exist).
 
-Drop the files listed in data/MANIFEST.md and these activate: shape/semantics
+Drop the files listed in DATA.md and these activate: shape/semantics
 checks against the reference loaders (utils/dataset.py:128-272) and SGPR NLPD
 parity against the published benchmarks (benchmarks_nlpd_main.csv:1-6).
 Also exercises the pandas-free fast_table path on the REAL file formats —
@@ -54,7 +54,7 @@ def _have(name):
 @pytest.mark.parametrize("name", sorted(_SHAPES))
 def test_real_dataset_shapes_and_split_semantics(name):
     if not _have(name):
-        pytest.skip(f"{name}: drop the file per data/MANIFEST.md to enable")
+        pytest.skip(f"{name}: drop the file per DATA.md to enable")
     d0 = get_regression_data(name, split=0, prop=0.8)
     N, D = _SHAPES[name]
     assert d0.N == N and d0.D == D, (d0.N, d0.D)
@@ -101,7 +101,7 @@ def test_sgpr_nlpd_parity(name):
     """Golden NLPD parity vs benchmarks_nlpd_main.csv (SGPR column): 3-split
     mean within 4 combined standard errors of the published 10-split mean."""
     if not _have(name):
-        pytest.skip(f"{name}: drop the file per data/MANIFEST.md to enable")
+        pytest.skip(f"{name}: drop the file per DATA.md to enable")
     import jax
     import jax.numpy as jnp
 

@@ -284,16 +284,82 @@ def cell_hmc_throughput(name):
             [reps])
 
 
+def cell_sghmc_1m(name):
+    """1M-row SGHMC (BASELINE.json config 5; VERDICT r4 item 3): tiled
+    synthetic-large to N=1e6, minibatch VFE stats + SVRG anchor, 2 chains.
+    Metric = SGHMC steps/s; healthy = all samples finite. Opt-in via
+    GGP_BENCH_SGHMC=1 (the anchor gradient materialises a (1e6, M) gram —
+    heavy enough to deserve its own budget)."""
+    del name
+    import jax
+    import jax.numpy as jnp
+
+    from ggp_tpu.inference.sghmc import SGHMCConfig, run_sghmc
+    from ggp_tpu.kernels import default_rbf
+    from ggp_tpu.models.sgpr import sgpr_elbo_from_stats, vfe_stats
+    from ggp_tpu.priors import log_prior, prior_tree_rbf
+    from ggp_tpu.utils.datasets import get_regression_data
+
+    data = get_regression_data("synthetic-large", split=0)
+    X = jnp.asarray(data.X_train, jnp.float32)
+    y = jnp.asarray(data.Y_train, jnp.float32)
+    reps = -(-1_000_000 // X.shape[0])
+    X = jnp.tile(X, (reps, 1))[:1_000_000]
+    y = jnp.tile(y, reps)[:1_000_000]
+    N, D = X.shape
+    M, steps, B = 100, 2000, 2048
+    rng = np.random.RandomState(45)
+    Z = X[jnp.asarray(rng.randint(0, N, M))]
+    kern = default_rbf(ard=True)
+    hypers = {"kernel": kern.init_params(D),
+              "log_noise": jnp.asarray(np.log(0.05), jnp.float32)}
+    prior = prior_tree_rbf()
+
+    def logpost(state, idx):
+        stats = vfe_stats(kern, state["kernel"], Z, X[idx], y[idx])
+        stats = jax.tree_util.tree_map(lambda s: s * (N / idx.shape[0]),
+                                       stats)
+        ll = sgpr_elbo_from_stats(kern, {**state, "Z": Z}, stats, N, 1e-5)
+        return ll + log_prior(prior, state)
+
+    def logpost_full(state):
+        stats = vfe_stats(kern, state["kernel"], Z, X, y)
+        ll = sgpr_elbo_from_stats(kern, {**state, "Z": Z}, stats, N, 1e-5)
+        return ll + log_prior(prior, state)
+
+    cfg = SGHMCConfig(step_size=2e-6, final_step_size=1e-6, friction=0.05,
+                      num_steps=steps, batch_size=B, num_warmup=steps // 3,
+                      thin=10, control_variate=True)
+    # compile warmup (one tiny run shares executables via the cache)
+    run_sghmc(logpost, hypers, jax.random.PRNGKey(99), N,
+              SGHMCConfig(step_size=2e-6, num_steps=20, batch_size=B,
+                          num_warmup=5, thin=5, control_variate=True),
+              num_chains=2, full_logpost_fn=logpost_full)
+    t0 = time.perf_counter()
+    samples, _stats = run_sghmc(logpost, hypers, jax.random.PRNGKey(0), N,
+                                cfg, num_chains=2,
+                                full_logpost_fn=logpost_full)
+    import jax.flatten_util
+    jax.block_until_ready(samples)
+    total = time.perf_counter() - t0
+    flat, _ = jax.flatten_util.ravel_pytree(samples)
+    healthy = bool(jnp.all(jnp.isfinite(flat)))
+    steps_per_s = steps * 2 / total
+    return total, steps_per_s, 0.0, 1.0, healthy, [[round(total, 2)]]
+
+
 RUNNERS = {"SGPR+HMC": cell_sgpr_hmc, "GPR+HMC": cell_gpr_hmc,
-           "JointHMC": cell_joint_hmc, "HMC-C8": cell_hmc_throughput}
+           "JointHMC": cell_joint_hmc, "HMC-C8": cell_hmc_throughput,
+           "SGHMC-1M": cell_sghmc_1m}
 THROUGHPUT = ("HMC-C8", "boston")
+SGHMC_1M = ("SGHMC-1M", "synthetic-1m")
 # per-cell subprocess hard timeouts: generous on the fused path (Mosaic
 # cold compiles), tight on the XLA path (its compiles are ~10x cheaper;
 # round-2/3 data shows healthy XLA cells complete in < 3 min warm)
 CELL_TIMEOUT_FUSED = {"SGPR+HMC": 780, "GPR+HMC": 420, "JointHMC": 600,
-                      "HMC-C8": 600}
+                      "HMC-C8": 600, "SGHMC-1M": 900}
 CELL_TIMEOUT_XLA = {"SGPR+HMC": 420, "GPR+HMC": 300, "JointHMC": 360,
-                    "HMC-C8": 600}
+                    "HMC-C8": 600, "SGHMC-1M": 900}
 
 
 def run_cell(model_name, ds):
@@ -307,6 +373,10 @@ def run_cell(model_name, ds):
         "divergence_frac": round(div, 4), "accept": round(acc, 3),
         "healthy": healthy,
     }
+    if model_name == "SGHMC-1M":
+        # the 6-tuple's ess slot carries SGHMC steps/s for this cell
+        cell["sghmc_steps_per_s"] = cell.pop("min_ess_per_s")
+        cell["n_rows"] = 1_000_000
     if baseline is not None:
         cell["reference_s"] = baseline
         cell["speedup"] = round(baseline / secs, 2) if healthy else 0.0
@@ -327,6 +397,7 @@ def _log(msg):
 
 def _build_payload():
     order = (list(BASELINES) + [THROUGHPUT]
+             + ([SGHMC_1M] if SGHMC_1M in _STATE["cells"] else [])
              + [k for k in FULL_EXTRA if k in _STATE["cells"]])
     cells = []
     for key in order:
@@ -560,6 +631,12 @@ def main():
     if remaining() > 240:
         gated_cell(THROUGHPUT, CELL_TIMEOUT_FUSED[THROUGHPUT[0]],
                    path="fused")
+
+    # Phase B3 — opt-in 1M-row SGHMC scale anchor (VERDICT r4 item 3):
+    # heavy (the SVRG anchor materialises a (1e6, M) gram per refresh), so
+    # it only runs when explicitly requested.
+    if os.environ.get("GGP_BENCH_SGHMC") and remaining() > 300:
+        gated_cell(SGHMC_1M, CELL_TIMEOUT_FUSED[SGHMC_1M[0]], path="sghmc")
 
     # Phase C — fused upgrades while budget remains, largest expected
     # gains first (PERF.md round-3 matrix: SGPR ~1.5x over XLA, JointHMC

@@ -110,16 +110,21 @@ class BayesianSparseGPR_HMC:
 
     def _fused_transition(self, max_depth, num_chains=1):
         """Pallas whole-transition NUTS kernel (ops.fused_nuts) — the default
-        hot path on TPU for the Scale(RBF-ARD) target: one kernel per NUTS
-        transition instead of one custom call per leapfrog (PERF.md's ~80us/
-        loop-iteration floor). Disable with ``GGP_FUSED_TRANSITION=0``."""
+        hot path on TPU for the Scale(RBF-ARD) target AND (round 5, VERDICT
+        r4 item 6) the Mauna Loa CO2 composite target
+        (kernels/composite.py:co2_kernel x Gaussian x 11-leaf prior tree):
+        one kernel per NUTS transition instead of one custom call per
+        leapfrog (PERF.md's ~80us/loop-iteration floor). Disable with
+        ``GGP_FUSED_TRANSITION=0``."""
         import os
 
         import jax as _jax
 
-        from ..ops.fused_bound import (fused_structure_matches,
+        from ..ops.fused_bound import (co2_fused_spec,
+                                       fused_structure_matches,
                                        prior_spec_of_tree)
-        from ..ops.fused_nuts import fused_nuts_supported, make_fused_nuts
+        from ..ops.fused_nuts import (MAX_N_RESIDENT, MAX_M,
+                                      fused_nuts_supported, make_fused_nuts)
         if os.environ.get("GGP_FUSED_TRANSITION", "1") == "0":
             return None
         if os.environ.get("GGP_FAST_ELBO"):
@@ -131,16 +136,25 @@ class BayesianSparseGPR_HMC:
             # path batches the linalg across chains (PERF.md: 8-chain HMC
             # 1076 ESS/s) — keep it for multi-chain unless opted in
             return None
-        if not fused_structure_matches(self.kernel, self.likelihood,
-                                       self.prior_tree):
-            return None
         n, d = self.train_x.shape
-        if not fused_nuts_supported(n, d, self.Z.shape[0]):
+        if fused_structure_matches(self.kernel, self.likelihood,
+                                   self.prior_tree):
+            if not fused_nuts_supported(n, d, self.Z.shape[0]):
+                return None
+            return make_fused_nuts(self.train_x, self.train_y, self.jitter,
+                                   max_depth=max_depth,
+                                   prior_spec=prior_spec_of_tree(
+                                       self.prior_tree))
+        co2 = co2_fused_spec(self.kernel, self.likelihood, self.prior_tree)
+        if co2 is None:
+            return None
+        noise_comp, pspec = co2
+        if d != 1 or n > MAX_N_RESIDENT or self.Z.shape[0] > MAX_M:
             return None
         return make_fused_nuts(self.train_x, self.train_y, self.jitter,
                                max_depth=max_depth,
-                               prior_spec=prior_spec_of_tree(
-                                   self.prior_tree))
+                               target=f"co2_{noise_comp}",
+                               prior_spec=pspec)
 
     def _mesh_chain_devices(self):
         """Devices on the mesh ``chains`` axis (1 when no mesh). None when

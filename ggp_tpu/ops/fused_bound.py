@@ -805,6 +805,288 @@ def _rbf_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
     return -(F + lp), -g
 
 
+# --------------------------------------------------------------------------
+# CO2 composite VFE core (VERDICT r4 item 6)
+# --------------------------------------------------------------------------
+
+_CO2_SPEC_DEFAULT = (("lognormal", 0.0, 3.0),) * 11
+
+
+def _co2_vfe_neg_logpost_vg(theta_pad, Xp, yp, Zp, n, m, d, jitter,
+                            chol_inv=_default_chol_inv, want_z_grad=False,
+                            want_prior=True, pivot_floor=None,
+                            prior_spec=None, noise_comp="m32"):
+    """Potential U = -(collapsed ELBO + log prior) and dU/dtheta for the
+    Mauna Loa CO2 composite target (reference
+    experiments/co2_bayesian_sgpr_hmc.py:107-144): the 1-D Sum kernel
+
+      K = s1 Periodic(p=1, lp) RBF(ld)            seasonal
+        + s2 RBF(lt)                              long-term trend
+        + s3 RQ(lm, alpha)                        medium-term
+        + s4 Matern32(ln)  [or RBF(ln)]           short-scale noise comp
+
+    over 11 unconstrained hypers in ravel_pytree order (lanes 0..10):
+    [log lp, log ld, log s1, log lt, log s2, log alpha, log lm, log s3,
+    log ln, log s4, log noise] (kernels/composite.py:co2_kernel — all
+    si are log-VARIANCES like the rbf core's log_outputscale).
+
+    The bound/factorisation machinery is the rbf core's verbatim (the VFE
+    adjoint dKnm/dKmm is kernel-agnostic); only the gram synthesis and the
+    hyper chain rules differ — every component derivative is elementwise
+    in the pairwise difference delta = x - z, computed DIRECTLY (no
+    norm-expansion, so no f32 cancellation and no inv_ls cap needed: huge
+    inverse lengthscales just underflow exp to clean zeros).
+
+    ``prior_spec``: 11-tuple of per-lane prior leaf specs
+    (:func:`_prior_lane_terms` families); default = the experiment's
+    LogNormal(0,3) on every hyper. ``d`` must be 1 (accepted for core
+    signature uniformity).
+    """
+    del d
+    dt = Xp.dtype
+    Np, Mp = Xp.shape[0], Zp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    th = [theta_pad[0, i] for i in range(11)]
+    ilp2 = jnp.exp(-2.0 * th[0])
+    ild2 = jnp.exp(-2.0 * th[1])
+    s1 = jnp.exp(th[2])
+    ilt2 = jnp.exp(-2.0 * th[3])
+    s2v = jnp.exp(th[4])
+    al = jnp.exp(th[5])
+    ilm2 = jnp.exp(-2.0 * th[6])
+    s3 = jnp.exp(th[7])
+    iln = jnp.exp(-th[8])
+    s4 = jnp.exp(th[9])
+    s2 = jnp.exp(th[10])                                      # noise var
+    sigma = jnp.sqrt(s2)
+    sqrt3 = jnp.sqrt(jnp.asarray(3.0, dt))
+
+    rown = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    n_mask = (rown < n).astype(dt)
+    mrow_mask = (rowm < m).astype(dt)
+    mcol_mask = (colm < m).astype(dt)
+    eyeM = (rowm == colm).astype(dt)
+    one11 = jnp.ones((1, 1), dt)
+
+    # 1-D coordinates: lane 0 of the padded inputs
+    e0 = (lane == 0).astype(dt)
+    xcol = jnp.sum(Xp * e0, axis=1, keepdims=True)            # (Np,1)
+    zcol = jnp.sum(Zp * e0, axis=1, keepdims=True)            # (Mp,1)
+    zrow = _dg(one11, zcol, 1, 1)                             # (1,Mp)
+
+    def grams(acol, pair_mask):
+        """Masked component grams + shared elementwise factors for one
+        pair block (rows acol vs columns zrow)."""
+        delta = acol - zrow                                   # (R,Mp)
+        r2 = delta * delta
+        s_ = jnp.sin(jnp.asarray(jnp.pi, dt) * delta)
+        sin2 = s_ * s_
+        K1 = s1 * jnp.exp(-2.0 * sin2 * ilp2 - 0.5 * r2 * ild2) * pair_mask
+        K2 = s2v * jnp.exp(-0.5 * r2 * ilt2) * pair_mask
+        q = r2 * ilm2 / (2.0 * al)
+        lnB = jnp.log1p(q)
+        K3 = s3 * jnp.exp(-al * lnB) * pair_mask
+        if noise_comp == "m32":
+            t = sqrt3 * jnp.abs(delta) * iln
+            K4 = s4 * (1.0 + t) * jnp.exp(-t) * pair_mask
+            d4 = s4 * t * t * jnp.exp(-t) * pair_mask         # dK4/dlog ln
+        else:
+            K4 = s4 * jnp.exp(-0.5 * r2 * iln * iln) * pair_mask
+            d4 = K4 * r2 * iln * iln
+        return K1, K2, K3, K4, r2, sin2, q, lnB, d4
+
+    def hyper_contractions(Kbar, parts):
+        """10 kernel-hyper gradient contributions sum(Kbar * dK/dtheta_i)
+        for one pair block."""
+        K1, K2, K3, K4, r2, sin2, q, lnB, d4 = parts
+        Bq = 1.0 + q
+        return (
+            jnp.sum(Kbar * K1 * 4.0 * sin2 * ilp2),           # log lp
+            jnp.sum(Kbar * K1 * r2 * ild2),                   # log ld
+            jnp.sum(Kbar * K1),                               # log s1
+            jnp.sum(Kbar * K2 * r2 * ilt2),                   # log lt
+            jnp.sum(Kbar * K2),                               # log s2v
+            jnp.sum(Kbar * K3 * (-al * lnB + al * q / Bq)),   # log alpha
+            jnp.sum(Kbar * K3 * 2.0 * al * q / Bq),           # log lm
+            jnp.sum(Kbar * K3),                               # log s3
+            jnp.sum(Kbar * d4),                               # log ln
+            jnp.sum(Kbar * K4),                               # log s4
+        )
+
+    nm_parts = grams(xcol, n_mask * mcol_mask)
+    mm_parts = grams(zcol, mrow_mask * mcol_mask)
+    Knm = nm_parts[0] + nm_parts[1] + nm_parts[2] + nm_parts[3]
+    Kmm_raw = mm_parts[0] + mm_parts[1] + mm_parts[2] + mm_parts[3]
+    Kmm = jnp.where((mrow_mask * mcol_mask) > 0, Kmm_raw, eyeM)
+    svar = s1 + s2v + s3 + s4                                 # mean diagonal
+    jit_scale = jnp.maximum(svar, 1.0)                        # linalg.add_jitter
+    Kmm_j = Kmm + (jitter * jit_scale) * eyeM
+
+    if pivot_floor is None:
+        U, V = chol_inv(Kmm_j)                                # U = L^T, V = L^-T
+    else:
+        U, V = chol_inv(Kmm_j, pivot_floor * jit_scale)
+    An = _dg(Knm, V, 1, 0) / sigma                            # A^T (Np,Mp)
+    B = _dg(An, An, 0, 0) + eyeM
+    if pivot_floor is None:
+        UB, VB = chol_inv(B)
+    else:
+        UB, VB = chol_inv(B, pivot_floor)
+    Binv = _dg(VB, VB, 1, 1)
+    u = _dg(An, yp, 0, 0)
+    sb = max(32, Mp // 2)
+    c_u = ut_t_solve_vec(UB, VB, u, block=sb)
+    v = ut_solve_vec(UB, VB, c_u, block=sb)
+    w = ut_solve_vec(U, V, v, block=sb)
+    alpha_v = (yp - An @ v) / s2                              # (Np,1)
+
+    diagUB = jnp.sum(UB * eyeM, axis=1, keepdims=True)
+    logdetB = 2.0 * jnp.sum(jnp.log(diagUB))
+    uv = jnp.sum(c_u * c_u)
+    yy = jnp.sum(yp * yp)
+    trB = jnp.sum(B * eyeM)
+    trBinv = jnp.sum(Binv * eyeM)
+    kdiag_sum = n * svar
+    t_term = kdiag_sum - s2 * (trB - Mp)
+    F = (-0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dt) * s2)
+         - 0.5 * logdetB - 0.5 * (yy - uv) / s2 - 0.5 * t_term / s2)
+
+    # ---- adjoints (identical machinery to the rbf core) ----
+    Y1 = _dg(eyeM - Binv, V, 1, 1)
+    wT = _dg(one11, w, 1, 1)
+    dKnm = (An @ Y1 + alpha_v * wT) / sigma
+    T0 = 2.0 * eyeM - B - Binv
+    dKmm = (-(w * wT) / (2.0 * s2)
+            + 0.5 * _dg(_dg(V, T0, 1, 0), V, 1, 1))
+    trW = (n - Mp + trBinv) / s2
+    dF_ds2 = (0.5 * jnp.sum(alpha_v * alpha_v) - 0.5 * trW
+              + t_term / (2.0 * s2 * s2))
+    dlog_noise = dF_ds2 * s2
+
+    g_nm = hyper_contractions(dKnm, nm_parts)
+    g_mm = hyper_contractions(dKmm, mm_parts)
+    # variance lanes additionally see the relative-jitter scale and the
+    # kdiag trace term (rbf core lines above, generalised per component)
+    tr_dKmm = jnp.sum(dKmm * eyeM)
+    jit_gate = jitter * (svar > 1.0) * tr_dKmm
+    extra = {2: s1, 4: s2v, 7: s3, 9: s4}
+    gk = []
+    for i in range(10):
+        gi = g_nm[i] + g_mm[i]
+        if i in extra:
+            gi = gi + extra[i] * (jit_gate - n / (2.0 * s2))
+        gk.append(gi)
+
+    zero = jnp.zeros((1, _LANES), dt)
+    g = zero
+    for i in range(10):
+        g = jnp.where(lane == i, gk[i], g)
+    g = jnp.where(lane == 10, dlog_noise, g)
+    g = g * (lane < 11).astype(dt)
+
+    if not want_prior:
+        return -F, -g
+
+    spec = prior_spec if prior_spec is not None else _CO2_SPEC_DEFAULT
+    lp = jnp.zeros((), dt)
+    gp = zero
+    for i in range(11):
+        lpi, gpi = _prior_lane_terms(spec[i], th[i])
+        lp = lp + lpi
+        gp = jnp.where(lane == i, gpi, gp)
+    g = g + gp
+    return -(F + lp), -g
+
+
+def co2_fused_spec(kernel, likelihood, prior_tree):
+    """(noise_comp, 11-leaf prior spec) when (kernel, likelihood, priors)
+    match the fused CO2 composite target, else None.
+
+    Kernel must be kernels/composite.py:co2_kernel's structure: Sum of
+    Scale(Periodic(fixed_period) x RBF), Scale(RBF), Scale(RQ),
+    Scale(Matern32 | RBF), all non-ARD; the prior tree must mirror
+    ``{"kernel": kernel.init_params(1), "log_noise": ...}`` with
+    closed-form leaves (VERDICT r4 item 6)."""
+    import jax.tree_util as jtu
+
+    from ..kernels.base import (RBF, Matern32, Periodic, Product,
+                                RationalQuadratic, Scale, Sum)
+    from ..likelihoods import GaussianLikelihood
+    from ..priors import Prior
+
+    if type(likelihood) is not GaussianLikelihood:
+        return None
+    if not (isinstance(kernel, Sum) and len(kernel.terms) == 4):
+        return None
+    seas, trend, med, noise = kernel.terms
+    ok = (isinstance(seas, Scale) and isinstance(seas.base, Product)
+          and len(seas.base.terms) == 2
+          and type(seas.base.terms[0]) is Periodic
+          and seas.base.terms[0].fixed_period is not None
+          and abs(float(seas.base.terms[0].fixed_period) - 1.0) < 1e-12
+          and type(seas.base.terms[1]) is RBF and not seas.base.terms[1].ard
+          and isinstance(trend, Scale) and type(trend.base) is RBF
+          and not trend.base.ard
+          and isinstance(med, Scale)
+          and type(med.base) is RationalQuadratic and not med.base.ard
+          and isinstance(noise, Scale)
+          and type(noise.base) in (Matern32, RBF) and not noise.base.ard)
+    if not ok:
+        return None
+    noise_comp = "m32" if type(noise.base) is Matern32 else "rbf"
+    try:
+        leaves = (jtu.tree_leaves(prior_tree["kernel"],
+                                  is_leaf=lambda x: isinstance(x, Prior))
+                  + [prior_tree["log_noise"]])
+    except (KeyError, TypeError):
+        return None
+    if len(leaves) != 11 or set(prior_tree) != {"kernel", "log_noise"}:
+        return None
+    # reuse prior_spec_of_tree's leaf mapping via a throwaway rbf tree
+    spec = []
+    for p in leaves:
+        probe = prior_spec_of_tree({
+            "kernel": {"log_outputscale": p,
+                       "base": {"log_lengthscale": p}},
+            "log_noise": p})
+        if probe is None:
+            return None
+        spec.append(probe[0])
+    return noise_comp, tuple(spec)
+
+
+def make_co2_vfe_potential(X, y, jitter: float, *, noise_comp="m32",
+                           prior_spec=None, max_n: int = 32768):
+    """Factory: ``potential_fn(zvec, Z) -> (U, grad)`` over the 11 CO2
+    hypers (XLA-level twin of the rbf :func:`make_rbf_vfe_potential`; the
+    production consumer is the Pallas whole-transition kernel,
+    ops/fused_nuts target="co2")."""
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+    n, d = X.shape
+    if d != 1 or n > max_n:
+        return None
+    dt = X.dtype
+    Np = _round_up(n, 8)
+    Xp = jnp.zeros((Np, _LANES), dt).at[:n, :d].set(X)
+    yp = jnp.zeros((Np, 1), dt).at[:n, 0].set(y)
+    jitter = float(jitter)
+
+    def potential_fn(zvec, Z):
+        m = Z.shape[0]
+        Mp = _round_up(m, _LANES)
+        Zp = jnp.zeros((Mp, _LANES), dt).at[:m, :1].set(Z.astype(dt))
+        theta_pad = jnp.zeros((1, _LANES), dt).at[0, :11].set(zvec)
+        Upot, g = _co2_vfe_neg_logpost_vg(
+            theta_pad, Xp, yp, Zp, n, m, 1, jitter,
+            prior_spec=prior_spec, noise_comp=noise_comp)
+        return Upot, g[0, :11]
+
+    return potential_fn
+
+
 def _rbf_vfe_neg_logpost_vg_streaming(theta_pad, Zp, n, m, d, jitter,
                                       chol_inv, loop_blocks, NB,
                                       want_z_grad=False, want_prior=True,

@@ -47,7 +47,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_bound import (_gpr_neg_logpost_vg, _rbf_vfe_neg_logpost_vg,
+from .fused_bound import (_co2_vfe_neg_logpost_vg, _gpr_neg_logpost_vg,
+                          _rbf_vfe_neg_logpost_vg,
                           _rbf_vfe_neg_logpost_vg_streaming, _round_up,
                           _sgpmc_neg_logpost_vg,
                           _sgpmc_neg_logpost_vg_streaming,
@@ -246,7 +247,11 @@ def _da_update_scalars(le, lea, h, mu, t, accept, target):
 # --------------------------------------------------------------------------
 
 _CORES = {"vfe": _rbf_vfe_neg_logpost_vg, "sgpmc": _sgpmc_neg_logpost_vg,
-          "gpr": _gpr_neg_logpost_vg}
+          "gpr": _gpr_neg_logpost_vg,
+          # CO2 composite target (VERDICT r4 item 6); the noise-component
+          # choice is part of the core name so no extra static plumbing
+          "co2_m32": partial(_co2_vfe_neg_logpost_vg, noise_comp="m32"),
+          "co2_rbf": partial(_co2_vfe_neg_logpost_vg, noise_comp="rbf")}
 
 # dense-GPR envelope: the (Np x Np) factorisation scratch is the VMEM
 # limit (3 buffers + intermediates at N=512 ~ 9 MB)
@@ -271,9 +276,10 @@ MAX_M = 512
 def _make_pot(x_ref, y_ref, zz_ref, Ks, Us, Vs, Ds, n, m, d, jitter, block,
               core="vfe", stream=None, prior_spec=None):
     core_fn = _CORES[core]
-    if core in ("vfe", "gpr"):
+    if core in ("vfe", "gpr") or core.startswith("co2"):
         # parameterised hyper-prior spec (VERDICT r4 item 7); the sgpmc
-        # core keeps its protocol-fixed Gamma(2,1) tree
+        # core keeps its protocol-fixed Gamma(2,1) tree. The co2 cores
+        # take the 11-leaf per-lane spec format.
         core_fn = partial(core_fn, prior_spec=prior_spec)
 
     def ref_chol_inv(K):
@@ -658,6 +664,10 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
     if target == "gpr":
         if n > MAX_N_DENSE or d + 2 > _LANES:
             return None
+    elif target.startswith("co2"):
+        # CO2 composite core: 1-D inputs, resident-only (N=541 CO2 train)
+        if d != 1 or n > MAX_N_RESIDENT:
+            return None
     elif not fused_nuts_supported(n, d, 0, max_n=max_n, max_m=max_m):
         return None
     stream_nb = None
@@ -710,7 +720,8 @@ def make_fused_nuts(X, y, jitter: float, *, max_depth: int = 8,
         m = Z.shape[0]
         if m > max_m:
             raise ValueError(f"M={m} exceeds fused-NUTS envelope {max_m}")
-        dim = d + 2 + (m if target == "sgpmc" else 0)
+        dim = (11 if target.startswith("co2")
+               else d + 2 + (m if target == "sgpmc" else 0))
         if dim > _LANES:
             raise ValueError(f"state dim {dim} exceeds the (1,128) row")
         Mp = _round_up(m, _LANES)

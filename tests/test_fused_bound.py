@@ -357,3 +357,72 @@ def test_chol_u_inv_inplace_w_floored_parity(rng, monkeypatch):
     # blocked kernel's outputs are regularised approximations BY DESIGN,
     # see _pivot_row / CLAUDE.md round-3 facts)
     assert float(jnp.abs(Vw - V2).max()) / sV < 5e-3
+
+
+@pytest.mark.parametrize("noise_comp", ["matern32", "rbf"])
+def test_co2_potential_matches_autodiff(rng, noise_comp):
+    """CO2 composite fused core (VERDICT r4 item 6): value+grad parity
+    against jax.value_and_grad of -(sgpr_elbo(co2_kernel) +
+    log_prior(LogNormal(0,3)^11)) — the exact NUTS target of
+    experiments/co2_bayesian_sgpr_hmc.py."""
+    from ggp_tpu.kernels import co2_kernel
+    from ggp_tpu.models.sgpr import sgpr_elbo
+    from ggp_tpu.ops.fused_bound import co2_fused_spec, make_co2_vfe_potential
+    from ggp_tpu.priors import LogNormal
+
+    kern = co2_kernel(noise_comp)
+    n, m = 80, 12
+    X = jnp.asarray(np.sort(rng.uniform(0, 8, n))[:, None])
+    y = jnp.asarray(np.sin(2 * np.pi * np.asarray(X[:, 0]))
+                    + 0.05 * np.asarray(X[:, 0]) ** 2
+                    + 0.1 * rng.normal(size=n))
+    Z = X[:: n // m][:m]
+    jitter = 1e-6
+    kp = kern.init_params(1)
+    kp = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal() * 0.3), kp)
+    hypers = {"kernel": kp, "log_noise": jnp.asarray(-1.1)}
+    ptree = {"kernel": jax.tree_util.tree_map(
+        lambda _: LogNormal(0.0, 3.0), kp),
+        "log_noise": LogNormal(0.0, 3.0)}
+    from ggp_tpu.likelihoods import GaussianLikelihood
+    spec = co2_fused_spec(kern, GaussianLikelihood(), ptree)
+    assert spec is not None
+    nc, pspec = spec
+    assert nc == ("m32" if noise_comp == "matern32" else "rbf")
+    assert all(leaf == ("lognormal", 0.0, 3.0) for leaf in pspec)
+
+    zvec, unravel = jax.flatten_util.ravel_pytree(hypers)
+    assert zvec.shape == (11,)
+    from ggp_tpu.priors import log_prior
+
+    def ref(v):
+        th = unravel(v)
+        return -(sgpr_elbo(kern, {**th, "Z": Z}, X, y, jitter)
+                 + log_prior(ptree, th))
+
+    U_ref, g_ref = jax.value_and_grad(ref)(zvec)
+    pot = make_co2_vfe_potential(X, y, jitter, noise_comp=nc,
+                                 prior_spec=pspec)
+    U_f, g_f = jax.jit(pot)(zvec, Z)
+    np.testing.assert_allclose(float(U_f), float(U_ref), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_co2_fused_spec_gate():
+    """The CO2 gate refuses structures it cannot fuse."""
+    from ggp_tpu.kernels import co2_kernel, default_rbf
+    from ggp_tpu.likelihoods import BernoulliProbit, GaussianLikelihood
+    from ggp_tpu.ops.fused_bound import co2_fused_spec
+    from ggp_tpu.priors import Gamma, LogNormal
+
+    kern = co2_kernel("matern32")
+    kp = kern.init_params(1)
+    ptree = {"kernel": jax.tree_util.tree_map(
+        lambda _: LogNormal(0.0, 3.0), kp), "log_noise": Gamma(2.0, 1.0)}
+    assert co2_fused_spec(kern, GaussianLikelihood(), ptree) is not None
+    assert co2_fused_spec(kern, BernoulliProbit(), ptree) is None
+    assert co2_fused_spec(default_rbf(), GaussianLikelihood(), ptree) is None
+    assert co2_fused_spec(kern, GaussianLikelihood(),
+                          {"log_noise": None}) is None

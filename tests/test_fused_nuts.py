@@ -407,3 +407,38 @@ def test_statistical_parity_vs_xla(problem):
     assert np.all((sr > 0.5) & (sr < 2.0)), sr
     for st in (stf, stx):
         assert float(np.mean(np.asarray(st["accept_prob"]))) > 0.6
+
+
+@pytest.mark.slow
+def test_co2_fused_potential_and_transition(rng):
+    """target="co2_m32" (VERDICT r4 item 6): the in-kernel CO2 composite
+    potential (interpret mode) matches the XLA-level make_co2_vfe_potential,
+    and a NUTS transition on it moves with sane stats."""
+    from ggp_tpu.ops.fused_bound import make_co2_vfe_potential
+
+    n, m = 64, 8
+    X = jnp.asarray(np.sort(rng.uniform(0, 6, n))[:, None], jnp.float32)
+    y = jnp.asarray(np.sin(2 * np.pi * np.asarray(X[:, 0]))
+                    + 0.05 * np.asarray(X[:, 0]) ** 2
+                    + 0.1 * rng.normal(size=n), jnp.float32)
+    Z = X[:: n // m][:m]
+    builder = make_fused_nuts(X, y, 1e-5, max_depth=4, target="co2_m32",
+                              interpret=True)
+    fused = builder(Z)
+    pot_xla = make_co2_vfe_potential(X, y, 1e-5, noise_comp="m32")
+    zvec = jnp.asarray(rng.normal(size=11) * 0.3, jnp.float32)
+    U_k, g_k = jax.jit(fused.potential)(zvec)
+    U_x, g_x = jax.jit(lambda v: pot_xla(v, Z))(zvec)
+    np.testing.assert_allclose(float(U_k), float(U_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-4)
+
+    U0, g0 = fused.potential(zvec)
+    inv_mass = jnp.ones(11, jnp.float32)
+    z1, U1, g1, stats = fused.transition(
+        None, zvec, U0, g0, jax.random.PRNGKey(3),
+        jnp.asarray(0.02, jnp.float32), inv_mass)
+    assert np.all(np.isfinite(np.asarray(z1)))
+    assert 0.0 <= float(stats["accept_prob"]) <= 1.0
+    U1_check, _ = fused.potential(z1)
+    np.testing.assert_allclose(float(U1), float(U1_check), rtol=1e-5)

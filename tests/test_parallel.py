@@ -287,17 +287,25 @@ def test_fused_mesh_gate_builds_local_kernel(monkeypatch):
 def test_fused_mesh_composition_end_to_end(monkeypatch):
     """sample_hypers(num_chains=4, mesh=2 devices) runs the interpret-mode
     chain-batched kernels PER DEVICE under shard_map: shapes/finiteness/
-    health hold and the two device blocks evolve with distinct randomness."""
+    health hold and the two device blocks evolve with distinct randomness.
+
+    tune=50 is the MINIMUM healthy warmup for the fused dual averaging:
+    below ~30 steps DA has not recovered from its mu = log(10*eps0) pull
+    (Stan semantics) and chains sample at divergent eps — measured
+    identically at round-4 HEAD, i.e. a protocol floor, not a composition
+    artifact (round-5 probe: C=4 tune=12 -> div=1.0 on single chip too;
+    tune=50 -> accept 0.87, div 0)."""
     monkeypatch.setenv("GGP_FUSED_MESH_INTERPRET", "1")
     model = _tiny_model(mesh=_chains_only_mesh(2))
     assert model._fused_multichain(4, 3, "hmc") is not None  # path active
-    model.sample_hypers(12, 12, num_chains=4, algorithm="hmc",
+    model.sample_hypers(50, 12, num_chains=4, algorithm="hmc",
                         num_leapfrog=3, key=jax.random.PRNGKey(0))
     assert all(bool(jnp.all(jnp.isfinite(t)))
                for t in jax.tree_util.tree_leaves(model.trace))
     acc = np.asarray(model.stats["accept_prob"])
     assert acc.shape == (4, 12)
-    assert 0.05 < float(acc.mean()) <= 1.0
+    assert 0.4 < float(acc.mean()) <= 1.0
+    assert float(np.asarray(model.stats["diverging"]).mean()) < 0.2
     # per-device key folding: chain blocks 0-1 (device 0) and 2-3
     # (device 1) must not be identical copies
     ln = np.asarray(model.trace["log_noise"]).reshape(4, 12)

@@ -19,6 +19,11 @@ from .fused_bound import (  # noqa: E402
     make_rbf_vfe_potential,
 )
 from .fused_bound import make_gpr_potential, ut_solve_vec, ut_t_solve_vec  # noqa: E402
+from .fused_bound import (  # noqa: E402  (round 5)
+    co2_fused_spec,
+    make_co2_vfe_potential,
+    prior_spec_of_tree,
+)
 from .fused_multichain import (  # noqa: E402
     FusedMultichainHMC,
     fused_multichain_supported,

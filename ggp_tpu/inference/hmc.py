@@ -957,6 +957,8 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
     # padded no-op chunks do not advance the PRNG stream.
     # ------------------------------------------------------------------
     _mc_cache: dict = {}
+    _mc_mesh_composed = mesh is not None \
+        and dict(getattr(mesh, "shape", {})).get("chains", 1) > 1
 
     def _mc_funcs(K: int):
         if K in _mc_cache:
@@ -968,10 +970,12 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
             # stream identical to the unpadded one-program schedule
             return jnp.where(na > 0, k2, key)
 
-        @jax.jit
-        def mc_init(flat0, key, data):
+        def mc_init_impl(flat0, key, data):
             fused = fused_builder(data)
-            jkeys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
+            # LOCAL chain count: == num_chains on a single chip, the
+            # per-device block under the mesh composition (round 5)
+            c_loc = fused.num_chains
+            jkeys = jax.random.split(jax.random.fold_in(key, 1), c_loc)
             z0s = jnp.stack([
                 flat0 + jitter_init * jax.random.normal(k, flat0.shape,
                                                         flat0.dtype)
@@ -992,8 +996,7 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
                             jnp.zeros((C, dim), z0s.dtype), zc),
                         inv_mass=inv_mass)
 
-        @jax.jit
-        def mc_warm(carry, in_w_g, w_end_g, n_act_g, data):
+        def mc_warm_impl(carry, in_w_g, w_end_g, n_act_g, data):
             fused = fused_builder(data)
 
             def step(c, inputs):
@@ -1016,8 +1019,7 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
             carry, _ = jax.lax.scan(step, carry, (in_w_g, w_end_g, n_act_g))
             return carry
 
-        @jax.jit
-        def mc_sample(carry, s_act_g, data):
+        def mc_sample_impl(carry, s_act_g, data):
             fused = fused_builder(data)
             algo = getattr(fused, "algo", "hmc")
 
@@ -1042,12 +1044,76 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
 
             return jax.lax.scan(step, carry, s_act_g)
 
+        if not _mc_mesh_composed:
+            _mc_cache[K] = (gsz, jax.jit(mc_init_impl),
+                            jax.jit(mc_warm_impl), jax.jit(mc_sample_impl))
+            return _mc_cache[K]
+
+        # fused x mesh composition for the host-dispatched driver
+        # (round 5, VERDICT r4 item 2): every group call shard_maps over
+        # the mesh `chains` axis, each device advancing its LOCAL chain
+        # block with the chain-batched kernels. The per-device key rides
+        # in the carry with a leading device axis so it shards like the
+        # chain state; mc_init folds the device index in, so blocks
+        # evolve with distinct randomness.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P("chains")
+        cspec = dict(z=spec, U=spec, g=spec, key=spec,
+                     da=(spec,) * 5, wf=(spec,) * 3, inv_mass=spec)
+        # the sampling carry drops da/wf and adds the frozen eps
+        sspec = dict(z=spec, U=spec, g=spec, key=spec, eps=spec,
+                     inv_mass=spec)
+
+        def _local_init(flat0, key, data):
+            dev = jax.lax.axis_index("chains")
+            c = mc_init_impl(flat0, jax.random.fold_in(key, dev), data)
+            return {**c, "key": c["key"][None]}       # (1, 2): device axis
+
+        def _local_warm(carry, in_w_g, w_end_g, n_act_g, data):
+            c = mc_warm_impl({**carry, "key": carry["key"][0]},
+                             in_w_g, w_end_g, n_act_g, data)
+            return {**c, "key": c["key"][None]}
+
+        def _local_sample(carry, s_act_g, data):
+            c, (zs, acc, div, dep, nlv) = mc_sample_impl(
+                {**carry, "key": carry["key"][0]}, s_act_g, data)
+            # zs (gsz, K*C_loc, dim): chains are the MINOR factor of axis 1
+            # — split them onto their own axis so shard_map concatenates
+            # device blocks on the chain axis, not inside the K blocks
+            zs = zs.reshape(zs.shape[0], -1, acc.shape[-1], zs.shape[-1])
+            return ({**c, "key": c["key"][None]},
+                    (zs, acc, div, dep, nlv))
+
+        mc_init = jax.jit(shard_map(
+            _local_init, mesh=mesh, in_specs=(P(), P(), P()),
+            out_specs=cspec, check_rep=False))
+        mc_warm = jax.jit(shard_map(
+            _local_warm, mesh=mesh,
+            in_specs=(cspec, P(), P(), P(), P()),
+            out_specs=cspec, check_rep=False))
+        _mc_sample_sm = jax.jit(shard_map(
+            _local_sample, mesh=mesh, in_specs=(sspec, P(), P()),
+            out_specs=(sspec, (P(None, None, "chains"),) + (P(
+                None, None, "chains"),) * 4), check_rep=False))
+
+        def mc_sample(carry, s_act_g, data):
+            c, (zs, acc, div, dep, nlv) = _mc_sample_sm(carry, s_act_g,
+                                                        data)
+            # back to the un-composed layout (gsz, K*C, dim)
+            zs = zs.reshape(zs.shape[0], -1, zs.shape[-1])
+            return c, (zs, acc, div, dep, nlv)
+
         _mc_cache[K] = (gsz, mc_init, mc_warm, mc_sample)
         return _mc_cache[K]
 
     def _sample_mc(fobj, flat0, key, data, progress, ckpt_manager):
         import numpy as _np
         algo = _validate_multichain_cfg(fobj, cfg)
+        # the chain-batched kernels are f32-only (x64 CI envs arrive f64)
+        orig_dtype = flat0.dtype
+        flat0 = flat0.astype(jnp.float32)
         K = fobj.chunk
         gsz, mc_init, mc_warm, mc_sample = _mc_funcs(K)
         S = cfg.num_samples
@@ -1119,7 +1185,7 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
                  "depth": dep, "n_leapfrog": nlv,
                  "energy": jnp.zeros_like(acc),
                  "step_size": eps, "inv_mass": inv_mass}
-        samples = jax.vmap(jax.vmap(unravel))(zs)
+        samples = jax.vmap(jax.vmap(unravel))(zs.astype(orig_dtype))
         return samples, stats
 
     def sample(init_params, key, data=None, progress: Callable | None = None,
@@ -1135,11 +1201,13 @@ def build_sampler_chunked(logprob_fn: Callable, example_params,
             # object routes to the host-dispatched group driver
             fobj = fused_builder(data)
             if fobj is not None and hasattr(fobj, "num_chains"):
-                if fobj.num_chains != num_chains:
+                n_dev = (dict(getattr(mesh, "shape", {})).get("chains", 1)
+                         if _mc_mesh_composed else 1)
+                if fobj.num_chains * n_dev != num_chains:
                     raise ValueError(
                         f"multichain fused kernel built for "
-                        f"{fobj.num_chains} chains, sampler has "
-                        f"{num_chains}")
+                        f"{fobj.num_chains} local chains x {n_dev} "
+                        f"devices, sampler has {num_chains}")
                 return _sample_mc(fobj, flat0, key, data, progress,
                                   ckpt_manager)
         carry = _init(flat0, key, data)

@@ -242,12 +242,6 @@ class BayesianSparseGPR_HMC:
                 # execution kill window)
                 fused = self._fused_multichain(num_chains, num_leapfrog,
                                                algorithm, max_depth)
-                if fused is not None and chunk_size \
-                        and (self._mesh_chain_devices() or 1) > 1:
-                    # the host-dispatched chunked driver has no shard_map
-                    # composition (yet): mesh-composed fused kernels ride
-                    # the one-program driver only
-                    fused = None
                 if fused is None and algorithm == "nuts":
                     fused = self._fused_transition(max_depth, num_chains)
             elif algorithm == "nuts":

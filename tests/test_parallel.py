@@ -310,3 +310,23 @@ def test_fused_mesh_composition_end_to_end(monkeypatch):
     # (device 1) must not be identical copies
     ln = np.asarray(model.trace["log_noise"]).reshape(4, 12)
     assert np.abs(ln[:2] - ln[2:]).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_fused_mesh_composition_chunked_driver(monkeypatch):
+    """The host-dispatched chunked driver (build_sampler_chunked) also
+    composes fused x mesh (round 5): per-group shard_map over the chains
+    axis, per-device local kernels, warmup-chunk checkpointing intact."""
+    monkeypatch.setenv("GGP_FUSED_MESH_INTERPRET", "1")
+    model = _tiny_model(mesh=_chains_only_mesh(2))
+    assert model._fused_multichain(4, 2, "hmc") is not None
+    model.sample_hypers(50, 10, num_chains=4, algorithm="hmc",
+                        num_leapfrog=2, chunk_size=24,
+                        key=jax.random.PRNGKey(0))
+    assert all(bool(jnp.all(jnp.isfinite(t)))
+               for t in jax.tree_util.tree_leaves(model.trace))
+    acc = np.asarray(model.stats["accept_prob"])
+    assert acc.shape == (4, 10)
+    assert 0.4 < float(acc.mean()) <= 1.0
+    ln = np.asarray(model.trace["log_noise"]).reshape(4, 10)
+    assert np.abs(ln[:2] - ln[2:]).max() > 1e-6   # device blocks distinct

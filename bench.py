@@ -291,6 +291,10 @@ def cell_sghmc_1m(name):
     GGP_BENCH_SGHMC=1 (the anchor gradient materialises a (1e6, M) gram —
     heavy enough to deserve its own budget)."""
     del name
+    # the streamed pallas stats kernels cannot batch under the vmapped
+    # multi-chain SGHMC scan (known limitation, PERF.md round 5) - the
+    # anchor gradient takes the XLA stats path
+    os.environ["GGP_DISABLE_PALLAS"] = "1"
     import jax
     import jax.numpy as jnp
 
@@ -327,12 +331,14 @@ def cell_sghmc_1m(name):
         ll = sgpr_elbo_from_stats(kern, {**state, "Z": Z}, stats, N, 1e-5)
         return ll + log_prior(prior, state)
 
-    cfg = SGHMCConfig(step_size=2e-6, final_step_size=1e-6, friction=0.05,
+    # eps 2e-5/1e-5: the measured finite-and-fastest config at this scale
+    # (PERF.md round 5; 2e-6 is finite too but mixes even less)
+    cfg = SGHMCConfig(step_size=2e-5, final_step_size=1e-5, friction=0.05,
                       num_steps=steps, batch_size=B, num_warmup=steps // 3,
                       thin=10, control_variate=True)
     # compile warmup (one tiny run shares executables via the cache)
     run_sghmc(logpost, hypers, jax.random.PRNGKey(99), N,
-              SGHMCConfig(step_size=2e-6, num_steps=20, batch_size=B,
+              SGHMCConfig(step_size=2e-5, num_steps=20, batch_size=B,
                           num_warmup=5, thin=5, control_variate=True),
               num_chains=2, full_logpost_fn=logpost_full)
     t0 = time.perf_counter()

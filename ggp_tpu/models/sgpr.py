@@ -68,11 +68,36 @@ def vfe_stats(kernel: Kernel, kp: dict, Z: jnp.ndarray, X: jnp.ndarray,
            if isinstance(kernel, Scale) else None)
     n = jnp.asarray(X).shape[0]
     explicit = bool(_os.environ.get("GGP_USE_PALLAS"))
+    # the streamed Pallas kernels do not support vmapped callers (the
+    # scalar SMEM operands pick up a batch dim Mosaic cannot block —
+    # hit by multi-chain SGHMC's vmapped anchor gradient at N=1e6,
+    # round 5); batched calls fall back to the XLA stats path
+    def _under_batch_trace(x):
+        # a vmapped caller may wrap the BatchTracer in JVP/other tracers
+        # (grad-of-vmap); walk the tracer stack
+        try:
+            from jax.interpreters.batching import BatchTracer
+        except ImportError:  # pragma: no cover - jax internals moved
+            return False
+        seen = 0
+        while isinstance(x, jax.core.Tracer) and seen < 8:
+            if isinstance(x, BatchTracer):
+                return True
+            inner = getattr(x, "primal", None)
+            if inner is None:
+                inner = getattr(x, "val", None)
+            if inner is None:
+                return False
+            x, seen = inner, seen + 1
+        return False
+
+    batched = any(_under_batch_trace(a)
+                  for a in (X, y, Z, *jax.tree_util.tree_leaves(kp)))
     # automatic big-N switch only where it wins: compiled Pallas on TPU
     # (on CPU interpret-mode Pallas is far slower than XLA at exactly these
     # sizes, and bf16 would silently downgrade precision — ADVICE r2)
     auto = n >= 100_000 and jax.default_backend() == "tpu"
-    if (fam is not None and (explicit or auto)
+    if (fam is not None and (explicit or auto) and not batched
             and jnp.asarray(X).dtype == jnp.float32    # pallas path is f32
             and not _os.environ.get("GGP_DISABLE_PALLAS")):
         from ..ops.pallas_vfe import _BF16_REDUCE, stationary_vfe_stats
@@ -93,25 +118,74 @@ def vfe_stats(kernel: Kernel, kp: dict, Z: jnp.ndarray, X: jnp.ndarray,
 
 
 def sgpr_elbo_from_stats(kernel: Kernel, params: dict, stats: dict, n: int,
-                         jitter: Optional[float] = None) -> jnp.ndarray:
+                         jitter: Optional[float] = None,
+                         f64_core: Optional[bool] = None) -> jnp.ndarray:
     """Collapsed VFE bound from :func:`vfe_stats` (identical value to
     :func:`sgpr_elbo` up to fp error; squares the Kmn condition number, so
-    prefer the direct path when N fits on one chip)."""
+    prefer the direct path when N fits on one chip).
+
+    ``f64_core`` (round 5): run the O(M^2) epilogue — the grams, solves
+    and Cholesky factorisations — in float64 regardless of input dtype
+    (default: ``GGP_STATS_F64=1``; requires ``jax_enable_x64``). The
+    stats formulation loses cond(Kmn)^2 digits (CLAUDE.md); the f64
+    epilogue extends the finite envelope of ~1M-row scaled-stats targets
+    without the O(N) cost of f64 stats. Measured limitation (PERF.md
+    round 5): at collapsed-outputscale/large-lengthscale modes the f32
+    S_kk is itself non-PSD beyond any epilogue precision — f64 stats
+    would be required there. Uses the pure-HLO blocked factorisation
+    (ops/fused_bound.block_chol_u) because TPU's cholesky/
+    triangular_solve custom calls fault on f64 operands (measured).
+    """
+    import os as _os
+    if f64_core is None:
+        f64_core = bool(_os.environ.get("GGP_STATS_F64"))
+    f64_core = f64_core and jax.config.read("jax_enable_x64")
     Z = params["Z"]
     M = Z.shape[0]
+    if f64_core:
+        work = jnp.float64
+        stats = {k: jnp.asarray(v, work) for k, v in stats.items()}
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, work), params)
+        Z = params["Z"]
     sigma2 = jnp.exp(params["log_noise"])
     Kmm = kernel.gram(params["kernel"], Z, Z)
-    L = safe_cholesky(Kmm, jitter, relative=True)
-    # AA^T = L^-1 S_kk L^-T / sigma^2
-    T = tri_solve(L, stats["S_kk"])
-    AAt = tri_solve(L, T.T).T / sigma2               # (M, M), symmetric
-    B = AAt + jnp.eye(M, dtype=AAt.dtype)
-    LB = safe_cholesky(B, 0.0)
-    Ay = tri_solve(L, stats["S_ky"]) / jnp.sqrt(sigma2)
-    c = tri_solve(LB, Ay) / jnp.sqrt(sigma2)
+    if f64_core:
+        # TPU's cholesky/triangular_solve custom calls fault on f64 inputs
+        # (measured round 5: "TPU device error - kernel fault"); the pure
+        # HLO blocked factorisation + inverse emulate f64 fine and M x M
+        # is microseconds at M=100
+        from ..ops.fused_bound import _round_up, block_chol_u, block_ut_inv
+        from ..ops.linalg import add_jitter
+        Mp = _round_up(M, 32)
+        pad = Mp - M
+        Kp = jnp.eye(Mp, dtype=work).at[:M, :M].set(
+            add_jitter(Kmm, jitter, relative=True))
+        Skkp = jnp.zeros((Mp, Mp), work).at[:M, :M].set(stats["S_kk"])
+        Skyp = jnp.zeros((Mp,), work).at[:M].set(stats["S_ky"])
+        del pad
+        U = block_chol_u(Kp)                                      # L^T
+        Linv = block_ut_inv(U).T                                  # L^-1
+        AAt = Linv @ Skkp @ Linv.T / sigma2
+        B = AAt + jnp.eye(Mp, dtype=AAt.dtype)
+        UB = block_chol_u(B)
+        LBinv = block_ut_inv(UB).T
+        diag_LB = jnp.diagonal(UB)          # pad lanes are exactly 1
+        Ay = (Linv @ Skyp) / jnp.sqrt(sigma2)
+        c = (LBinv @ Ay) / jnp.sqrt(sigma2)
+    else:
+        L = safe_cholesky(Kmm, jitter, relative=True)
+        # AA^T = L^-1 S_kk L^-T / sigma^2
+        T = tri_solve(L, stats["S_kk"])
+        AAt = tri_solve(L, T.T).T / sigma2           # (M, M), symmetric
+        B = AAt + jnp.eye(M, dtype=AAt.dtype)
+        LB = safe_cholesky(B, 0.0)
+        diag_LB = jnp.diagonal(LB)
+        Ay = tri_solve(L, stats["S_ky"]) / jnp.sqrt(sigma2)
+        c = tri_solve(LB, Ay) / jnp.sqrt(sigma2)
 
     bound = -0.5 * n * jnp.log(2.0 * jnp.pi * sigma2)
-    bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
+    bound -= jnp.sum(jnp.log(diag_LB))
     bound -= 0.5 * (stats["s_yy"] / sigma2 - jnp.sum(c * c))
     bound -= 0.5 * (stats["s_kdiag"] - sigma2 * jnp.trace(AAt)) / sigma2
     return bound

@@ -126,3 +126,51 @@ def test_elbo_fast_parity():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-9)
+
+
+def test_stats_bound_f64_core_parity(rng):
+    """Round 5: the f64 M x M epilogue (GGP_STATS_F64 / f64_core=True)
+    matches the f32 branch on benign problems, pads non-multiple-of-32 M,
+    and never NaNs where the f32 branch is finite. Pure-ops blocked
+    factorisation — no f64 lapack custom calls (they fault on TPU).
+    Measured limitation (PERF.md round 5): at collapsed-outputscale/
+    large-lengthscale modes the f32 STATS are already non-PSD beyond any
+    epilogue precision — the f64 core extends the finite envelope but
+    does not repair garbage inputs."""
+    from ggp_tpu.models.sgpr import sgpr_elbo_from_stats, vfe_stats
+
+    kern = default_rbf(ard=True)
+    X = jnp.asarray(rng.normal(size=(300, 6)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=300), jnp.float32)
+    Z = X[:37]                                   # non-multiple of 32 (pad)
+    kp = {"kernel": kern.init_params(6), "log_noise": jnp.zeros(())}
+    st = vfe_stats(kern, kp["kernel"], Z, X, y)
+    b32 = sgpr_elbo_from_stats(kern, {**kp, "Z": Z}, st, 300, 1e-6,
+                               f64_core=False)
+    b64 = sgpr_elbo_from_stats(kern, {**kp, "Z": Z}, st, 300, 1e-6,
+                               f64_core=True)
+    np.testing.assert_allclose(float(b64), float(b32), rtol=1e-4)
+
+    # the rescue case: large lengthscales (near-rank-1 Kmn) x 75-scaled
+    # stats in f32 — measured NaN regime of the 1M-row SGHMC target
+    kp_bad = {"kernel": {"base": {"log_lengthscale": jnp.full((6,), 2.3,
+                                                              jnp.float32)},
+                         "log_outputscale": jnp.asarray(-1.1, jnp.float32)},
+              "log_noise": jnp.asarray(-0.05, jnp.float32)}
+    st_b = vfe_stats(kern, kp_bad["kernel"], Z, X, y)
+    st_s = jax.tree_util.tree_map(lambda s: s * 75.0, st_b)
+    b32_bad = sgpr_elbo_from_stats(kern, {**kp_bad, "Z": Z}, st_s,
+                                   300 * 75, 1e-5, f64_core=False)
+    b64_bad = sgpr_elbo_from_stats(kern, {**kp_bad, "Z": Z}, st_s,
+                                   300 * 75, 1e-5, f64_core=True)
+    # f64 never loses finiteness relative to f32 (it may not gain it:
+    # the f32 STATS can be non-PSD past repair — measured round 5)
+    if bool(jnp.isfinite(b32_bad)):
+        assert bool(jnp.isfinite(b64_bad))
+        np.testing.assert_allclose(float(b64_bad), float(b32_bad),
+                                   rtol=5e-2)
+    # gradient through the f64 branch on the benign stats stays finite
+    g64 = jax.grad(lambda p: sgpr_elbo_from_stats(
+        kern, {**p, "Z": Z}, st, 300, 1e-6, f64_core=True))(kp)
+    gflat, _ = jax.flatten_util.ravel_pytree(g64)
+    assert bool(jnp.all(jnp.isfinite(gflat)))
